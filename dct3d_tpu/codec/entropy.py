@@ -1,0 +1,191 @@
+"""Host-side entropy layer: Exp-Golomb (native C / NumPy) + streaming zlib.
+
+Production encode packs bits on the TPU (ops/bitpack.py); this module supplies
+  * the serial decode path (native C, NumPy fallback),
+  * a CPU encode path (for hosts without an accelerator),
+  * streaming DEFLATE with the reference's exact chunk semantics:
+    one zlib stream across all GOPs, only whole bytes deflated per chunk with
+    the partial byte carried (encoder.c:266-271), and a final extra byte
+    (partial or zero) on finish (encoder.c:270, Encoder.java:117).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import zlib
+
+import numpy as np
+
+from .. import native
+from ..ops import bitpack, expgolomb
+
+
+# ----------------------------------------------------------------------------
+# Bulk Exp-Golomb encode/decode on host
+# ----------------------------------------------------------------------------
+
+
+def encode_values(values: np.ndarray, bitpos: int = 0) -> tuple[bytes, int]:
+    """Pack int32 values; returns (bytes incl. partial, new bit length).
+
+    The returned buffer starts at stream bit 0; `bitpos` bits of leading
+    padding are zeros to be OR-merged by the caller (StreamingEncoder does
+    this with its carry byte).
+    """
+    values = np.ascontiguousarray(values, dtype=np.int32)
+    lib = native.load()
+    if lib is not None:
+        # Worst case ~61 bits/value, typical <4; allocate generously.
+        cap = (bitpos + 7) // 8 + values.size * 8 + 16
+        out = np.zeros(cap, dtype=np.uint8)
+        pos = ctypes.c_uint64(bitpos)
+        rc = lib.eg_encode(
+            values.ctypes.data, values.size, out.ctypes.data, cap,
+            ctypes.byref(pos),
+        )
+        if rc != 0:  # pragma: no cover - cap is worst-case sized
+            raise OverflowError("exp-golomb encode buffer overflow")
+        nbits = int(pos.value)
+        return out[: (nbits + 7) // 8].tobytes(), nbits
+    # NumPy fallback: vectorized codewords + vectorized bit scatter.
+    code, width = expgolomb.codewords_np(values)
+    code = np.concatenate([[np.uint32(0)], code])
+    width = np.concatenate([[np.int32(bitpos)], width.astype(np.int32)])
+    buf, total_bits = bitpack.pack_bits_np(code, width)
+    return buf.tobytes(), int(total_bits)
+
+
+def decode_values(
+    data: bytes | np.ndarray, n: int, bitpos: int = 0
+) -> tuple[np.ndarray, int]:
+    """Decode n values starting at bit `bitpos`; returns (values, new bitpos).
+
+    Raises EOFError if the buffer ends mid-stream.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    nbits_avail = buf.size * 8
+    lib = native.load()
+    out = np.empty(n, dtype=np.int32)
+    if lib is not None:
+        pos = ctypes.c_uint64(bitpos)
+        rc = lib.eg_decode(
+            buf.ctypes.data, nbits_avail, ctypes.byref(pos),
+            out.ctypes.data, n,
+        )
+        if rc != 0:
+            raise EOFError("exp-golomb stream exhausted")
+        return out, int(pos.value)
+    # Pure-Python fallback (slow; used only without a C compiler).
+    pos = bitpos
+    data_b = buf.tobytes()
+    for i in range(n):
+        zeros = 0
+        while True:
+            if pos >= nbits_avail:
+                raise EOFError("exp-golomb stream exhausted")
+            if (data_b[pos >> 3] >> (7 - (pos & 7))) & 1:
+                break
+            zeros += 1
+            pos += 1
+        nb = zeros + 1
+        if pos + nb > nbits_avail:
+            raise EOFError("exp-golomb stream exhausted")
+        code = 0
+        for _ in range(nb):
+            code = (code << 1) | ((data_b[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        m = code - 1
+        out[i] = (m + 1) // 2 if m % 2 else -(m // 2)
+    return out, pos
+
+
+# ----------------------------------------------------------------------------
+# Streaming DEFLATE with reference chunk semantics
+# ----------------------------------------------------------------------------
+
+
+class DeflateSink:
+    """One zlib stream across all GOP chunks, whole bytes only, final extra
+    byte on close — byte-compatible with both reference encoders."""
+
+    def __init__(self, level: int = zlib.Z_BEST_COMPRESSION) -> None:
+        self._z = zlib.compressobj(level)
+        self.carry_code = 0  # partial byte's bits, right-aligned
+        self.carry_bits = 0  # 0..7
+
+    def push_packed(self, packed: np.ndarray, total_bits: int) -> bytes:
+        """Consume a device/CPU-packed buffer whose stream includes
+        carry_bits bits of this sink's carry at the front (bit 0)."""
+        full = total_bits // 8
+        rem = total_bits % 8
+        chunk = packed[:full].copy()
+        if self.carry_bits and full:
+            chunk[0] |= self.carry_code << (8 - self.carry_bits)
+        elif self.carry_bits and not full:
+            # Stream still inside the original partial byte.
+            pass
+        if rem:
+            nxt = int(packed[full])
+            if full == 0 and self.carry_bits:
+                nxt |= self.carry_code << (8 - self.carry_bits)
+            self.carry_code = nxt >> (8 - rem)
+        else:
+            self.carry_code = 0
+        self.carry_bits = rem
+        return self._z.compress(chunk.tobytes()) if full else b""
+
+    def push_values(self, values: np.ndarray) -> bytes:
+        """CPU path: entropy-code values directly into the sink."""
+        payload, nbits = encode_values(values, bitpos=self.carry_bits)
+        return self.push_packed(np.frombuffer(payload, dtype=np.uint8), nbits)
+
+    def finish(self) -> bytes:
+        """Final partial byte (zero-padded) or a zero byte, then Z_FINISH —
+        mirroring `expGolombCodedDataSize + 1` (encoder.c:270) and
+        `getBufferPosition() + 1` (Encoder.java:117)."""
+        last = (self.carry_code << (8 - self.carry_bits)) & 0xFF if self.carry_bits else 0
+        out = self._z.compress(bytes([last]))
+        self.carry_code = 0
+        self.carry_bits = 0
+        return out + self._z.flush(zlib.Z_FINISH)
+
+
+class InflateSource:
+    """Streaming inflate + Exp-Golomb decode with explicit bit cursor.
+
+    Replaces the reference decoder's triple buffer-compaction loop
+    (decoder.c:210-243) with a single growing byte buffer and a bit cursor;
+    consumed whole bytes are dropped lazily.
+    """
+
+    def __init__(self) -> None:
+        self._z = zlib.decompressobj()
+        self._buf = bytearray()
+        self._bitpos = 0
+        self._eof = False
+
+    def feed(self, data: bytes) -> None:
+        if data:
+            self._buf += self._z.decompress(data)
+
+    def feed_eof(self) -> None:
+        if not self._eof:
+            self._buf += self._z.flush()
+            self._eof = True
+
+    def try_read(self, n: int) -> np.ndarray | None:
+        """Decode n values if enough bits are buffered, else None."""
+        try:
+            vals, pos = decode_values(
+                np.frombuffer(bytes(self._buf), dtype=np.uint8), n, self._bitpos
+            )
+        except EOFError:
+            return None
+        self._bitpos = pos
+        # Compact consumed whole bytes.
+        drop = self._bitpos // 8
+        if drop:
+            del self._buf[:drop]
+            self._bitpos -= drop * 8
+        return vals

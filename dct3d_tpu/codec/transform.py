@@ -1,0 +1,124 @@
+"""Jitted device pipeline: frames <-> quantized zigzag coefficients <-> bits.
+
+One fused XLA program per direction (SURVEY.md §7 M1/M2):
+
+  encode step:  (T, H, W) uint8
+                -> cube repack (relayout)
+                -> (num_cubes, cube) @ (cube, cube) f32 matmul on the MXU
+                   [3D DCT + quantization + zigzag folded into the matrix]
+                -> round  -> Exp-Golomb codewords -> device bit pack
+  decode step:  codes -> matmul -> clamp -> uint8 frames
+
+The reference spreads this across a thread-pool of scalar loops
+(Transform.java:63-104, DCT.java:41-59) or two OpenCL reduction kernels
+(3dDCT.cl:43-143) plus host loops for quantization and bit I/O
+(encoder.c:47-71).  Here the whole encode GOP step is a single compiled
+XLA executable; rounding, codeword math and packing fuse into the matmul's
+epilogue or run on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecConfig
+from ..ops import bitpack, dct, expgolomb
+from . import framing
+
+# float32 matmuls on the MXU need HIGHEST precision (3x bf16 passes) to keep
+# quantized-integer parity with the float64 oracle; see SURVEY.md §7 #3.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _round_half_away(x):
+    """C roundf() semantics — ties away from zero (encoder.c:53).
+    jnp.round is half-to-even and would diverge from the reference."""
+    return jnp.trunc(x + jnp.copysign(0.5, x))
+
+
+class EncodedGOP(NamedTuple):
+    """Device-side result of encoding one batch of frames."""
+
+    packed: jax.Array  # (max_bytes,) uint8, bit-concatenated codewords
+    total_bits: jax.Array  # () int32, valid bit count in `packed`
+
+
+def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
+    cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
+    scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
+    q = _round_half_away(scaled).astype(jnp.int32)
+    code, width = expgolomb.codewords(q.reshape(-1))
+    # Prepend the cross-GOP carry (partial byte) as a pseudo-codeword so the
+    # packed buffer starts at bit 0 of the continuing stream.
+    code = jnp.concatenate([carry_code[None].astype(jnp.uint32), code])
+    width = jnp.concatenate([carry_bits[None].astype(jnp.int32), width])
+    packed, total_bits = bitpack.pack_bits(code, width, max_bytes)
+    return EncodedGOP(packed, total_bits)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_bytes", "cfg"), donate_argnums=(0,)
+)
+def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg):
+    """Encode a (T, H, W) uint8 frame batch into packed Exp-Golomb bytes.
+
+    carry_code/carry_bits: the partial trailing byte of the previous call
+    (value right-aligned in carry_bits bits), continuing the bitstream across
+    GOPs exactly like the C encoder's buffer carry (encoder.c:266-271).
+    """
+    return _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def decode_step(coeffs, dec_m, *, cfg, height, width):
+    """Quantized zigzag coefficients (num_cubes, cube) int32 -> uint8 frames.
+
+    Dequantization (exact integer multiply, folded into dec_m), inverse DCT
+    matmul, clamp to [0, 255] (3dDCT.cl:256-262) and truncating byte cast
+    (writeCubes decoder.c:30, Decoder.java:112)."""
+    pixels = jnp.dot(
+        coeffs.astype(dec_m.dtype), dec_m, precision=_PRECISION
+    )
+    pixels = jnp.clip(pixels, 0.0, 255.0)
+    frames = framing.cubes_to_frames(pixels, cfg, height, width)
+    return frames.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def quantize_step(frames, enc_t, *, cfg):
+    """Frames -> quantized zigzag int32 coefficients (no bit packing)."""
+    cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
+    scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
+    return _round_half_away(scaled).astype(jnp.int32)
+
+
+class TransformContext:
+    """Holds the constant encode/decode matrices on device.
+
+    The analogue of the reference's precomputed coefficient tables
+    (DCT.java:77-140, InverseDCT.java:87-133), built once per config.
+    """
+
+    def __init__(self, cfg: CodecConfig | None = None):
+        self.cfg = cfg or CodecConfig()
+        dtype = np.dtype(self.cfg.compute_dtype)
+        self.enc_t = jnp.asarray(dct.encode_matrix(self.cfg, dtype))
+        self.dec_m = jnp.asarray(dct.decode_matrix(self.cfg, dtype))
+
+    def max_packed_bytes(self, num_pixels: int) -> int:
+        """Static bit-pack buffer size for a frame batch.
+
+        Worst-case codeword width for 8-bit video through the orthonormal
+        3D DCT is < 32 bits, but typical streams are ~1-4 bits/coefficient.
+        2 bytes/coefficient (16 bits) gives a 4x+ safety margin over any
+        realistic stream while keeping the buffer bounded; overflow is
+        detected via total_bits and would raise in the driver.  (The
+        reference assumes 8 bits/coeff and would overrun beyond that:
+        Encoder.java:95, encoder.c:133.)
+        """
+        return 2 * num_pixels + 16

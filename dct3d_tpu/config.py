@@ -1,0 +1,68 @@
+"""Codec configuration.
+
+The reference hardcodes its parameters across several places: cube dims 8x8x8
+(reference: 3d-DCT-video-encoding/src/br/jpiccoli/video/Encoder.java:28-30,
+3d-DCT-video-encoding-OpenCL/codec.h:11-13), quantization strength 5
+(Encoder.java:82, encoder.c:53), GOP depth = cube depth = 8, and zlib level
+(Java: default; C: Z_BEST_COMPRESSION, encoder.c:139).  Here everything flows
+from one frozen dataclass shared by encoder and decoder (SURVEY.md §5 "Config").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Parameters of the 3D-DCT codec.
+
+    Attributes:
+      block_w / block_h / block_d: DCT cube dimensions (x, y, z=temporal).
+        The reference supports lowering 8 -> 4 for weak GPUs (README.md:20).
+      quant_strength: the ``q`` of the analytic quantizer
+        ``round(c / max(1, q * (i + j + k)))`` (Encoder.java:82).
+      zlib_level: DEFLATE level for the output stream. 9 matches the C
+        encoder's Z_BEST_COMPRESSION; lower levels trade bpp for speed.
+        Any level yields a bitstream the reference decoder can read.
+      compute_dtype: dtype of the on-device transform matmuls. float32 is
+        required for quantized-integer parity with the reference
+        (SURVEY.md §7 "hard parts" #3); bfloat16 is available for a fast,
+        lower-fidelity profile.
+    """
+
+    block_w: int = 8
+    block_h: int = 8
+    block_d: int = 8
+    quant_strength: int = 5
+    zlib_level: int = zlib.Z_BEST_COMPRESSION
+    compute_dtype: str = "float32"
+
+    @property
+    def gop_size(self) -> int:
+        """Frames per group-of-pictures (== temporal cube depth)."""
+        return self.block_d
+
+    @property
+    def cube_size(self) -> int:
+        return self.block_w * self.block_h * self.block_d
+
+    @property
+    def face_size(self) -> int:
+        return self.block_w * self.block_h
+
+    def validate_geometry(self, width: int, height: int) -> None:
+        if width % self.block_w or height % self.block_h:
+            raise ValueError(
+                f"frame {width}x{height} must be a multiple of the "
+                f"{self.block_w}x{self.block_h} block (reference requires the "
+                "same: CaptureScreen.java:113-118)"
+            )
+
+    def cubes_per_gop(self, width: int, height: int) -> int:
+        self.validate_geometry(width, height)
+        return (width // self.block_w) * (height // self.block_h)
+
+
+DEFAULT_CONFIG = CodecConfig()

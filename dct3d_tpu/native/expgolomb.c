@@ -1,0 +1,138 @@
+/* Streaming signed Exp-Golomb bit codec (host side).
+ *
+ * TPU-native framework's equivalent of the reference's C entropy codec
+ * (reference: 3d-DCT-video-encoding-OpenCL/ExpGolomb.c:5-130) — same bit
+ * format, new implementation:
+ *   - 64-bit accumulator reader/writer instead of per-bit byte twiddling,
+ *   - bulk (array-at-a-time) API so Python crosses the FFI once per GOP,
+ *   - explicit bit-position cursors so chunked streaming needs no buffer
+ *     compaction dance (decoder.c:210-243 in the reference).
+ *
+ * The encode path is normally executed on the TPU (ops/bitpack.py); this C
+ * encoder is the CPU fallback and test oracle.  The serial decode path is
+ * inherently sequential, so it lives here at memory speed.
+ *
+ * Format (ExpGolombWriter.java:19-49): v>0 -> m=2v-1, v<=0 -> m=-2v;
+ * code = m+1 emitted MSB-first in (2*bitlen(code)-1) bits.
+ */
+
+#include <stddef.h>
+#include <stdint.h>
+#include <string.h>
+
+#if defined(__GNUC__)
+#define EG_EXPORT __attribute__((visibility("default")))
+#else
+#define EG_EXPORT
+#endif
+
+/* ------------------------------------------------------------------ */
+/* Encode: append n codewords to `out` starting at bit *bitpos.        */
+/* `out` must be zeroed from *bitpos onward; returns 0 on success,     */
+/* -1 if out_cap (bytes) would be exceeded.                            */
+/* ------------------------------------------------------------------ */
+EG_EXPORT int eg_encode(const int32_t *values, size_t n, uint8_t *out,
+                        size_t out_cap, uint64_t *bitpos) {
+    uint64_t pos = *bitpos;
+    for (size_t i = 0; i < n; i++) {
+        int64_t v = values[i];
+        uint64_t m = v > 0 ? (uint64_t)(2 * v - 1) : (uint64_t)(-2 * v);
+        uint64_t code = m + 1;
+        int nbits = 64 - __builtin_clzll(code);
+        int width = 2 * nbits - 1;
+        uint64_t end = pos + (uint64_t)width;
+        if ((end + 7) / 8 > out_cap) return -1;
+        /* write `code` MSB-first into bits [pos, end) */
+        uint64_t bit = pos;
+        int remaining = width;
+        while (remaining > 0) {
+            size_t byte = (size_t)(bit >> 3);
+            int avail = 8 - (int)(bit & 7);
+            int take = remaining < avail ? remaining : avail;
+            uint64_t chunk = (code >> (remaining - take)) & ((1u << take) - 1u);
+            out[byte] |= (uint8_t)(chunk << (avail - take));
+            bit += (uint64_t)take;
+            remaining -= take;
+        }
+        pos = end;
+    }
+    *bitpos = pos;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Decode: read n values starting at bit *bitpos.  nbits_avail is the  */
+/* number of valid bits in `data`.  Returns 0 on success, -1 if the    */
+/* stream ran out mid-codeword (bitpos is then left unchanged).        */
+/* ------------------------------------------------------------------ */
+EG_EXPORT int eg_decode(const uint8_t *data, uint64_t nbits_avail,
+                        uint64_t *bitpos, int32_t *out, size_t n) {
+    uint64_t pos = *bitpos;
+    uint64_t start = pos;
+    for (size_t i = 0; i < n; i++) {
+        /* count leading zeros */
+        int zeros = 0;
+        uint64_t p = pos;
+        while (1) {
+            if (p >= nbits_avail) { *bitpos = start; return -1; }
+            uint8_t byte = data[p >> 3];
+            int off = (int)(p & 7);
+            uint8_t rest = (uint8_t)(byte << off); /* stream bits at top */
+            if (rest != 0) {
+                int lz = __builtin_clz((uint32_t)rest) - 24;
+                int in_byte = 8 - off;
+                if (lz < in_byte) { zeros += lz; p += (uint64_t)lz; break; }
+            }
+            zeros += 8 - off;
+            p += (uint64_t)(8 - off);
+        }
+        int nbits = zeros + 1;
+        if (p + (uint64_t)nbits > nbits_avail) { *bitpos = start; return -1; }
+        /* read nbits bits MSB-first starting at p */
+        uint64_t code = 0;
+        int remaining = nbits;
+        while (remaining > 0) {
+            uint8_t byte = data[p >> 3];
+            int off = (int)(p & 7);
+            int avail = 8 - off;
+            int take = remaining < avail ? remaining : avail;
+            uint64_t chunk = ((uint64_t)byte >> (avail - take)) &
+                             ((1u << take) - 1u);
+            code = (code << take) | chunk;
+            p += (uint64_t)take;
+            remaining -= take;
+        }
+        pos = p;
+        uint64_t m = code - 1;
+        out[i] = (m & 1) ? (int32_t)((m + 1) >> 1) : -(int32_t)(m >> 1);
+    }
+    *bitpos = pos;
+    return 0;
+}
+
+/* Scan without materializing values: returns the bit position after
+ * skipping n codewords, or UINT64_MAX if the stream ran out.  Used by the
+ * streaming decoder to find GOP boundaries cheaply. */
+EG_EXPORT uint64_t eg_scan(const uint8_t *data, uint64_t nbits_avail,
+                           uint64_t bitpos, size_t n) {
+    uint64_t pos = bitpos;
+    for (size_t i = 0; i < n; i++) {
+        int zeros = 0;
+        while (1) {
+            if (pos >= nbits_avail) return UINT64_MAX;
+            uint8_t byte = data[pos >> 3];
+            int off = (int)(pos & 7);
+            uint8_t rest = (uint8_t)(byte << off);
+            if (rest != 0) {
+                int lz = __builtin_clz((uint32_t)rest) - 24;
+                int in_byte = 8 - off;
+                if (lz < in_byte) { zeros += lz; pos += (uint64_t)lz; break; }
+            }
+            zeros += 8 - off;
+            pos += (uint64_t)(8 - off);
+        }
+        pos += (uint64_t)(zeros + 1);
+        if (pos > nbits_avail) return UINT64_MAX;
+    }
+    return pos;
+}

@@ -1,0 +1,185 @@
+"""Bit-exact Exp-Golomb tests (SURVEY.md §4 item 2).
+
+The serial Python writer/reader is the format oracle; the vectorized
+codewords, the device bit packer, and the native C codec must all agree with
+it byte for byte.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dct3d_tpu import native
+from dct3d_tpu.codec import entropy
+from dct3d_tpu.ops import bitpack, expgolomb
+
+
+def golden_cases():
+    # Hand-computed against the format definition (ExpGolombWriter.java:19-49):
+    # v -> mapped -> code -> bits
+    return [
+        (0, "1"),          # m=0 c=1
+        (1, "010"),        # m=1 c=2
+        (-1, "011"),       # m=2 c=3
+        (2, "00100"),      # m=3 c=4
+        (-2, "00101"),     # m=4 c=5
+        (3, "00110"),
+        (-3, "00111"),
+        (4, "0001000"),
+    ]
+
+
+def test_serial_writer_golden():
+    for v, bits in golden_cases():
+        w = expgolomb.SerialWriter()
+        w.write(v)
+        assert w.bit_length == len(bits)
+        got = "".join(
+            str((b >> (7 - i)) & 1)
+            for b in w.getvalue()
+            for i in range(8)
+        )[: len(bits)]
+        assert got == bits, f"value {v}"
+
+
+def test_serial_roundtrip_range():
+    vals = list(range(-300, 301)) + [1000, -1000, 123456, -123456]
+    w = expgolomb.SerialWriter()
+    for v in vals:
+        w.write(v)
+    r = expgolomb.SerialReader(w.getvalue())
+    assert [r.read() for _ in vals] == vals
+
+
+def test_vectorized_codewords_match_serial():
+    rng = np.random.default_rng(5)
+    vals = np.concatenate(
+        [np.arange(-64, 65), rng.integers(-5000, 5000, 500)]
+    ).astype(np.int32)
+    code, width = expgolomb.codewords_np(vals)
+    code_j, width_j = expgolomb.codewords(jnp.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(code_j), code)
+    np.testing.assert_array_equal(np.asarray(width_j), width)
+    for v, c, wd in zip(vals.tolist(), code.tolist(), width.tolist()):
+        w = expgolomb.SerialWriter()
+        w.write(v)
+        assert w.bit_length == wd
+        # code in `wd` bits MSB-first == serial bit pattern
+        bits = format(c, "b").rjust(wd, "0")
+        got = "".join(
+            str((b >> (7 - i)) & 1) for b in w.getvalue() for i in range(8)
+        )[:wd]
+        assert bits == got
+
+
+@pytest.mark.parametrize("n", [1, 7, 256, 4096])
+def test_device_bitpack_matches_serial(n, rng):
+    vals = rng.integers(-2000, 2000, n).astype(np.int32)
+    w = expgolomb.SerialWriter()
+    for v in vals.tolist():
+        w.write(int(v))
+    want = w.getvalue()
+
+    code, width = expgolomb.codewords(jnp.asarray(vals))
+    out_bytes = 4 * n + 16
+    buf, total_bits = bitpack.pack_bits(code, width, out_bytes)
+    assert int(total_bits) == w.bit_length
+    got = np.asarray(buf)[: (w.bit_length + 7) // 8].tobytes()
+    assert got == want
+
+    # NumPy twin
+    code_n, width_n = expgolomb.codewords_np(vals)
+    buf_n, bits_n = bitpack.pack_bits_np(code_n, width_n)
+    assert bits_n == w.bit_length
+    assert buf_n.tobytes() == want
+
+
+def test_bitpack_with_offset_carry():
+    """Packing with a carry pseudo-codeword reproduces a continued stream."""
+    vals1 = np.array([3, -7, 0, 12], dtype=np.int32)
+    vals2 = np.array([-1, 500, 2], dtype=np.int32)
+    w = expgolomb.SerialWriter()
+    for v in np.concatenate([vals1, vals2]).tolist():
+        w.write(int(v))
+    want = w.getvalue()
+
+    c1, w1 = expgolomb.codewords_np(vals1)
+    buf1, bits1 = bitpack.pack_bits_np(c1, w1)
+    full, rem = bits1 // 8, bits1 % 8
+    carry = int(buf1[full]) >> (8 - rem) if rem else 0
+    c2, w2 = expgolomb.codewords_np(vals2)
+    c2 = np.concatenate([[np.uint32(carry)], c2])
+    w2 = np.concatenate([[np.int32(rem)], w2.astype(np.int32)])
+    buf2, bits2 = bitpack.pack_bits_np(c2, w2)
+    stream = buf1[:full].tobytes() + buf2.tobytes()
+    assert stream[: len(want)] == want
+
+
+def test_native_codec_matches_serial(rng):
+    if native.load() is None:
+        pytest.skip("no C compiler")
+    vals = rng.integers(-3000, 3000, 2048).astype(np.int32)
+    w = expgolomb.SerialWriter()
+    for v in vals.tolist():
+        w.write(int(v))
+    want = w.getvalue()
+
+    got, nbits = entropy.encode_values(vals)
+    assert nbits == w.bit_length
+    assert got == want
+
+    dec, pos = entropy.decode_values(got, len(vals))
+    assert pos == nbits
+    np.testing.assert_array_equal(dec, vals)
+
+
+def test_decode_values_eof():
+    vals = np.array([5, -5, 100], dtype=np.int32)
+    data, nbits = entropy.encode_values(vals)
+    with pytest.raises(EOFError):
+        entropy.decode_values(data, 50)
+
+
+def test_encode_values_with_bitpos():
+    vals = np.array([1, 2, 3, -4, 5], dtype=np.int32)
+    ref, _ = entropy.encode_values(vals)
+    shifted, nbits = entropy.encode_values(vals, bitpos=5)
+    # First 5 bits are zero padding; content must be the same stream shifted.
+    r = expgolomb.SerialReader(shifted)
+    for _ in range(5):
+        pass
+    r._pos = 5
+    assert [r.read() for _ in vals] == vals.tolist()
+
+
+def test_deflate_sink_inflate_source_roundtrip(rng):
+    vals = [rng.integers(-500, 500, 512).astype(np.int32) for _ in range(5)]
+    sink = entropy.DeflateSink(level=6)
+    stream = b"".join([sink.push_values(v) for v in vals]) + sink.finish()
+
+    src = entropy.InflateSource()
+    src.feed(stream)
+    src.feed_eof()
+    for v in vals:
+        got = src.try_read(len(v))
+        np.testing.assert_array_equal(got, v)
+
+
+def test_deflate_sink_byte_parity_with_oneshot(rng):
+    """Chunked DeflateSink payload == Java-style one-shot payload
+    (same continuous bitstream; SURVEY.md §7 hard part 1)."""
+    import zlib
+
+    chunks = [rng.integers(-100, 100, 777).astype(np.int32) for _ in range(4)]
+    sink = entropy.DeflateSink(level=9)
+    stream = b"".join([sink.push_values(c) for c in chunks]) + sink.finish()
+
+    w = expgolomb.SerialWriter()
+    for c in chunks:
+        for v in c.tolist():
+            w.write(int(v))
+    payload = w.getvalue()
+    if w.bit_length % 8 == 0:
+        payload += b"\x00"  # reference writes bufferPosition+1 bytes
+    assert zlib.decompress(stream) == payload
