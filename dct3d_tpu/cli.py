@@ -1,0 +1,242 @@
+"""Command-line interface.
+
+Mirrors the reference's entry points (SURVEY.md §1 L5/L6):
+  encode/decode     <in> <out> <width> <height> [frames]  — main.c:27-44,
+                    Encoder.java:17, Decoder.java:18 (geometry out of band)
+  devices           — `codec list_platforms` (main.c:25-26) for TPU/JAX
+  capture           — CaptureScreen.java (synthetic source; no display on TPU)
+  split / mix       — RGBUtils.java:39-131
+  render            — RenderVideo.java (headless: PNG export + stats)
+  psnr              — new: quality measurement (absent in the reference)
+
+Run as `python -m dct3d_tpu ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from .config import CodecConfig
+from . import metrics
+
+
+def _cfg_from_args(args) -> CodecConfig:
+    return CodecConfig(
+        block_w=args.block,
+        block_h=args.block,
+        block_d=args.block,
+        quant_strength=args.quant,
+        zlib_level=args.zlib_level,
+    )
+
+
+def _add_codec_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("width", type=int)
+    p.add_argument("height", type=int)
+    p.add_argument(
+        "frames",
+        type=int,
+        nargs="?",
+        default=None,
+        help="frame count (default: derived from file size, the fallback the "
+        "reference intended at Encoder.java:34-36)",
+    )
+    p.add_argument("--block", type=int, default=8, help="DCT cube edge (8 or 4)")
+    p.add_argument("--quant", type=int, default=5, help="quantization strength")
+    p.add_argument(
+        "--zlib-level", type=int, default=9,
+        help="DEFLATE level (9 = reference C encoder; lower = faster)",
+    )
+    p.add_argument(
+        "--gops-per-batch", type=int, default=4,
+        help="GOPs per device dispatch",
+    )
+
+
+def cmd_encode(args) -> int:
+    from .codec.encoder import StreamingEncoder
+    from .io import rawvideo
+
+    cfg = _cfg_from_args(args)
+    total = rawvideo.frame_count(args.input, args.width, args.height)
+    frames = total if args.frames is None else min(args.frames, total)
+    frames -= frames % cfg.gop_size
+    enc = StreamingEncoder(args.width, args.height, cfg)
+    t0 = time.perf_counter()
+    written = 0
+    with open(args.output, "wb") as out:
+        for batch in rawvideo.iter_frame_batches(
+            args.input, args.width, args.height,
+            cfg.gop_size * args.gops_per_batch, frames,
+            align=cfg.gop_size,
+        ):
+            written += out.write(enc.push(batch))
+        written += out.write(enc.finish())
+    dt = time.perf_counter() - t0
+    print(
+        f"encoded {frames} frames {args.width}x{args.height} -> {written} bytes "
+        f"({metrics.bits_per_pixel(written, args.width, args.height, frames):.3f} bpp) "
+        f"in {dt:.2f}s ({frames / dt:.1f} fps)"
+    )
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .codec.decoder import decode_video
+    from .io import rawvideo
+
+    cfg = _cfg_from_args(args)
+    if args.frames is None:
+        print("decode requires an explicit frame count (headerless stream, "
+              "as in the reference: Decoder.java:18)", file=sys.stderr)
+        return 2
+    with open(args.input, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    video = decode_video(
+        data, args.width, args.height, args.frames, cfg,
+        gops_per_batch=args.gops_per_batch,
+    )
+    dt = time.perf_counter() - t0
+    rawvideo.write_video(args.output, video)
+    print(
+        f"decoded {video.shape[0]} frames {args.width}x{args.height} "
+        f"in {dt:.2f}s ({video.shape[0] / dt:.1f} fps)"
+    )
+    return 0
+
+
+def cmd_devices(_args) -> int:
+    import jax
+
+    devs = jax.devices()
+    print(f"platform: {devs[0].platform}  devices: {len(devs)}")
+    for d in devs:
+        print(f"  [{d.id}] {d.device_kind} process={d.process_index}")
+    return 0
+
+
+def cmd_capture(args) -> int:
+    from .io import synthetic
+
+    cfg = CodecConfig()
+    t, h, w = synthetic.capture(
+        args.output, args.frames, args.height, args.width,
+        cfg, kind=args.kind, rgb=args.rgb, seed=args.seed,
+    )
+    ch = 3 if args.rgb else 1
+    print(f"captured {t} frames {w}x{h} x{ch}B/px -> {args.output}")
+    return 0
+
+
+def cmd_split(args) -> int:
+    from .io import rgb
+
+    outs = rgb.split_file(args.input, args.prefix)
+    print("wrote: " + " ".join(outs))
+    return 0
+
+
+def cmd_mix(args) -> int:
+    from .io import rgb
+
+    out = rgb.mix_files(args.prefix, args.output)
+    print(f"wrote: {out}")
+    return 0
+
+
+def cmd_render(args) -> int:
+    from .io import render
+
+    stats = render.video_stats(
+        args.input, args.width, args.height, channels=3 if args.rgb else 1
+    )
+    print(json.dumps(stats))
+    if args.png_prefix:
+        outs = render.render_frames(
+            args.input, args.width, args.height, args.png_prefix,
+            channels=3 if args.rgb else 1,
+        )
+        print("wrote: " + " ".join(outs))
+    return 0
+
+
+def cmd_psnr(args) -> int:
+    from .io import rawvideo
+
+    a = rawvideo.read_video(args.a, args.width, args.height)
+    b = rawvideo.read_video(args.b, args.width, args.height)
+    t = min(a.shape[0], b.shape[0])
+    print(f"PSNR: {metrics.psnr(a[:t], b[:t]):.3f} dB over {t} frames")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dct3d_tpu", description="TPU-native 3D-DCT video codec"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="raw grayscale video -> bitstream")
+    _add_codec_args(pe)
+    pe.set_defaults(fn=cmd_encode)
+
+    pd = sub.add_parser("decode", help="bitstream -> raw grayscale video")
+    _add_codec_args(pd)
+    pd.set_defaults(fn=cmd_decode)
+
+    pv = sub.add_parser("devices", help="list accelerator devices")
+    pv.set_defaults(fn=cmd_devices)
+
+    pc = sub.add_parser("capture", help="generate a synthetic raw clip")
+    pc.add_argument("output")
+    pc.add_argument("width", type=int)
+    pc.add_argument("height", type=int)
+    pc.add_argument("frames", type=int)
+    pc.add_argument("--kind", choices=["gradient", "blocks"], default="gradient")
+    pc.add_argument("--rgb", action="store_true")
+    pc.add_argument("--seed", type=int, default=0)
+    pc.set_defaults(fn=cmd_capture)
+
+    ps = sub.add_parser("split", help="interleaved RGB -> planar .red/.green/.blue")
+    ps.add_argument("input")
+    ps.add_argument("--prefix", default=None)
+    ps.set_defaults(fn=cmd_split)
+
+    pm = sub.add_parser("mix", help="planar .red/.green/.blue -> interleaved RGB")
+    pm.add_argument("prefix")
+    pm.add_argument("output")
+    pm.set_defaults(fn=cmd_mix)
+
+    pr = sub.add_parser("render", help="raw video stats + PNG export")
+    pr.add_argument("input")
+    pr.add_argument("width", type=int)
+    pr.add_argument("height", type=int)
+    pr.add_argument("--rgb", action="store_true")
+    pr.add_argument("--png-prefix", default=None)
+    pr.set_defaults(fn=cmd_render)
+
+    pq = sub.add_parser("psnr", help="PSNR between two raw grayscale videos")
+    pq.add_argument("a")
+    pq.add_argument("b")
+    pq.add_argument("width", type=int)
+    pq.add_argument("height", type=int)
+    pq.set_defaults(fn=cmd_psnr)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,253 @@
+"""Sharded encode/decode over a (gop, tile) device mesh.
+
+Design (SURVEY.md §7 M4, BASELINE.json north star): frames are sharded over
+devices — the temporal axis across the "gop" mesh axis, frame block-rows
+across the "tile" axis.  Every device runs the same fused transform+pack
+step on its shard.  The bitstream is order-sensitive (cube order: GOP-major,
+then block-row — codec/framing.py), and shards own *contiguous* runs of
+cubes in exactly mesh-rank order, so concatenation is the only coupling.
+
+The serial-concatenation problem is solved on device: each shard all-gathers
+the per-shard bit counts (one scalar per device, rides ICI), computes its
+global start offset by exclusive scan, and packs its codewords already
+*phase-aligned* to its global bit position.  Host assembly then only
+byte-splices buffers and ORs the single overlapping boundary byte per shard
+— no host-side bit shifting of bulk data (SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..config import CodecConfig
+from ..codec import entropy, framing
+from ..codec.transform import TransformContext, _PRECISION, _round_half_away
+from ..ops import bitpack, expgolomb
+from .mesh import GOP_AXIS, TILE_AXIS
+
+
+def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
+    """Per-device body: transform, codewords, offset-aligned bit pack."""
+    n_tile = mesh_shape[1]
+    cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
+    scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
+    q = _round_half_away(scaled).astype(jnp.int32)
+    code, width = expgolomb.codewords(q.reshape(-1))
+
+    local_bits = jnp.sum(width).astype(jnp.int32)
+    # One scalar per shard over ICI; exclusive scan -> global start bit.
+    all_bits = jax.lax.all_gather(
+        local_bits, (GOP_AXIS, TILE_AXIS), tiled=False
+    ).reshape(-1)
+    rank = jax.lax.axis_index(GOP_AXIS) * n_tile + jax.lax.axis_index(TILE_AXIS)
+    start = carry_bits[0] + jnp.where(
+        jnp.arange(all_bits.shape[0]) < rank, all_bits, 0
+    ).sum().astype(jnp.int32)
+    phase = (start % 8).astype(jnp.int32)
+    # Pack phase-aligned: a zero pseudo-codeword occupies the first `phase`
+    # bits so the buffer's bytes land on global byte boundaries.
+    code = jnp.concatenate([jnp.zeros((1,), jnp.uint32), code])
+    width = jnp.concatenate([phase[None], width])
+    packed, total_bits = bitpack.pack_bits(code, width, max_bytes)
+    return (
+        packed[None],
+        (total_bits - phase)[None],
+        start[None],
+    )
+
+
+class ShardedEncoder:
+    """Multi-device streaming encoder.
+
+    Frames per push: (T, H, W) with T a multiple of gop_size * mesh.gop and
+    H a multiple of block_h * mesh.tile.  Emits one continuous zlib stream
+    byte-identical to the single-device / reference-layout encoder.
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        mesh: Mesh,
+        cfg: CodecConfig | None = None,
+        ctx: TransformContext | None = None,
+    ) -> None:
+        self.cfg = cfg or CodecConfig()
+        self.width = width
+        self.height = height
+        self.mesh = mesh
+        self.ctx = ctx or TransformContext(self.cfg)
+        self.sink = entropy.DeflateSink(self.cfg.zlib_level)
+        self.frames_encoded = 0
+        n_gop, n_tile = mesh.shape[GOP_AXIS], mesh.shape[TILE_AXIS]
+        if height % (self.cfg.block_h * n_tile):
+            raise ValueError(
+                f"height {height} must split into {n_tile} tiles of whole "
+                f"{self.cfg.block_h}-pixel block rows"
+            )
+        self._mesh_shape = (n_gop, n_tile)
+        self._sharding = NamedSharding(mesh, P(GOP_AXIS, TILE_AXIS, None))
+        self._jitted: dict[int, object] = {}
+
+    def _step_fn(self, max_bytes: int):
+        if max_bytes not in self._jitted:
+            fn = shard_map(
+                functools.partial(
+                    _encode_shard, cfg=self.cfg, max_bytes=max_bytes,
+                    mesh_shape=self._mesh_shape,
+                ),
+                mesh=self.mesh,
+                in_specs=(P(GOP_AXIS, TILE_AXIS, None), P(), P()),
+                out_specs=(
+                    P((GOP_AXIS, TILE_AXIS)),
+                    P((GOP_AXIS, TILE_AXIS)),
+                    P((GOP_AXIS, TILE_AXIS)),
+                ),
+            )
+            self._jitted[max_bytes] = jax.jit(fn)
+        return self._jitted[max_bytes]
+
+    def push(self, frames: np.ndarray) -> bytes:
+        """Encode frames; T must be a multiple of gop_size * mesh.gop.
+
+        Each device step consumes exactly ONE GOP per gop-shard — that makes
+        shard rank order equal global cube order (GOP-major, then block row),
+        which is what keeps the stream byte-identical to the single-device
+        encoder.  Longer inputs loop over steps.
+        """
+        n_gop, n_tile = self._mesh_shape
+        t, h, w = frames.shape
+        step_t = self.cfg.gop_size * n_gop
+        if t % step_t or (h, w) != (self.height, self.width):
+            raise ValueError(
+                f"push expects T % {step_t} == 0 and geometry "
+                f"{self.height}x{self.width}"
+            )
+        max_bytes = 2 * self.cfg.gop_size * (h // n_tile) * w + 16
+        step = self._step_fn(max_bytes)
+        out = []
+        for i in range(0, t, step_t):
+            carry = jnp.asarray([self.sink.carry_bits], jnp.int32)
+            frames_sharded = jax.device_put(
+                frames[i : i + step_t], self._sharding
+            )
+            packed, bits, starts = step(frames_sharded, self.ctx.enc_t, carry)
+            out.append(
+                self._assemble(
+                    np.asarray(jax.device_get(packed)),
+                    np.asarray(bits),
+                    np.asarray(starts),
+                )
+            )
+        self.frames_encoded += t
+        return b"".join(out)
+
+    def _assemble(self, packed: np.ndarray, bits: np.ndarray, starts: np.ndarray) -> bytes:
+        """Byte-splice phase-aligned shard buffers into the global stream."""
+        carry_bits = self.sink.carry_bits
+        total_bits = int(carry_bits + bits.sum())
+        nbytes = total_bits // 8 + 1
+        stream = np.zeros(nbytes, dtype=np.uint8)
+        for k in range(packed.shape[0]):
+            s, b = int(starts[k]), int(bits[k])
+            if b == 0:
+                continue
+            byte0 = s // 8
+            phase = s % 8
+            span = (phase + b + 7) // 8
+            chunk = packed[k, :span]
+            end = min(byte0 + span, nbytes)
+            # OR the (up to one) boundary byte shared with the previous
+            # shard; the rest is a plain copy.
+            stream[byte0] |= chunk[0]
+            if end - byte0 > 1:
+                stream[byte0 + 1 : end] = chunk[1 : end - byte0]
+        # push_packed expects the carry phase zeros at the front (bit 0).
+        return self.sink.push_packed(stream, total_bits)
+
+    def finish(self) -> bytes:
+        return self.sink.finish()
+
+
+def sharded_decode_step(mesh: Mesh, ctx: TransformContext, cfg: CodecConfig,
+                        height: int, width: int):
+    """Build a jitted sharded decode: coefficient cubes -> frames.
+
+    Coefficients arrive host-side (serial entropy decode), are laid out as
+    (n_gop_shards, n_tile_shards, cubes_local, cube) and inverse-transformed
+    in parallel; output frames are sharded (gop, tile) and gathered by the
+    caller.
+    """
+
+    def _shard(coeffs_local, dec_m):
+        pixels = jnp.dot(
+            coeffs_local[0, 0].astype(dec_m.dtype), dec_m,
+            precision=_PRECISION,
+        )
+        pixels = jnp.clip(pixels, 0.0, 255.0)
+        n_tile = mesh.shape[TILE_AXIS]
+        frames = framing.cubes_to_frames(
+            pixels, cfg, height // n_tile, width
+        )
+        return frames.astype(jnp.uint8)
+
+    fn = shard_map(
+        _shard,
+        mesh=mesh,
+        in_specs=(P(GOP_AXIS, TILE_AXIS, None, None), P()),
+        out_specs=P(GOP_AXIS, TILE_AXIS, None),
+    )
+    return jax.jit(lambda c: fn(c, ctx.dec_m))
+
+
+class ShardedDecoder:
+    """Multi-device decode of a complete bitstream (entropy on host, inverse
+    transform sharded over the mesh)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        mesh: Mesh,
+        cfg: CodecConfig | None = None,
+        ctx: TransformContext | None = None,
+    ) -> None:
+        self.cfg = cfg or CodecConfig()
+        self.width = width
+        self.height = height
+        self.mesh = mesh
+        self.ctx = ctx or TransformContext(self.cfg)
+        self._step = sharded_decode_step(mesh, self.ctx, self.cfg, height, width)
+
+    def decode(self, data: bytes, frames: int) -> np.ndarray:
+        n_gop, n_tile = self.mesh.shape[GOP_AXIS], self.mesh.shape[TILE_AXIS]
+        t = frames - frames % (self.cfg.gop_size * n_gop)
+        src = entropy.InflateSource()
+        src.feed(data)
+        src.feed_eof()
+        n = self.width * self.height * t
+        vals = src.try_read(n)
+        if vals is None:
+            raise EOFError("bitstream too short")
+        cube = self.cfg.cube_size
+        # Global cube order is (gop, block_row, block_col); reshape so axis 0
+        # is the gop shard and axis 1 the tile (block-row) shard.
+        gops = t // self.cfg.gop_size
+        rows_per_tile = self.height // self.cfg.block_h // n_tile
+        cols = self.width // self.cfg.block_w
+        coeffs = vals.reshape(
+            n_gop, gops // n_gop, n_tile, rows_per_tile * cols, cube
+        ).transpose(0, 2, 1, 3, 4).reshape(n_gop, n_tile, -1, cube)
+        sharding = NamedSharding(self.mesh, P(GOP_AXIS, TILE_AXIS, None, None))
+        coeffs_dev = jax.device_put(coeffs, sharding)
+        frames_out = np.asarray(jax.device_get(self._step(coeffs_dev)))
+        return frames_out.reshape(t, self.height, self.width)

@@ -1,0 +1,85 @@
+"""CLI and I/O tooling tests: the end-to-end user workflow of the reference
+(README.md:22-27): capture -> split -> encode -> decode -> mix -> render."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dct3d_tpu import cli, metrics
+from dct3d_tpu.io import rawvideo, render, rgb, synthetic
+
+
+def test_rawvideo_roundtrip(tmp_path, clip):
+    p = str(tmp_path / "v.raw")
+    rawvideo.write_video(p, clip)
+    assert rawvideo.frame_count(p, 64, 64) == clip.shape[0]
+    back = rawvideo.read_video(p, 64, 64)
+    np.testing.assert_array_equal(back, clip)
+    batches = list(rawvideo.iter_frame_batches(p, 64, 64, 8))
+    np.testing.assert_array_equal(np.concatenate(batches), clip)
+
+
+def test_iter_batches_gop_aligned_tail(tmp_path, clip):
+    p = str(tmp_path / "v.raw")
+    rawvideo.write_video(p, clip[:16])
+    # batch of 24 frames, align 8 -> one batch of 16
+    batches = list(rawvideo.iter_frame_batches(p, 64, 64, 24, align=8))
+    assert [b.shape[0] for b in batches] == [16]
+
+
+def test_rgb_split_mix(tmp_path, rng):
+    rgb_clip = rng.integers(0, 256, (4, 16, 16, 3)).astype(np.uint8)
+    p = str(tmp_path / "v.rgb")
+    rawvideo.write_video(p, rgb_clip)
+    outs = rgb.split_file(p)
+    r = rawvideo.read_video(outs[0], 16, 16)
+    np.testing.assert_array_equal(r, rgb_clip[..., 0])
+    mixed = str(tmp_path / "back.rgb")
+    rgb.mix_files(p, mixed)
+    back = rawvideo.read_video(mixed, 16, 16, channels=3)
+    np.testing.assert_array_equal(back, rgb_clip)
+
+
+def test_synthetic_pads_geometry(tmp_path):
+    p = str(tmp_path / "cap.raw")
+    t, h, w = synthetic.capture(p, 8, 60, 67)
+    assert (h, w) == (64, 72)  # padded to block multiples
+    assert os.path.getsize(p) == 8 * h * w
+
+
+def test_render_png_and_stats(tmp_path, clip):
+    p = str(tmp_path / "v.raw")
+    rawvideo.write_video(p, clip)
+    stats = render.video_stats(p, 64, 64)
+    assert stats["frames"] == clip.shape[0]
+    outs = render.render_frames(p, 64, 64, str(tmp_path / "img"), frames=[0])
+    assert len(outs) == 1 and os.path.getsize(outs[0]) > 100
+    with open(outs[0], "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    d = str(tmp_path)
+    src = f"{d}/src.raw"
+    enc = f"{d}/enc.bin"
+    dec = f"{d}/dec.raw"
+    assert cli.main(["capture", src, "64", "64", "16", "--kind", "blocks"]) == 0
+    assert cli.main(["encode", src, enc, "64", "64"]) == 0
+    assert cli.main(["decode", enc, dec, "64", "64", "16"]) == 0
+    assert cli.main(["psnr", src, dec, "64", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR" in out
+    a = rawvideo.read_video(src, 64, 64)
+    b = rawvideo.read_video(dec, 64, 64)
+    assert metrics.psnr(a, b) > 30.0
+    assert os.path.getsize(enc) < os.path.getsize(src) / 3  # actually compresses
+
+
+def test_cli_devices(capsys):
+    assert cli.main(["devices"]) == 0
+    assert "devices" in capsys.readouterr().out
+
+
+def test_cli_decode_requires_frames(tmp_path, capsys):
+    assert cli.main(["decode", "x", "y", "64", "64"]) == 2

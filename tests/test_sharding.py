@@ -1,0 +1,66 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4 item 5).
+
+The crucial property: a (gop x tile)-sharded encode must produce the SAME
+BYTES as the single-device encoder — the bitstream has no notion of the mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dct3d_tpu import CodecConfig, encode_video, decode_video, psnr
+from dct3d_tpu.parallel import mesh as mesh_lib
+from dct3d_tpu.parallel.sharding import ShardedDecoder, ShardedEncoder
+
+from conftest import synthetic_video
+
+
+def _mesh_or_skip(gop, tile):
+    if len(jax.devices()) < gop * tile:
+        pytest.skip(f"needs {gop * tile} devices")
+    return mesh_lib.make_mesh(gop=gop, tile=tile, devices=jax.devices()[: gop * tile])
+
+
+@pytest.mark.parametrize("gop,tile", [(1, 1), (4, 1), (1, 4), (4, 2), (2, 4)])
+def test_sharded_encode_matches_single_device(gop, tile):
+    m = _mesh_or_skip(gop, tile)
+    cfg = CodecConfig()
+    clip = synthetic_video(8 * gop * 2, 64, 64, seed=7)
+    want = encode_video(clip, cfg)
+
+    enc = ShardedEncoder(64, 64, m, cfg)
+    got = enc.push(clip) + enc.finish()
+    assert got == want
+
+
+def test_sharded_encode_multiple_pushes():
+    m = _mesh_or_skip(2, 2)
+    cfg = CodecConfig()
+    clip = synthetic_video(8 * 2 * 3, 64, 64, seed=8)
+    want = encode_video(clip, cfg)
+    enc = ShardedEncoder(64, 64, m, cfg)
+    chunks = [enc.push(clip[i : i + 16]) for i in range(0, clip.shape[0], 16)]
+    chunks.append(enc.finish())
+    assert b"".join(chunks) == want
+
+
+@pytest.mark.parametrize("gop,tile", [(2, 2), (8, 1), (1, 8)])
+def test_sharded_decode_roundtrip(gop, tile):
+    m = _mesh_or_skip(gop, tile)
+    cfg = CodecConfig()
+    clip = synthetic_video(8 * gop, 64, 64, seed=9)
+    data = encode_video(clip, cfg)
+    dec = ShardedDecoder(64, 64, m, cfg)
+    got = dec.decode(data, clip.shape[0])
+    want = decode_video(data, 64, 64, clip.shape[0], cfg)
+    np.testing.assert_array_equal(got, want)
+    assert psnr(clip, got) > 30.0
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(gop=3, tile=3, devices=jax.devices()[:8])
+    m = _mesh_or_skip(2, 2)
+    with pytest.raises(ValueError):
+        ShardedEncoder(64, 60, m)  # height not splittable into block tiles
