@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end encode frames/s at 1080p grayscale, 1 chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+
+vs_baseline is measured, not assumed: benchmarks/ref_baseline.c implements the
+reference's algorithm (brute-force O(N^2)-per-cube 3D DCT on all CPU cores +
+serial Exp-Golomb + one-shot zlib-9, i.e. the Java encoder's structure in
+C -O3 — a *favorable* stand-in, so the reported ratio is an underestimate of
+the true vs-Java speedup).  The baseline is timed on a scaled-down frame
+(identical per-pixel work, the algorithm is embarrassingly parallel per cube)
+and cached in benchmarks/_build/baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BUILD = os.path.join(ROOT, "benchmarks", "_build")
+W, H = 1920, 1080
+BASE_W, BASE_H, BASE_T = 480, 272, 8  # baseline probe geometry (scaled up)
+
+
+def measure_baseline() -> float:
+    """Reference-algorithm encoder sec/frame at 1080p on this host (cached)."""
+    cache = os.path.join(BUILD, "baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["sec_per_frame_1080p"]
+    os.makedirs(BUILD, exist_ok=True)
+    exe = os.path.join(BUILD, "ref_baseline")
+    src = os.path.join(ROOT, "benchmarks", "ref_baseline.c")
+    subprocess.run(
+        ["cc", "-O3", "-o", exe, src, "-lm", "-lz", "-lpthread"], check=True
+    )
+    ncpu = os.cpu_count() or 1
+    out = subprocess.run(
+        [exe, str(BASE_W), str(BASE_H), str(BASE_T), str(ncpu)],
+        check=True, capture_output=True, text=True, timeout=1800,
+    )
+    probe = json.loads(out.stdout)
+    spf = probe["sec_per_frame"] * (W * H) / (BASE_W * BASE_H)
+    with open(cache, "w") as f:
+        json.dump({"sec_per_frame_1080p": spf, "probe": probe}, f)
+    return spf
+
+
+def synthetic_clip(t: int, h: int, w: int) -> np.ndarray:
+    """Moving gradient + noise, mirroring the baseline's content mix."""
+    rng = np.random.default_rng(12345)
+    x = np.arange(w, dtype=np.uint32)
+    y = np.arange(h, dtype=np.uint32)[:, None]
+    frames = np.empty((t, h, w), np.uint8)
+    for k in range(t):
+        frames[k] = ((x[None, :] + y + k) & 0xFF).astype(np.uint8)
+    noise = (rng.integers(0, 16, size=frames.shape, dtype=np.uint8)).astype(np.uint8)
+    return frames ^ noise
+
+
+def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
+    from dct3d_tpu.codec.encoder import StreamingEncoder
+    from dct3d_tpu.codec.decoder import decode_video
+    from dct3d_tpu.codec.transform import TransformContext
+    from dct3d_tpu.config import CodecConfig
+    from dct3d_tpu import metrics
+
+    t, h, w = frames.shape
+    cfg = CodecConfig()
+    ctx = TransformContext(cfg)
+
+    def run_encode() -> bytes:
+        enc = StreamingEncoder(w, h, cfg, ctx)
+        chunks = []
+        for i in range(0, t, cfg.gop_size):
+            chunks.append(enc.push(frames[i : i + cfg.gop_size]))
+        chunks.append(enc.finish())
+        return b"".join(chunks)
+
+    data = run_encode()  # warmup (compile)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_encode()
+        best = min(best, time.perf_counter() - t0)
+    enc_fps = t / best
+
+    video = decode_video(data, w, h, t, cfg, ctx)  # warmup
+    t0 = time.perf_counter()
+    video = decode_video(data, w, h, t, cfg, ctx)
+    dec_fps = t / (time.perf_counter() - t0)
+
+    return {
+        "encode_fps": enc_fps,
+        "decode_fps": dec_fps,
+        "bpp": metrics.bits_per_pixel(len(data), w, h, t),
+        "psnr_db": metrics.psnr(frames, video),
+        "bytes": len(data),
+    }
+
+
+def main() -> int:
+    t = int(os.environ.get("BENCH_FRAMES", "32"))
+    base_spf = measure_baseline()
+    frames = synthetic_clip(t, H, W)
+    r = bench_encode(frames)
+    result = {
+        "metric": "encode_fps_1080p_gray",
+        "value": round(r["encode_fps"], 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(r["encode_fps"] * base_spf, 2),
+        "detail": {
+            "decode_fps": round(r["decode_fps"], 2),
+            "bpp": round(r["bpp"], 4),
+            "psnr_db": round(r["psnr_db"], 2),
+            "baseline_fps": round(1.0 / base_spf, 3),
+            "frames": t,
+            "backend": _backend(),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def _backend() -> str:
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{d.device_kind}x{jax.device_count()}"
+
+
+if __name__ == "__main__":
+    sys.exit(main())
