@@ -73,7 +73,7 @@ def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
     from dct3d_tpu import metrics
 
     t, h, w = frames.shape
-    cfg = CodecConfig()
+    cfg = CodecConfig(deflate_workers=-1)  # parallel DEFLATE speed profile
     ctx = TransformContext(cfg)
 
     def run_encode() -> bytes:
@@ -92,6 +92,28 @@ def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
         best = min(best, time.perf_counter() - t0)
     enc_fps = t / best
 
+    # Compute-only throughput (input resident on device): what the pipeline
+    # does once host<->device transport is not the wall (this environment
+    # tunnels the TPU at ~45 MB/s; production hosts have PCIe).
+    import jax
+    import jax.numpy as jnp
+    from dct3d_tpu.codec.transform import encode_step
+
+    fj = jnp.asarray(frames[: cfg.gop_size])
+    mb = ctx.max_packed_bytes(fj.size)
+
+    def one_step():
+        g = encode_step(fj, ctx.enc_t, jnp.uint32(0), jnp.int32(0),
+                        max_bytes=mb, cfg=cfg)
+        int(g.total_bits)  # forces execution (block_until_ready is a no-op
+        # through the remote relay)
+
+    one_step()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        one_step()
+    compute_fps = 3 * cfg.gop_size / (time.perf_counter() - t0)
+
     video = decode_video(data, w, h, t, cfg, ctx)  # warmup
     t0 = time.perf_counter()
     video = decode_video(data, w, h, t, cfg, ctx)
@@ -100,6 +122,7 @@ def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
     return {
         "encode_fps": enc_fps,
         "decode_fps": dec_fps,
+        "compute_fps": compute_fps,
         "bpp": metrics.bits_per_pixel(len(data), w, h, t),
         "psnr_db": metrics.psnr(frames, video),
         "bytes": len(data),
@@ -107,7 +130,10 @@ def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
 
 
 def main() -> int:
-    t = int(os.environ.get("BENCH_FRAMES", "32"))
+    from dct3d_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    t = int(os.environ.get("BENCH_FRAMES", "64"))
     base_spf = measure_baseline()
     frames = synthetic_clip(t, H, W)
     r = bench_encode(frames)
@@ -118,6 +144,7 @@ def main() -> int:
         "vs_baseline": round(r["encode_fps"] * base_spf, 2),
         "detail": {
             "decode_fps": round(r["decode_fps"], 2),
+            "compute_fps": round(r["compute_fps"], 2),
             "bpp": round(r["bpp"], 4),
             "psnr_db": round(r["psnr_db"], 2),
             "baseline_fps": round(1.0 / base_spf, 3),

@@ -32,6 +32,7 @@ def _cfg_from_args(args) -> CodecConfig:
         block_d=args.block,
         quant_strength=args.quant,
         zlib_level=args.zlib_level,
+        deflate_workers=0 if getattr(args, "parity", False) else args.deflate_workers,
     )
 
 
@@ -57,6 +58,16 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--gops-per-batch", type=int, default=4,
         help="GOPs per device dispatch",
+    )
+    p.add_argument(
+        "--deflate-workers", type=int, default=-1,
+        help="DEFLATE threads (-1 = all cores but one; 0 = serial "
+        "reference-parity stream layout)",
+    )
+    p.add_argument(
+        "--parity", action="store_true",
+        help="byte-exact stream layout vs the serial reference encoder "
+        "(same as --deflate-workers 0)",
     )
 
 
@@ -234,6 +245,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

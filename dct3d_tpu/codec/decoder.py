@@ -10,6 +10,7 @@ Decoder.java:17-28, main.c:27-44).
 
 from __future__ import annotations
 
+import collections
 from typing import Iterable, Iterator
 
 import jax
@@ -17,7 +18,40 @@ import numpy as np
 
 from ..config import CodecConfig
 from . import entropy
-from .transform import TransformContext, decode_step
+from .transform import TransformContext, decode_step, decode_step_planar
+
+
+def _planarize(vals: np.ndarray, cube: int):
+    """int32 coefficients -> (int8 plane, exception idx/val) for cheap H2D.
+
+    Exception arrays are padded to a power-of-two bucket (few distinct jit
+    shapes); pad slots carry an out-of-range index and are dropped on device.
+    """
+    vals = vals.reshape(-1)
+    mask = (vals > 127) | (vals < -127)
+    plane = np.where(mask, 0, vals).astype(np.int8).reshape(-1, cube)
+    idx = np.flatnonzero(mask).astype(np.int32)
+    cap = max(1024, 1 << int(np.ceil(np.log2(max(1, idx.size)))))
+    exc_idx = np.full(cap, vals.size, np.int32)  # out of range -> dropped
+    exc_idx[: idx.size] = idx
+    exc_val = np.zeros(cap, np.int32)
+    exc_val[: idx.size] = vals[idx]
+    return plane, exc_idx, exc_val
+
+
+def _decode_batch(vals: np.ndarray, ctx: TransformContext, cfg: CodecConfig,
+                  height: int, width: int):
+    """Dispatch one device inverse-transform batch from int32 coefficients."""
+    plane, exc_idx, exc_val = _planarize(vals, cfg.cube_size)
+    return decode_step_planar(
+        jax.numpy.asarray(plane),
+        jax.numpy.asarray(exc_idx),
+        jax.numpy.asarray(exc_val),
+        ctx.dec_m,
+        cfg=cfg,
+        height=height,
+        width=width,
+    )
 
 
 class StreamingDecoder:
@@ -55,15 +89,17 @@ class StreamingDecoder:
             vals = self.source.try_read(self._coeffs_per_gop)
         if vals is None:
             return None
-        coeffs = vals.reshape(-1, self.cfg.cube_size)
-        frames = decode_step(
-            jax.numpy.asarray(coeffs),
-            self.ctx.dec_m,
-            cfg=self.cfg,
-            height=self.height,
-            width=self.width,
-        )
-        return np.asarray(frames)
+        # One device dispatch per GOP: single compiled shape per geometry
+        # (multi-GOP repack shapes compile pathologically slowly on TPU).
+        per = self._coeffs_per_gop
+        batches = [
+            np.asarray(
+                _decode_batch(vals[i : i + per], self.ctx, self.cfg,
+                              self.height, self.width)
+            )
+            for i in range(0, vals.size, per)
+        ]
+        return np.concatenate(batches) if len(batches) > 1 else batches[0]
 
 
 def decode_video(
@@ -90,21 +126,26 @@ def decode_video(
     if vals is None:
         raise EOFError("bitstream too short for requested frame count")
     out = np.empty((t, height, width), dtype=np.uint8)
-    step_gops = max(1, gops_per_batch)
     fpg = cfg.gop_size
-    for g0 in range(0, n_gops, step_gops):
-        g1 = min(n_gops, g0 + step_gops)
-        coeffs = vals[g0 * coeffs_per_gop : g1 * coeffs_per_gop].reshape(
-            -1, cfg.cube_size
+    # One dispatch per GOP (single compiled shape; see StreamingDecoder), a
+    # window of batches in flight: device compute + async D2H of GOP k
+    # overlap the dispatch of k+1 (the reference's blocking
+    # clEnqueueReadBuffer, decoder.c:292, serializes these).
+    window = max(2, gops_per_batch)
+    pending: collections.deque = collections.deque()
+    for g0 in range(n_gops):
+        frames_dev = _decode_batch(
+            vals[g0 * coeffs_per_gop : (g0 + 1) * coeffs_per_gop],
+            ctx or dec.ctx, cfg, height, width,
         )
-        frames_dev = decode_step(
-            jax.numpy.asarray(coeffs),
-            (ctx or dec.ctx).dec_m,
-            cfg=cfg,
-            height=height,
-            width=width,
-        )
-        out[g0 * fpg : g1 * fpg] = np.asarray(frames_dev)
+        frames_dev.copy_to_host_async()
+        pending.append((g0, frames_dev))
+        if len(pending) >= window:
+            a0, fd = pending.popleft()
+            out[a0 * fpg : (a0 + 1) * fpg] = np.asarray(fd)
+    while pending:
+        a0, fd = pending.popleft()
+        out[a0 * fpg : (a0 + 1) * fpg] = np.asarray(fd)
     return out
 
 

@@ -9,22 +9,34 @@ bit state carries across batches.  Differences, by design (SURVEY.md §7):
     (codec/transform.py) instead of two OpenCL reduction kernels,
   * Exp-Golomb packing happens on the device as a vectorized prefix-sum
     scatter (ops/bitpack.py) instead of a serial host bit loop,
-  * device compute for batch k+1 is dispatched asynchronously while the host
-    deflates batch k (JAX async dispatch gives the overlap the reference's
-    blocking clEnqueueReadBuffer forfeits, encoder.c:254),
-  * any number of GOPs can be batched per device step.
+  * the cross-GOP bit carry is chained ON DEVICE (encode_step returns the
+    next carry as device scalars), so back-to-back batches dispatch without
+    a host round trip,
+  * device→host readback + DEFLATE run on a background drainer thread,
+    overlapping the next batch's compute — the reference's blocking
+    clEnqueueReadBuffer (encoder.c:254) forfeits all of this,
+  * DEFLATE itself can fan out over a thread pool (entropy.ParallelDeflateSink)
+    while staying a single reference-readable zlib stream.
 """
 
 from __future__ import annotations
 
+import collections
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Iterable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import CodecConfig
 from . import entropy
 from .transform import TransformContext, encode_step
+
+# Device→host readback length is rounded up to this bucket so the number of
+# distinct slice shapes (each a separate XLA compile — expensive through a
+# remote-compile tunnel) stays tiny across a stream of varying GOP sizes.
+_D2H_BUCKET = 1 << 20
 
 
 class StreamingEncoder:
@@ -35,6 +47,9 @@ class StreamingEncoder:
         for batch in frame_batches:        # (T, H, W) uint8, T % gop == 0
             out.write(enc.push(batch))
         out.write(enc.finish())
+
+    push() may return b"" while work is in flight; finish() flushes
+    everything.  Output bytes are always emitted in stream order.
     """
 
     def __init__(
@@ -44,30 +59,53 @@ class StreamingEncoder:
         cfg: CodecConfig | None = None,
         ctx: TransformContext | None = None,
         device_pack: bool = True,
+        max_inflight: int = 3,
     ) -> None:
         self.cfg = cfg or CodecConfig()
         self.cfg.validate_geometry(width, height)
         self.width = width
         self.height = height
         self.ctx = ctx or TransformContext(self.cfg)
-        self.sink = entropy.DeflateSink(self.cfg.zlib_level)
+        self.sink = entropy.make_sink(self.cfg)
         self.device_pack = device_pack
         self.frames_encoded = 0
-        self._pending = None  # in-flight device result for async overlap
+        self.max_inflight = max_inflight
+        # Single-thread drainer: serializes sink access and keeps output order
+        # while overlapping readback/DEFLATE with device compute.
+        self._drainer = ThreadPoolExecutor(max_workers=1)
+        self._out: collections.deque[Future] = collections.deque()
+        self._carry = None  # (code, bits) device scalars chaining GOPs
 
     # -- internal ------------------------------------------------------------
 
-    def _drain(self) -> bytes:
-        if self._pending is None:
-            return b""
-        packed_dev, bits_dev = self._pending
-        self._pending = None
-        total_bits = int(bits_dev)
+    def _drain_gop(self, frames_dev, carry_in, gop) -> bytes:
+        """Drainer thread: fetch packed bytes (bucketed slice) and deflate.
+
+        If the batch overflowed the budgeted pack buffer (pathological
+        content), re-encode just this batch with the worst-case buffer — the
+        carry chain is buffer-independent (ops/bitpack.py), so already
+        dispatched later batches remain valid.
+        """
+        total_bits = int(gop.total_bits)
         nbytes = total_bits // 8 + 1
-        packed = np.asarray(jax.device_get(packed_dev[:nbytes]))
-        if nbytes > packed_dev.shape[0]:  # pragma: no cover
-            raise OverflowError("bitpack buffer overflow; raise max_bytes")
+        if nbytes > gop.packed.shape[0]:
+            gop = encode_step(
+                frames_dev,
+                self.ctx.enc_t,
+                carry_in[0],
+                carry_in[1],
+                max_bytes=self.ctx.max_packed_bytes_worst_case(frames_dev.size),
+                cfg=self.cfg,
+            )
+        cap = min(gop.packed.shape[0], -(-nbytes // _D2H_BUCKET) * _D2H_BUCKET)
+        packed = np.asarray(jax.device_get(gop.packed[:cap]))
         return self.sink.push_packed(packed, total_bits)
+
+    def _collect(self, block: bool = False) -> bytes:
+        out = []
+        while self._out and (block or self._out[0].done()):
+            out.append(self._out.popleft().result())
+        return b"".join(out)
 
     # -- public --------------------------------------------------------------
 
@@ -75,7 +113,12 @@ class StreamingEncoder:
         """Encode a (T, H, W) uint8 batch; T must be a GOP multiple.
 
         Returns compressed bytes ready to append to the output stream (may
-        be empty — DEFLATE buffers internally).
+        be empty — work is pipelined and DEFLATE buffers internally).
+
+        Internally the batch is dispatched one GOP at a time: a single
+        compiled shape per geometry (XLA-TPU compile time explodes on the
+        multi-GOP cube-repack transpose — 374 s at T=32 vs 19 s at T=8 for
+        320x240), and the pipeline keeps the device busy anyway.
         """
         t = frames.shape[0]
         if t % self.cfg.gop_size:
@@ -86,35 +129,47 @@ class StreamingEncoder:
             )
         if frames.shape[1:] != (self.height, self.width):
             raise ValueError("frame geometry mismatch")
-        out = b""
+        if t > self.cfg.gop_size:
+            out = []
+            for i in range(0, t, self.cfg.gop_size):
+                out.append(self.push(frames[i : i + self.cfg.gop_size]))
+            return b"".join(out)
         if self.device_pack:
-            # The carry must be merged *before* dispatching the next batch,
-            # so drain the in-flight one first (its bits define the carry).
-            out = self._drain()
+            if self._carry is None:
+                self._carry = (jnp.uint32(0), jnp.int32(0))
+            carry_in = self._carry
+            frames_dev = jnp.asarray(frames)
             gop = encode_step(
-                jax.numpy.asarray(frames),
+                frames_dev,
                 self.ctx.enc_t,
-                jax.numpy.uint32(self.sink.carry_code),
-                jax.numpy.int32(self.sink.carry_bits),
+                carry_in[0],
+                carry_in[1],
                 max_bytes=self.ctx.max_packed_bytes(frames.size),
                 cfg=self.cfg,
             )
-            # Leave the result in flight; host zlib of the previous batch
-            # already overlapped with this dispatch.
-            self._pending = (gop.packed, gop.total_bits)
+            self._carry = (gop.carry_code, gop.carry_bits)
+            self._out.append(
+                self._drainer.submit(self._drain_gop, frames_dev, carry_in, gop)
+            )
+            # Backpressure: bound in-flight device buffers / host memory.
+            if len(self._out) > self.max_inflight:
+                self._out[0].result()
         else:
             from .transform import quantize_step
 
             q = np.asarray(
-                quantize_step(jax.numpy.asarray(frames), self.ctx.enc_t, cfg=self.cfg)
+                quantize_step(jnp.asarray(frames), self.ctx.enc_t, cfg=self.cfg)
             )
-            out = self.sink.push_values(q.reshape(-1))
+            self._out.append(
+                self._drainer.submit(self.sink.push_values, q.reshape(-1))
+            )
         self.frames_encoded += t
-        return out
+        return self._collect()
 
     def finish(self) -> bytes:
-        """Flush carry + DEFLATE tail. The stream is complete after this."""
-        return self._drain() + self.sink.finish()
+        """Flush pipeline + carry + DEFLATE tail.  Stream complete after."""
+        self._out.append(self._drainer.submit(self.sink.finish))
+        return self._collect(block=True)
 
 
 def encode_video(

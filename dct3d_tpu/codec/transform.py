@@ -46,6 +46,8 @@ class EncodedGOP(NamedTuple):
 
     packed: jax.Array  # (max_bytes,) uint8, bit-concatenated codewords
     total_bits: jax.Array  # () int32, valid bit count in `packed`
+    carry_code: jax.Array  # () uint32, trailing partial byte, right-aligned
+    carry_bits: jax.Array  # () int32, 0..7
 
 
 def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
@@ -57,13 +59,17 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
     # packed buffer starts at bit 0 of the continuing stream.
     code = jnp.concatenate([carry_code[None].astype(jnp.uint32), code])
     width = jnp.concatenate([carry_bits[None].astype(jnp.int32), width])
-    packed, total_bits = bitpack.pack_bits(code, width, max_bytes)
-    return EncodedGOP(packed, total_bits)
+    packed, total_bits, tail_byte = bitpack.pack_bits(code, width, max_bytes)
+    # Next GOP's carry, computed ON DEVICE so consecutive encode steps chain
+    # without a host round trip (the host learns total_bits asynchronously).
+    # tail_byte is buffer-independent, so the carry chain survives a buffer
+    # overflow and the driver can retry just the overflowed batch.
+    rem = total_bits % 8
+    new_code = jnp.where(rem > 0, tail_byte >> (8 - rem).astype(jnp.uint32), 0)
+    return EncodedGOP(packed, total_bits, new_code.astype(jnp.uint32), rem)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_bytes", "cfg"), donate_argnums=(0,)
-)
+@functools.partial(jax.jit, static_argnames=("max_bytes", "cfg"))
 def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg):
     """Encode a (T, H, W) uint8 frame batch into packed Exp-Golomb bytes.
 
@@ -76,7 +82,7 @@ def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
 def decode_step(coeffs, dec_m, *, cfg, height, width):
-    """Quantized zigzag coefficients (num_cubes, cube) int32 -> uint8 frames.
+    """Quantized zigzag coefficients (num_cubes, cube) int -> uint8 frames.
 
     Dequantization (exact integer multiply, folded into dec_m), inverse DCT
     matmul, clamp to [0, 255] (3dDCT.cl:256-262) and truncating byte cast
@@ -87,6 +93,22 @@ def decode_step(coeffs, dec_m, *, cfg, height, width):
     pixels = jnp.clip(pixels, 0.0, 255.0)
     frames = framing.cubes_to_frames(pixels, cfg, height, width)
     return frames.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def decode_step_planar(coeff8, exc_idx, exc_val, dec_m, *, cfg, height, width):
+    """decode_step taking an int8 coefficient plane + sparse exceptions.
+
+    Host->device bandwidth is the decode bottleneck (int32 coefficients are
+    4 bytes each); ~99.9% of quantized coefficients fit int8, so the host
+    ships an int8 plane plus an exception list (flat index, true value) and
+    the device restores the outliers with one small scatter.  Padding slots
+    use an out-of-range index and are dropped."""
+    coeffs = coeff8.astype(jnp.int32).reshape(-1)
+    coeffs = coeffs.at[exc_idx].set(exc_val, mode="drop")
+    return decode_step(
+        coeffs.reshape(coeff8.shape), dec_m, cfg=cfg, height=height, width=width
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -113,12 +135,18 @@ class TransformContext:
     def max_packed_bytes(self, num_pixels: int) -> int:
         """Static bit-pack buffer size for a frame batch.
 
-        Worst-case codeword width for 8-bit video through the orthonormal
-        3D DCT is < 32 bits, but typical streams are ~1-4 bits/coefficient.
-        2 bytes/coefficient (16 bits) gives a 4x+ safety margin over any
-        realistic stream while keeping the buffer bounded; overflow is
-        detected via total_bits and would raise in the driver.  (The
-        reference assumes 8 bits/coeff and would overrun beyond that:
-        Encoder.java:95, encoder.c:133.)
+        Sized by cfg.pack_bits_per_value (default 6 bits/coefficient, a ~5x
+        margin over typical 1-2 bit streams).  Worst-case codewords are 29
+        bits, so pathological content can overflow this buffer: the driver
+        detects it via total_bits and retries the batch against
+        max_packed_bytes_worst_case (the carry chain is overflow-proof, see
+        ops/bitpack.py).  A tight budget matters because level-2 assembly
+        cost scales with the static buffer size.  (The reference assumes
+        8 bits/coeff and would overrun beyond that: Encoder.java:95,
+        encoder.c:133.)
         """
-        return 2 * num_pixels + 16
+        return (self.cfg.pack_bits_per_value * num_pixels) // 8 + 64
+
+    def max_packed_bytes_worst_case(self, num_pixels: int) -> int:
+        """Cannot overflow: 32 bits/value >= the 29-bit codeword bound."""
+        return 4 * num_pixels + 64

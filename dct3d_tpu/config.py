@@ -38,6 +38,15 @@ class CodecConfig:
     quant_strength: int = 5
     zlib_level: int = zlib.Z_BEST_COMPRESSION
     compute_dtype: str = "float32"
+    #: DEFLATE worker threads. 0 = serial sink whose stream is byte-identical
+    #: to the reference's one-shot deflate (parity mode); -1 = all cores but
+    #: one; N>0 = exactly N.  Parallel streams are still a single valid zlib
+    #: stream (pigz-style full-flush blocks) that the reference decoder reads.
+    deflate_workers: int = 0
+    #: Static device bit-pack buffer budget, bits per coefficient.  Typical
+    #: streams need 1-2; pathological batches that exceed it are retried
+    #: automatically with a worst-case buffer (see codec/transform.py).
+    pack_bits_per_value: int = 6
 
     @property
     def gop_size(self) -> int:

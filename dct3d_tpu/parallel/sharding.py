@@ -57,7 +57,7 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
     # bits so the buffer's bytes land on global byte boundaries.
     code = jnp.concatenate([jnp.zeros((1,), jnp.uint32), code])
     width = jnp.concatenate([phase[None], width])
-    packed, total_bits = bitpack.pack_bits(code, width, max_bytes)
+    packed, total_bits, _ = bitpack.pack_bits(code, width, max_bytes)
     return (
         packed[None],
         (total_bits - phase)[None],
@@ -132,7 +132,8 @@ class ShardedEncoder:
                 f"push expects T % {step_t} == 0 and geometry "
                 f"{self.height}x{self.width}"
             )
-        max_bytes = 2 * self.cfg.gop_size * (h // n_tile) * w + 16
+        shard_vals = self.cfg.gop_size * (h // n_tile) * w
+        max_bytes = self.cfg.pack_bits_per_value * shard_vals // 8 + 64
         step = self._step_fn(max_bytes)
         out = []
         for i in range(0, t, step_t):
@@ -164,6 +165,11 @@ class ShardedEncoder:
             byte0 = s // 8
             phase = s % 8
             span = (phase + b + 7) // 8
+            if span > packed.shape[1]:
+                raise OverflowError(
+                    "shard bitstream exceeded pack_bits_per_value budget; "
+                    "raise CodecConfig.pack_bits_per_value"
+                )
             chunk = packed[k, :span]
             end = min(byte0 + span, nbytes)
             # OR the (up to one) boundary byte shared with the previous

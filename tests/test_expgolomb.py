@@ -83,7 +83,7 @@ def test_device_bitpack_matches_serial(n, rng):
 
     code, width = expgolomb.codewords(jnp.asarray(vals))
     out_bytes = 4 * n + 16
-    buf, total_bits = bitpack.pack_bits(code, width, out_bytes)
+    buf, total_bits, _tail = bitpack.pack_bits(code, width, out_bytes)
     assert int(total_bits) == w.bit_length
     got = np.asarray(buf)[: (w.bit_length + 7) // 8].tobytes()
     assert got == want
@@ -183,3 +183,38 @@ def test_deflate_sink_byte_parity_with_oneshot(rng):
     if w.bit_length % 8 == 0:
         payload += b"\x00"  # reference writes bufferPosition+1 bytes
     assert zlib.decompress(stream) == payload
+
+
+def test_parallel_deflate_sink_payload_parity(rng):
+    """ParallelDeflateSink: different zlib block layout, identical payload,
+    single stream readable by any inflater (the reference decoders included)."""
+    import zlib
+
+    from dct3d_tpu.codec.entropy import DeflateSink, ParallelDeflateSink
+
+    vals = rng.integers(-200, 200, size=50_000).astype(np.int32)
+    serial, parallel = DeflateSink(9), ParallelDeflateSink(9, workers=3,
+                                                           block_size=4096)
+    a = serial.push_values(vals[:20_000])
+    a += serial.push_values(vals[20_000:])
+    a += serial.finish()
+    b = parallel.push_values(vals[:20_000])
+    b += parallel.push_values(vals[20_000:])
+    b += parallel.finish()
+    assert zlib.decompress(a) == zlib.decompress(b)
+
+
+def test_parallel_deflate_end_to_end(clip_module=None):
+    """Full encode with parallel DEFLATE decodes identically to serial."""
+    from tests.conftest import synthetic_video
+    from dct3d_tpu import CodecConfig, decode_video, encode_video
+
+    clip = synthetic_video(16, 64, 64)
+    serial = encode_video(clip, CodecConfig(deflate_workers=0))
+    fast = encode_video(clip, CodecConfig(deflate_workers=3))
+    import zlib
+
+    assert zlib.decompress(serial) == zlib.decompress(fast)
+    out_a = decode_video(serial, 64, 64, 16, CodecConfig(deflate_workers=0))
+    out_b = decode_video(fast, 64, 64, 16, CodecConfig(deflate_workers=3))
+    np.testing.assert_array_equal(out_a, out_b)

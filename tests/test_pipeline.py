@@ -152,3 +152,12 @@ def test_alternate_block_sizes(dims, clip):
     data = encode_video(clip, cfg)
     out = decode_video(data, 64, 64, clip.shape[0], cfg)
     assert psnr(clip[: out.shape[0]], out) > 28.0
+
+
+def test_pack_budget_overflow_retries(clip):
+    """A batch whose stream exceeds pack_bits_per_value must transparently
+    retry with the worst-case buffer and still be byte-exact (the device
+    carry chain is buffer-independent)."""
+    lossless = CodecConfig(quant_strength=0)  # big coeffs, ~8-10 bits/value
+    tight = CodecConfig(quant_strength=0, pack_bits_per_value=2)
+    assert encode_video(clip, tight) == encode_video(clip, lossless)
