@@ -179,6 +179,62 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Rate-distortion sweep: quant strength x block size -> bpp/PSNR/fps.
+
+    The reference exposes exactly these two knobs (quant strength hardcoded 5
+    at Encoder.java:82; block dims 8 or 4 via codec.h:11-13 + README.md:20)
+    but ships no measurement harness (SURVEY.md §6); this is the M6
+    deliverable."""
+    from .codec.decoder import decode_video
+    from .codec.encoder import encode_video
+    from .io import rawvideo
+
+    if args.input == "synthetic":
+        from .io import synthetic
+
+        video = synthetic.moving_gradient(
+            args.frames or 32, args.height, args.width
+        )
+    else:
+        total = rawvideo.frame_count(args.input, args.width, args.height)
+        n = total if args.frames is None else min(args.frames, total)
+        video = rawvideo.read_video(args.input, args.width, args.height, n)
+    t, h, w = video.shape
+
+    strengths = [int(s) for s in args.quants.split(",")]
+    blocks = [int(b) for b in args.blocks.split(",")]
+    rows = []
+    for block in blocks:
+        for q in strengths:
+            cfg = CodecConfig(
+                block_w=block, block_h=block, block_d=block,
+                quant_strength=q, zlib_level=args.zlib_level,
+                deflate_workers=args.deflate_workers,
+            )
+            tt = t - t % cfg.gop_size
+            t0 = time.perf_counter()
+            data = encode_video(video[:tt], cfg)
+            enc_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = decode_video(data, w, h, tt, cfg)
+            dec_s = time.perf_counter() - t0
+            row = {
+                "block": block,
+                "quant": q,
+                "bpp": round(metrics.bits_per_pixel(len(data), w, h, tt), 4),
+                "psnr_db": round(metrics.psnr(video[:tt], out), 3),
+                "encode_fps": round(tt / enc_s, 2),
+                "decode_fps": round(tt / dec_s, 2),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(rows, f, indent=2)
+    return 0
+
+
 def cmd_psnr(args) -> int:
     from .io import rawvideo
 
@@ -233,6 +289,22 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--rgb", action="store_true")
     pr.add_argument("--png-prefix", default=None)
     pr.set_defaults(fn=cmd_render)
+
+    pw = sub.add_parser(
+        "sweep", help="rate-distortion sweep (quant x block -> bpp/PSNR/fps)"
+    )
+    pw.add_argument("input", help='raw grayscale video path, or "synthetic"')
+    pw.add_argument("width", type=int)
+    pw.add_argument("height", type=int)
+    pw.add_argument("frames", type=int, nargs="?", default=None)
+    pw.add_argument("--quants", default="0,1,2,5,10,20",
+                    help="comma-separated quant strengths")
+    pw.add_argument("--blocks", default="8,4",
+                    help="comma-separated cube edges")
+    pw.add_argument("--zlib-level", type=int, default=9)
+    pw.add_argument("--deflate-workers", type=int, default=-1)
+    pw.add_argument("--output", default=None, help="write JSON table here")
+    pw.set_defaults(fn=cmd_sweep)
 
     pq = sub.add_parser("psnr", help="PSNR between two raw grayscale videos")
     pq.add_argument("a")

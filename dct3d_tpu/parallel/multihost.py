@@ -1,0 +1,165 @@
+"""Multi-host (DCN) scale-out: distributed ingest + ordered bitstream gather.
+
+The reference is single-process/single-device (SURVEY.md §2.4); this module
+is the framework's DCN layer.  Design (SURVEY.md §5 "Distributed
+communication backend", BASELINE.md scaling target):
+
+  * each host process reads only ITS temporal span of the input video
+    (GOP-major split — GOPs are embarrassingly parallel, encoder.c:203-278),
+  * the per-host frame arrays are assembled into one global sharded array
+    with ``jax.make_array_from_process_local_data`` (no frame ever crosses
+    DCN),
+  * the fused encode step runs under the same (gop, tile) shard_map as the
+    single-host path — the only cross-shard traffic is the per-shard bit
+    count all-gather (scalars over ICI/DCN),
+  * each host deflates ITS shards' phase-aligned bytes locally, then the
+    variable-length compressed chunks are gathered to process 0 in stream
+    order (one ``process_allgather`` of lengths + one of padded payloads),
+    which splices and writes.  Only compressed bytes cross DCN, once.
+
+With a single process this degrades to the ShardedEncoder path exactly and
+is tested that way (a real pod run needs ``jax.distributed.initialize``,
+which cannot be simulated in-process; the per-host logic below is pure
+functions of (process_index, process_count) and is unit-tested with fakes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CodecConfig
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime (DCN).  No-op if single-host."""
+    import jax
+
+    if num_processes in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_frame_span(total_frames: int, cfg: CodecConfig,
+                    process_index: int, process_count: int) -> tuple[int, int]:
+    """[start, stop) frame range this host ingests: a contiguous GOP-major
+    slice, balanced to within one GOP.  Frame count is truncated to a GOP
+    multiple first (Encoder.java:39-40)."""
+    t = total_frames - total_frames % cfg.gop_size
+    gops = t // cfg.gop_size
+    base, extra = divmod(gops, process_count)
+    start_gop = process_index * base + min(process_index, extra)
+    n_gop = base + (1 if process_index < extra else 0)
+    return start_gop * cfg.gop_size, (start_gop + n_gop) * cfg.gop_size
+
+
+# Multi-host stream container: the reference format is headerless and its
+# Exp-Golomb padding makes zlib members non-concatenable at the bit level, so
+# the multi-host gather wraps each host's (whole-GOP) member with a 16-byte
+# header.  Single-host output stays headerless/reference-shaped.
+MEMBER_MAGIC = b"D3MH"
+
+
+def _member(payload: bytes, frames: int) -> bytes:
+    import struct
+
+    return MEMBER_MAGIC + struct.pack("<IQ", frames, len(payload)) + payload
+
+
+def split_members(data: bytes) -> list[tuple[int, bytes]]:
+    """Parse a multi-host container into [(frame_count, zlib member), ...]."""
+    import struct
+
+    out = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 4] != MEMBER_MAGIC:
+            raise ValueError("not a multi-host container (missing D3MH magic)")
+        frames, length = struct.unpack_from("<IQ", data, pos + 4)
+        pos += 16
+        out.append((frames, data[pos : pos + length]))
+        pos += length
+    return out
+
+
+def gather_ordered_bytes(local_payload: bytes, local_frames: int) -> bytes | None:
+    """Gather per-host members to process 0 in process (= stream) order.
+
+    Returns the container on process 0, None elsewhere.  Uses two
+    all-gathers (lengths, then padded payload) — the standard variable-length
+    gather over DCN.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return _member(local_payload, local_frames)
+    from jax.experimental import multihost_utils
+
+    meta = multihost_utils.process_allgather(
+        np.array([len(local_payload), local_frames], np.int64)
+    ).reshape(-1, 2)
+    cap = int(meta[:, 0].max())
+    padded = np.zeros(cap, np.uint8)
+    padded[: len(local_payload)] = np.frombuffer(local_payload, np.uint8)
+    gathered = multihost_utils.process_allgather(padded)
+    if jax.process_index() != 0:
+        return None
+    return b"".join(
+        _member(gathered[p, : int(meta[p, 0])].tobytes(), int(meta[p, 1]))
+        for p in range(jax.process_count())
+    )
+
+
+def encode_multihost(
+    local_frames: np.ndarray,
+    width: int,
+    height: int,
+    total_frames: int,
+    mesh,
+    cfg: CodecConfig | None = None,
+) -> bytes | None:
+    """Encode a video whose frames are distributed across host processes.
+
+    ``local_frames`` is this host's span (see host_frame_span).  Every host
+    encodes its GOPs on its addressable devices of ``mesh`` via the sharded
+    encoder; the compressed chunks are gathered in order to process 0.
+
+    Stream format: each host emits a complete zlib member for its span;
+    process 0 receives the in-order container (see MEMBER_MAGIC).  A single
+    cross-host zlib/bit stream would serialize hosts on the DEFLATE and
+    Exp-Golomb carry state — the container is the deliberate extension point
+    over the (single-process) reference format.
+    """
+    from .sharding import ShardedEncoder
+
+    cfg = cfg or CodecConfig()
+    enc = ShardedEncoder(width, height, mesh, cfg)
+    chunks = []
+    step = cfg.gop_size * mesh.shape["gop"]
+    t = local_frames.shape[0] - local_frames.shape[0] % step
+    for i in range(0, t, step):
+        chunks.append(enc.push(local_frames[i : i + step]))
+    chunks.append(enc.finish())
+    return gather_ordered_bytes(b"".join(chunks), t)
+
+
+def decode_multihost_container(
+    data: bytes,
+    width: int,
+    height: int,
+    cfg: CodecConfig | None = None,
+) -> np.ndarray:
+    """Decode a multi-host container back to (T, H, W) frames (any host)."""
+    from ..codec.decoder import decode_video
+
+    cfg = cfg or CodecConfig()
+    parts = [
+        decode_video(member, width, height, frames, cfg)
+        for frames, member in split_members(data)
+    ]
+    return np.concatenate(parts)

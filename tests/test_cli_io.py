@@ -83,3 +83,23 @@ def test_cli_devices(capsys):
 
 def test_cli_decode_requires_frames(tmp_path, capsys):
     assert cli.main(["decode", "x", "y", "64", "64"]) == 2
+
+
+def test_cli_sweep(tmp_path, capsys):
+    import json
+
+    out = str(tmp_path / "rd.json")
+    rc = cli.main([
+        "sweep", "synthetic", "32", "32", "16",
+        "--quants", "2,10", "--blocks", "8", "--output", out,
+    ])
+    assert rc == 0
+    rows = json.load(open(out))
+    assert len(rows) == 2
+    # Rate-distortion monotonicity: harsher quant -> fewer bits, lower PSNR.
+    q2, q10 = rows
+    assert q2["quant"] == 2 and q10["quant"] == 10
+    assert q10["bpp"] < q2["bpp"]
+    assert q10["psnr_db"] < q2["psnr_db"]
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2

@@ -64,3 +64,40 @@ def test_mesh_validation():
     m = _mesh_or_skip(2, 2)
     with pytest.raises(ValueError):
         ShardedEncoder(64, 60, m)  # height not splittable into block tiles
+
+
+def test_multihost_single_process_equals_sharded():
+    """1-process multihost path == sharded encoder; span math is balanced."""
+    from dct3d_tpu.parallel import multihost
+
+    m = _mesh_or_skip(2, 1)
+    cfg = CodecConfig()
+    clip = synthetic_video(32, 64, 64, seed=11)
+    data = multihost.encode_multihost(clip, 64, 64, 32, m, cfg)
+    members = multihost.split_members(data)
+    assert [f for f, _ in members] == [32]
+    assert members[0][1] == encode_video(clip, cfg)  # payload byte parity
+    out = multihost.decode_multihost_container(data, 64, 64, cfg)
+    assert psnr(clip, out) > 30.0
+
+    # Span arithmetic: contiguous, GOP-aligned, balanced to one GOP.
+    spans = [multihost.host_frame_span(100, cfg, p, 3) for p in range(3)]
+    assert spans[0][0] == 0 and spans[-1][1] == 96
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    sizes = [b - a for a, b in spans]
+    assert max(sizes) - min(sizes) <= cfg.gop_size
+    assert all(s % cfg.gop_size == 0 for s in sizes)
+
+
+def test_multihost_container_roundtrip_two_members():
+    """Two spans wrapped as container members decode to one video."""
+    from dct3d_tpu.parallel import multihost
+
+    cfg = CodecConfig()
+    clip = synthetic_video(32, 64, 64, seed=12)
+    a = encode_video(clip[:16], cfg)
+    b = encode_video(clip[16:], cfg)
+    data = multihost._member(a, 16) + multihost._member(b, 16)
+    out = multihost.decode_multihost_container(data, 64, 64, cfg)
+    assert out.shape == (32, 64, 64)
+    assert psnr(clip, out) > 30.0
