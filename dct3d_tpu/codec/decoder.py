@@ -21,28 +21,32 @@ from . import entropy
 from .transform import TransformContext, decode_step, decode_step_planar
 
 
-def _planarize(vals: np.ndarray, cube: int):
-    """int32 coefficients -> (int8 plane, exception idx/val) for cheap H2D.
-
-    Exception arrays are padded to a power-of-two bucket (few distinct jit
-    shapes); pad slots carry an out-of-range index and are dropped on device.
-    """
-    vals = vals.reshape(-1)
-    mask = (vals > 127) | (vals < -127)
-    plane = np.where(mask, 0, vals).astype(np.int8).reshape(-1, cube)
-    idx = np.flatnonzero(mask).astype(np.int32)
+def _pad_exceptions(n: int, idx: np.ndarray, val: np.ndarray):
+    """Pad exception arrays to a power-of-two bucket (few distinct jit
+    shapes); pad slots carry an out-of-range index and are dropped on
+    device."""
     cap = max(1024, 1 << int(np.ceil(np.log2(max(1, idx.size)))))
-    exc_idx = np.full(cap, vals.size, np.int32)  # out of range -> dropped
+    exc_idx = np.full(cap, n, np.int32)
     exc_idx[: idx.size] = idx
     exc_val = np.zeros(cap, np.int32)
-    exc_val[: idx.size] = vals[idx]
-    return plane, exc_idx, exc_val
+    exc_val[: idx.size] = val
+    return exc_idx, exc_val
 
 
-def _decode_batch(vals: np.ndarray, ctx: TransformContext, cfg: CodecConfig,
-                  height: int, width: int):
-    """Dispatch one device inverse-transform batch from int32 coefficients."""
-    plane, exc_idx, exc_val = _planarize(vals, cfg.cube_size)
+def _planarize(vals: np.ndarray, cube: int):
+    """int32 coefficients -> (int8 plane, exception idx/val) for cheap H2D."""
+    vals = vals.reshape(-1)
+    plane = vals.astype(np.int8)  # wrapping cast
+    idx = np.flatnonzero(plane != vals).astype(np.int32)
+    return plane.reshape(-1, cube), idx, vals[idx]
+
+
+def _dispatch_planar(planar, ctx: TransformContext, cfg: CodecConfig,
+                     height: int, width: int):
+    """Dispatch one device inverse-transform batch from planar coefficients."""
+    plane, idx, val = planar
+    plane = np.asarray(plane).reshape(-1, cfg.cube_size)
+    exc_idx, exc_val = _pad_exceptions(plane.size, np.asarray(idx), np.asarray(val))
     return decode_step_planar(
         jax.numpy.asarray(plane),
         jax.numpy.asarray(exc_idx),
@@ -51,6 +55,14 @@ def _decode_batch(vals: np.ndarray, ctx: TransformContext, cfg: CodecConfig,
         cfg=cfg,
         height=height,
         width=width,
+    )
+
+
+def _decode_batch(vals: np.ndarray, ctx: TransformContext, cfg: CodecConfig,
+                  height: int, width: int):
+    """Dispatch one device inverse-transform batch from int32 coefficients."""
+    return _dispatch_planar(
+        _planarize(vals, cfg.cube_size), ctx, cfg, height, width
     )
 
 
@@ -94,8 +106,8 @@ class StreamingDecoder:
         per = self._coeffs_per_gop
         batches = [
             np.asarray(
-                _decode_batch(vals[i : i + per], self.ctx, self.cfg,
-                              self.height, self.width)
+                _decode_batch(vals.reshape(-1)[i : i + per], self.ctx,
+                              self.cfg, self.height, self.width)
             )
             for i in range(0, vals.size, per)
         ]
@@ -116,28 +128,24 @@ def decode_video(
     `frames` is truncated to a GOP multiple (Decoder.java:34-36)."""
     cfg = cfg or CodecConfig()
     t = frames - frames % cfg.gop_size
-    dec = StreamingDecoder(width, height, cfg, ctx, gops_per_batch=1)
+    dec = StreamingDecoder(width, height, cfg, ctx)
     dec.feed(data)
     dec.feed_eof()
     n_gops = t // cfg.gop_size
     coeffs_per_gop = width * height * cfg.gop_size
-    # Bulk path: read all coefficients at once, decode in large device batches.
-    vals = dec.source.try_read(coeffs_per_gop * n_gops)
-    if vals is None:
-        raise EOFError("bitstream too short for requested frame count")
     out = np.empty((t, height, width), dtype=np.uint8)
     fpg = cfg.gop_size
     # One dispatch per GOP (single compiled shape; see StreamingDecoder), a
-    # window of batches in flight: device compute + async D2H of GOP k
-    # overlap the dispatch of k+1 (the reference's blocking
+    # window of batches in flight: host entropy decode of GOP k+1 and device
+    # compute + async D2H of GOP k all overlap (the reference's blocking
     # clEnqueueReadBuffer, decoder.c:292, serializes these).
     window = max(2, gops_per_batch)
     pending: collections.deque = collections.deque()
     for g0 in range(n_gops):
-        frames_dev = _decode_batch(
-            vals[g0 * coeffs_per_gop : (g0 + 1) * coeffs_per_gop],
-            ctx or dec.ctx, cfg, height, width,
-        )
+        planar = dec.source.try_read_planar(coeffs_per_gop)
+        if planar is None:
+            raise EOFError("bitstream too short for requested frame count")
+        frames_dev = _dispatch_planar(planar, ctx or dec.ctx, cfg, height, width)
         frames_dev.copy_to_host_async()
         pending.append((g0, frames_dev))
         if len(pending) >= window:

@@ -104,6 +104,46 @@ def decode_values(
     return out, pos
 
 
+def decode_values_planar(
+    data: bytes | np.ndarray, n: int, bitpos: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Decode n values into (int8 plane, exc_idx, exc_val, new bitpos).
+
+    The decoder's device-upload format (codec/decoder.py): wrapping int8
+    cast plus an exception list for out-of-range values.  One C pass when
+    the native library is available.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    lib = native.load()
+    if lib is not None:
+        plane = np.empty(n, np.int8)
+        cap = max(1024, n // 16)
+        while True:
+            exc_idx = np.empty(cap, np.int32)
+            exc_val = np.empty(cap, np.int32)
+            pos = ctypes.c_uint64(bitpos)
+            cnt = ctypes.c_uint64(0)
+            rc = lib.eg_decode_planar(
+                buf.ctypes.data, buf.size * 8, ctypes.byref(pos),
+                plane.ctypes.data, n,
+                exc_idx.ctypes.data, exc_val.ctypes.data, cap,
+                ctypes.byref(cnt),
+            )
+            if rc == -2:  # exception capacity; pathological content
+                cap *= 4
+                continue
+            if rc != 0:
+                raise EOFError("exp-golomb stream exhausted")
+            k = int(cnt.value)
+            return plane, exc_idx[:k], exc_val[:k], int(pos.value)
+    vals, pos = decode_values(buf, n, bitpos)
+    plane = vals.astype(np.int8)  # wrapping cast
+    mask = plane != vals
+    idx = np.flatnonzero(mask).astype(np.int32)
+    return plane, idx, vals[idx], pos
+
+
 # ----------------------------------------------------------------------------
 # Streaming DEFLATE with reference chunk semantics
 # ----------------------------------------------------------------------------
@@ -290,10 +330,23 @@ class InflateSource:
             )
         except EOFError:
             return None
+        self._consume(pos)
+        return vals
+
+    def try_read_planar(self, n: int):
+        """Decode n values into the device-upload planar format, or None."""
+        try:
+            plane, ei, ev, pos = decode_values_planar(
+                np.frombuffer(bytes(self._buf), dtype=np.uint8), n, self._bitpos
+            )
+        except EOFError:
+            return None
+        self._consume(pos)
+        return plane, ei, ev
+
+    def _consume(self, pos: int) -> None:
         self._bitpos = pos
-        # Compact consumed whole bytes.
         drop = self._bitpos // 8
         if drop:
             del self._buf[:drop]
             self._bitpos -= drop * 8
-        return vals

@@ -73,6 +73,18 @@ def load():
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.eg_decode_planar.restype = ctypes.c_int
+        lib.eg_decode_planar.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
         lib.eg_scan.restype = ctypes.c_uint64
         lib.eg_scan.argtypes = [
             ctypes.c_void_p,

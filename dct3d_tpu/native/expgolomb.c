@@ -60,6 +60,45 @@ EG_EXPORT int eg_encode(const int32_t *values, size_t n, uint8_t *out,
     return 0;
 }
 
+/* Big-endian 64-bit window load (for the fast decode path). */
+static inline uint64_t load_be64(const uint8_t *p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+#if defined(__GNUC__)
+    return __builtin_bswap64(v);
+#else
+    return ((v & 0xFFull) << 56) | ((v & 0xFF00ull) << 40) |
+           ((v & 0xFF0000ull) << 24) | ((v & 0xFF000000ull) << 8) |
+           ((v >> 8) & 0xFF000000ull) | ((v >> 24) & 0xFF0000ull) |
+           ((v >> 40) & 0xFF00ull) | (v >> 56);
+#endif
+}
+
+/* Fast path: decode one codeword from a 64-bit window when it fits
+ * entirely (width <= 57-phase guaranteed by lz bound check).  Returns the
+ * signed value and advances *pos; returns 0/1 via *ok. */
+static inline int64_t decode_fast(const uint8_t *data, size_t cap_bytes,
+                                  uint64_t nbits_avail, uint64_t *pos,
+                                  int *ok) {
+    uint64_t p = *pos;
+    size_t byte = (size_t)(p >> 3);
+    int phase = (int)(p & 7);
+    if (byte + 8 > cap_bytes) { *ok = 0; return 0; }
+    uint64_t w = load_be64(data + byte) << phase;
+    if (w == 0) { *ok = 0; return 0; } /* long zero run: slow path */
+    int lz = __builtin_clzll(w);
+    int width = 2 * lz + 1;
+    if (width > 64 - phase || p + (uint64_t)width > nbits_avail) {
+        *ok = 0;
+        return 0;
+    }
+    uint64_t code = w >> (64 - width);
+    *pos = p + (uint64_t)width;
+    uint64_t m = code - 1;
+    *ok = 1;
+    return (m & 1) ? (int64_t)((m + 1) >> 1) : -(int64_t)(m >> 1);
+}
+
 /* ------------------------------------------------------------------ */
 /* Decode: read n values starting at bit *bitpos.  nbits_avail is the  */
 /* number of valid bits in `data`.  Returns 0 on success, -1 if the    */
@@ -69,7 +108,14 @@ EG_EXPORT int eg_decode(const uint8_t *data, uint64_t nbits_avail,
                         uint64_t *bitpos, int32_t *out, size_t n) {
     uint64_t pos = *bitpos;
     uint64_t start = pos;
+    size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
     for (size_t i = 0; i < n; i++) {
+        int ok;
+        int64_t v = decode_fast(data, cap_bytes, nbits_avail, &pos, &ok);
+        if (ok) {
+            out[i] = (int32_t)v;
+            continue;
+        }
         /* count leading zeros */
         int zeros = 0;
         uint64_t p = pos;
@@ -107,6 +153,49 @@ EG_EXPORT int eg_decode(const uint8_t *data, uint64_t nbits_avail,
         out[i] = (m & 1) ? (int32_t)((m + 1) >> 1) : -(int32_t)(m >> 1);
     }
     *bitpos = pos;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Fused decode + planarize: decode n values directly into an int8     */
+/* plane (wrapping cast) plus an exception list (flat index, true      */
+/* value) for values outside int8 — the device-upload format of the    */
+/* decoder (codec/decoder.py).  One pass, no int32 intermediate.       */
+/* Returns 0 ok, -1 stream exhausted (bitpos unchanged), -2 exception  */
+/* capacity exceeded (bitpos unchanged).                               */
+/* ------------------------------------------------------------------ */
+EG_EXPORT int eg_decode_planar(const uint8_t *data, uint64_t nbits_avail,
+                               uint64_t *bitpos, int8_t *plane, size_t n,
+                               int32_t *exc_idx, int32_t *exc_val,
+                               size_t exc_cap, uint64_t *exc_count) {
+    uint64_t pos = *bitpos;
+    uint64_t start = pos;
+    size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
+    size_t nexc = 0;
+    for (size_t i = 0; i < n; i++) {
+        int ok;
+        int64_t v = decode_fast(data, cap_bytes, nbits_avail, &pos, &ok);
+        if (!ok) {
+            /* slow path shared with eg_decode */
+            int32_t one;
+            uint64_t p2 = pos;
+            if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
+                *bitpos = start;
+                return -1;
+            }
+            pos = p2;
+            v = one;
+        }
+        plane[i] = (int8_t)v;
+        if ((int64_t)(int8_t)v != v) {
+            if (nexc >= exc_cap) { *bitpos = start; return -2; }
+            exc_idx[nexc] = (int32_t)i;
+            exc_val[nexc] = (int32_t)v;
+            nexc++;
+        }
+    }
+    *bitpos = pos;
+    *exc_count = nexc;
     return 0;
 }
 

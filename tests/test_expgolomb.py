@@ -218,3 +218,25 @@ def test_parallel_deflate_end_to_end(clip_module=None):
     out_a = decode_video(serial, 64, 64, 16, CodecConfig(deflate_workers=0))
     out_b = decode_video(fast, 64, 64, 16, CodecConfig(deflate_workers=3))
     np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_planar_decode_matches_plain(rng):
+    """eg_decode_planar (C) and the numpy fallback agree with decode_values,
+    including values outside int8 and the wrapping-cast plane."""
+    from dct3d_tpu.codec import entropy
+
+    vals = np.concatenate([
+        rng.integers(-6000, 6000, 2000),
+        rng.integers(-5, 5, 30_000),
+    ]).astype(np.int32)
+    rng.shuffle(vals)
+    payload, nbits = entropy.encode_values(vals)
+    plane, ei, ev, pos = entropy.decode_values_planar(payload, vals.size)
+    assert pos == nbits
+    rec = plane.astype(np.int32)
+    rec[ei] = ev
+    np.testing.assert_array_equal(rec, vals)
+    # plane is the wrapping cast everywhere
+    np.testing.assert_array_equal(plane, vals.astype(np.int8))
+    # exceptions are exactly the out-of-int8 values
+    assert set(ei.tolist()) == set(np.flatnonzero(vals.astype(np.int8) != vals).tolist())
