@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -69,20 +70,59 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         help="byte-exact stream layout vs the serial reference encoder "
         "(same as --deflate-workers 0)",
     )
+    p.add_argument(
+        "--stats", action="store_true",
+        help="print per-stage timing/bandwidth JSON to stderr",
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=0, metavar="GOPS",
+        help="encode: write a resumable member container (D3MH) with durable "
+        "progress every N GOPs; re-running the same command resumes",
+    )
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="capture a jax.profiler device trace into this directory",
+    )
 
 
 def cmd_encode(args) -> int:
     from .codec.encoder import StreamingEncoder
     from .io import rawvideo
 
+    from .profiling import profile_to
+
     cfg = _cfg_from_args(args)
     total = rawvideo.frame_count(args.input, args.width, args.height)
     frames = total if args.frames is None else min(args.frames, total)
     frames -= frames % cfg.gop_size
+    if args.checkpoint_every:
+        from .codec.checkpoint import CheckpointingEncoder
+
+        t0 = time.perf_counter()
+        with profile_to(args.profile_dir), CheckpointingEncoder(
+            args.output, args.width, args.height, cfg,
+            checkpoint_gops=args.checkpoint_every,
+        ) as cenc:
+            skip = cenc.frames_done
+            if skip:
+                print(f"resuming at frame {skip}")
+            for batch in rawvideo.iter_frame_batches(
+                args.input, args.width, args.height,
+                cfg.gop_size * args.gops_per_batch, frames,
+                align=cfg.gop_size, start=skip,
+            ):
+                cenc.push(batch)
+        dt = time.perf_counter() - t0
+        written = os.path.getsize(args.output)
+        print(
+            f"encoded {frames} frames -> {written} bytes (container) "
+            f"in {dt:.2f}s"
+        )
+        return 0
     enc = StreamingEncoder(args.width, args.height, cfg)
     t0 = time.perf_counter()
     written = 0
-    with open(args.output, "wb") as out:
+    with profile_to(args.profile_dir), open(args.output, "wb") as out:
         for batch in rawvideo.iter_frame_batches(
             args.input, args.width, args.height,
             cfg.gop_size * args.gops_per_batch, frames,
@@ -96,6 +136,8 @@ def cmd_encode(args) -> int:
         f"({metrics.bits_per_pixel(written, args.width, args.height, frames):.3f} bpp) "
         f"in {dt:.2f}s ({frames / dt:.1f} fps)"
     )
+    if args.stats:
+        print(enc.timer.report(), file=sys.stderr)
     return 0
 
 
@@ -104,17 +146,28 @@ def cmd_decode(args) -> int:
     from .io import rawvideo
 
     cfg = _cfg_from_args(args)
-    if args.frames is None:
+    head = b""
+    if os.path.exists(args.input):
+        with open(args.input, "rb") as f:
+            head = f.read(4)
+    if head != b"D3MH" and args.frames is None:
         print("decode requires an explicit frame count (headerless stream, "
               "as in the reference: Decoder.java:18)", file=sys.stderr)
         return 2
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.perf_counter()
-    video = decode_video(
-        data, args.width, args.height, args.frames, cfg,
-        gops_per_batch=args.gops_per_batch,
-    )
+    if head == b"D3MH":  # checkpoint/multi-host member container
+        from .parallel.multihost import decode_multihost_container
+
+        video = decode_multihost_container(data, args.width, args.height, cfg)
+        if args.frames is not None:
+            video = video[: args.frames]
+    else:
+        video = decode_video(
+            data, args.width, args.height, args.frames, cfg,
+            gops_per_batch=args.gops_per_batch,
+        )
     dt = time.perf_counter() - t0
     rawvideo.write_video(args.output, video)
     print(

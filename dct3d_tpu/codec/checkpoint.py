@@ -1,0 +1,118 @@
+"""Checkpointable / resumable encoding.
+
+The reference has no resume story (SURVEY.md §5): its Java encoder is
+one-shot in RAM and its C encoder spans ONE zlib stream over the whole file,
+so a crash loses everything.  GOP independence makes every N-GOP boundary a
+natural restart point *if* the entropy+DEFLATE state is reset there — which
+is exactly the multi-host member container (parallel/multihost.py): the
+checkpointed stream is a sequence of self-contained members
+``D3MH | frames | length | zlib-payload``, each decodable in isolation.
+
+CheckpointingEncoder appends complete members to the output file and fsyncs;
+``resume_info`` inspects a (possibly truncated) file, reports how many
+frames are safely on disk, and truncates a torn tail member so encoding can
+continue from the next GOP.  Decode via
+``parallel.multihost.decode_multihost_container`` (same format).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from ..config import CodecConfig
+from ..parallel.multihost import MEMBER_MAGIC, split_members
+from .encoder import StreamingEncoder
+from .transform import TransformContext
+
+
+def resume_info(path: str) -> tuple[int, int]:
+    """(frames_safe, bytes_safe) of the longest complete-member prefix.
+
+    Returns (0, 0) for a missing/empty file.  A torn trailing member (crash
+    mid-write) is excluded.
+    """
+    if not os.path.exists(path):
+        return 0, 0
+    data = open(path, "rb").read()
+    frames = 0
+    pos = 0
+    while pos + 16 <= len(data) and data[pos : pos + 4] == MEMBER_MAGIC:
+        f, length = struct.unpack_from("<IQ", data, pos + 4)
+        if pos + 16 + length > len(data):
+            break  # torn member
+        frames += f
+        pos += 16 + length
+    return frames, pos
+
+
+class CheckpointingEncoder:
+    """Encode into a member container with durable progress every
+    ``checkpoint_gops`` GOPs.  Construction resumes automatically from the
+    longest complete prefix of ``path``."""
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        cfg: CodecConfig | None = None,
+        ctx: TransformContext | None = None,
+        checkpoint_gops: int = 8,
+    ) -> None:
+        self.cfg = cfg or CodecConfig()
+        self.path = path
+        self.width = width
+        self.height = height
+        self.ctx = ctx or TransformContext(self.cfg)
+        self.checkpoint_gops = checkpoint_gops
+        self.frames_done, safe_bytes = resume_info(path)
+        mode = "r+b" if os.path.exists(path) else "w+b"
+        self._f = open(path, mode)
+        self._f.truncate(safe_bytes)  # drop any torn tail member
+        self._f.seek(safe_bytes)
+        self._enc: StreamingEncoder | None = None
+        self._member_frames = 0
+        self._member_chunks: list[bytes] = []
+
+    def _flush_member(self) -> None:
+        if self._enc is None:
+            return
+        self._member_chunks.append(self._enc.finish())
+        payload = b"".join(self._member_chunks)
+        self._f.write(
+            MEMBER_MAGIC + struct.pack("<IQ", self._member_frames, len(payload))
+        )
+        self._f.write(payload)
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self.frames_done += self._member_frames
+        self._enc = None
+        self._member_frames = 0
+        self._member_chunks = []
+
+    def push(self, frames: np.ndarray) -> None:
+        """Encode a (T, H, W) uint8 batch (T a GOP multiple).  The caller
+        feeds frames starting at ``frames_done`` after a resume."""
+        gop = self.cfg.gop_size
+        for i in range(0, frames.shape[0], gop):
+            if self._enc is None:
+                self._enc = StreamingEncoder(
+                    self.width, self.height, self.cfg, self.ctx
+                )
+            self._member_chunks.append(self._enc.push(frames[i : i + gop]))
+            self._member_frames += gop
+            if self._member_frames >= self.checkpoint_gops * gop:
+                self._flush_member()
+
+    def close(self) -> None:
+        self._flush_member()
+        self._f.close()
+
+    def __enter__(self) -> "CheckpointingEncoder":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CodecConfig
+from ..profiling import StageTimer
 from . import entropy
 from .transform import TransformContext, encode_step
 
@@ -75,6 +76,8 @@ class StreamingEncoder:
         self._drainer = ThreadPoolExecutor(max_workers=1)
         self._out: collections.deque[Future] = collections.deque()
         self._carry = None  # (code, bits) device scalars chaining GOPs
+        #: per-stage wall time / bytes (SURVEY.md §5 observability)
+        self.timer = StageTimer()
 
     # -- internal ------------------------------------------------------------
 
@@ -86,7 +89,8 @@ class StreamingEncoder:
         carry chain is buffer-independent (ops/bitpack.py), so already
         dispatched later batches remain valid.
         """
-        total_bits = int(gop.total_bits)
+        with self.timer.stage("device_wait"):
+            total_bits = int(gop.total_bits)
         nbytes = total_bits // 8 + 1
         if nbytes > gop.packed.shape[0]:
             gop = encode_step(
@@ -98,8 +102,10 @@ class StreamingEncoder:
                 cfg=self.cfg,
             )
         cap = min(gop.packed.shape[0], -(-nbytes // _D2H_BUCKET) * _D2H_BUCKET)
-        packed = np.asarray(jax.device_get(gop.packed[:cap]))
-        return self.sink.push_packed(packed, total_bits)
+        with self.timer.stage("d2h", cap):
+            packed = np.asarray(jax.device_get(gop.packed[:cap]))
+        with self.timer.stage("deflate", nbytes):
+            return self.sink.push_packed(packed, total_bits)
 
     def _collect(self, block: bool = False) -> bytes:
         out = []
@@ -138,15 +144,16 @@ class StreamingEncoder:
             if self._carry is None:
                 self._carry = (jnp.uint32(0), jnp.int32(0))
             carry_in = self._carry
-            frames_dev = jnp.asarray(frames)
-            gop = encode_step(
-                frames_dev,
-                self.ctx.enc_t,
-                carry_in[0],
-                carry_in[1],
-                max_bytes=self.ctx.max_packed_bytes(frames.size),
-                cfg=self.cfg,
-            )
+            with self.timer.stage("dispatch", frames.nbytes):
+                frames_dev = jnp.asarray(frames)
+                gop = encode_step(
+                    frames_dev,
+                    self.ctx.enc_t,
+                    carry_in[0],
+                    carry_in[1],
+                    max_bytes=self.ctx.max_packed_bytes(frames.size),
+                    cfg=self.cfg,
+                )
             self._carry = (gop.carry_code, gop.carry_bits)
             self._out.append(
                 self._drainer.submit(self._drain_gop, frames_dev, carry_in, gop)

@@ -49,6 +49,7 @@ def iter_frame_batches(
     max_frames: int | None = None,
     channels: int = 1,
     align: int | None = None,
+    start: int = 0,
 ) -> Iterator[np.ndarray]:
     """Stream a raw file in frame batches (the C codec's chunked read,
     encoder.c:203-278).
@@ -56,7 +57,8 @@ def iter_frame_batches(
     The total is trimmed to a multiple of `align` (default: batch_frames) —
     pass the GOP size to keep a GOP-aligned partial tail batch instead of
     dropping it, matching the reference's truncate-to-GOP behavior
-    (Encoder.java:39-40).
+    (Encoder.java:39-40).  `start` skips that many leading frames
+    (checkpoint resume).
     """
     fsize = width * height * channels
     total = frame_count(path, width, height, channels)
@@ -64,7 +66,8 @@ def iter_frame_batches(
         total = min(total, max_frames)
     total -= total % (align or batch_frames)
     with open(path, "rb") as f:
-        done = 0
+        f.seek(start * fsize)
+        done = start
         while done < total:
             n = min(batch_frames, total - done)
             buf = np.fromfile(f, dtype=np.uint8, count=n * fsize)

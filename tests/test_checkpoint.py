@@ -1,0 +1,74 @@
+"""Checkpoint/resume tests (SURVEY.md §5: absent in the reference; per-GOP
+member boundaries are the natural restart points)."""
+
+import numpy as np
+
+from dct3d_tpu import CodecConfig, psnr
+from dct3d_tpu.codec.checkpoint import CheckpointingEncoder, resume_info
+from dct3d_tpu.parallel.multihost import decode_multihost_container
+
+from conftest import synthetic_video
+
+
+def test_checkpoint_resume_after_crash(tmp_path):
+    cfg = CodecConfig()
+    clip = synthetic_video(48, 64, 64, seed=20)
+    p = str(tmp_path / "v.d3mh")
+
+    # First run: encode 32 of 48 frames (2 complete members of 2 GOPs),
+    # then "crash" with a torn member tail on disk.
+    enc = CheckpointingEncoder(p, 64, 64, cfg, checkpoint_gops=2)
+    enc.push(clip[:32])
+    enc._f.write(b"D3MHgarbage-torn-member")  # simulate crash mid-write
+    enc._f.flush()
+    enc._f.close()
+
+    frames_safe, bytes_safe = resume_info(p)
+    assert frames_safe == 32
+
+    # Resume: constructor truncates the torn tail and continues.
+    with CheckpointingEncoder(p, 64, 64, cfg, checkpoint_gops=2) as enc2:
+        assert enc2.frames_done == 32
+        enc2.push(clip[32:])
+
+    frames_safe, _ = resume_info(p)
+    assert frames_safe == 48
+    out = decode_multihost_container(open(p, "rb").read(), 64, 64, cfg)
+    assert out.shape == (48, 64, 64)
+    assert psnr(clip, out) > 30.0
+
+
+def test_checkpoint_stream_matches_uninterrupted(tmp_path):
+    """A resumed file is byte-identical to an uninterrupted run with the
+    same checkpoint interval."""
+    cfg = CodecConfig()
+    clip = synthetic_video(32, 64, 64, seed=21)
+    a, b = str(tmp_path / "a.d3mh"), str(tmp_path / "b.d3mh")
+    with CheckpointingEncoder(a, 64, 64, cfg, checkpoint_gops=1) as enc:
+        enc.push(clip)
+    with CheckpointingEncoder(b, 64, 64, cfg, checkpoint_gops=1) as enc:
+        enc.push(clip[:16])
+    with CheckpointingEncoder(b, 64, 64, cfg, checkpoint_gops=1) as enc:
+        assert enc.frames_done == 16
+        enc.push(clip[16:])
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_cli_checkpoint_encode_decode(tmp_path, capsys):
+    from dct3d_tpu import cli
+    from dct3d_tpu.io import rawvideo
+
+    clip = synthetic_video(32, 32, 32, seed=22)
+    src = str(tmp_path / "src.raw")
+    out = str(tmp_path / "v.d3mh")
+    dec = str(tmp_path / "dec.raw")
+    rawvideo.write_video(src, clip)
+    assert cli.main(["encode", src, out, "32", "32",
+                     "--checkpoint-every", "2"]) == 0
+    # Re-run: resumes (no new frames) and stays valid.
+    assert cli.main(["encode", src, out, "32", "32",
+                     "--checkpoint-every", "2"]) == 0
+    # Container decode without explicit frame count.
+    assert cli.main(["decode", out, dec, "32", "32"]) == 0
+    back = rawvideo.read_video(dec, 32, 32)
+    assert psnr(clip, back) > 30.0
