@@ -73,7 +73,7 @@ def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
     from dct3d_tpu import metrics
 
     t, h, w = frames.shape
-    cfg = CodecConfig(deflate_workers=-1)  # parallel DEFLATE speed profile
+    cfg = CodecConfig(deflate_workers=-1, pack_bits_per_value=4)  # speed profile
     ctx = TransformContext(cfg)
 
     def run_encode() -> bytes:

@@ -8,13 +8,14 @@ obvious "scatter every codeword's bytes" and "searchsorted run boundaries"
 formulations cost ~1.5 s per 1080p GOP.  This implementation instead routes
 the irregular work through the MXU and a handful of small gathers:
 
-  level 1 — groups of `group` (64) codewords.  Bit offsets inside a group are
+  level 1 — groups of `group` (256 by default; measured fastest at 256-512
+    on v5e) codewords.  Bit offsets inside a group are
     a row-wise cumsum.  Each codeword (field width <= 32 bits) contributes to
     exactly two 32-bit words of a zero-padded per-group buffer of W = group+2
     words, via shifts.  The per-word segment sums are computed EXACTLY as a
     one-hot matmul on the MXU: one-hot(word index) in bfloat16 x the four
     byte-planes of each contribution (bf16 holds 0..255 exactly), f32
-    accumulation (sums <= 64*255 << 2^24), recombined into uint32 words.
+    accumulation (sums <= group*255 << 2^24), recombined into uint32 words.
 
   level 2 — the global stream is the concatenation of per-group bit strings.
     Every group's buffer is already packed at its *global* bit phase
@@ -58,7 +59,7 @@ import numpy as np
 MAX_SPAN_BYTES = 6
 
 
-def pack_bits(code, width, out_bytes: int, group: int = 64):
+def pack_bits(code, width, out_bytes: int, group: int = 256):
     """Pack codewords into a byte buffer of static size.
 
     Args:
