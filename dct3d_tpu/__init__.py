@@ -12,19 +12,26 @@ over GOP/tile meshes.
 from .config import CodecConfig, DEFAULT_CONFIG
 from .codec.encoder import StreamingEncoder, encode_stream, encode_video
 from .codec.decoder import StreamingDecoder, decode_stream, decode_video
+from .codec.checkpoint import CheckpointingEncoder
+from .codec.rgb_codec import decode_rgb_video, encode_rgb_video
 from .codec.transform import TransformContext
 from .metrics import psnr, bits_per_pixel
+from .profiling import StageTimer
 
 __version__ = "0.1.0"
 
 __all__ = [
     "CodecConfig",
     "DEFAULT_CONFIG",
+    "CheckpointingEncoder",
     "StreamingEncoder",
     "StreamingDecoder",
+    "StageTimer",
     "TransformContext",
     "encode_video",
     "decode_video",
+    "encode_rgb_video",
+    "decode_rgb_video",
     "encode_stream",
     "decode_stream",
     "psnr",

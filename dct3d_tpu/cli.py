@@ -75,6 +75,12 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         help="print per-stage timing/bandwidth JSON to stderr",
     )
     p.add_argument(
+        "--rgb", action="store_true",
+        help="treat input/output as interleaved RGB (3 B/px): channels are "
+        "split, coded separately (the reference's RGBUtils workflow, "
+        "README.md:22-27), and carried as 3 members of one container",
+    )
+    p.add_argument(
         "--checkpoint-every", type=int, default=0, metavar="GOPS",
         help="encode: write a resumable member container (D3MH) with durable "
         "progress every N GOPs; re-running the same command resumes",
@@ -92,6 +98,23 @@ def cmd_encode(args) -> int:
     from .profiling import profile_to
 
     cfg = _cfg_from_args(args)
+    if args.rgb:
+        from .codec.rgb_codec import encode_rgb_video
+
+        video = rawvideo.read_video(
+            args.input, args.width, args.height, args.frames, channels=3
+        )
+        t0 = time.perf_counter()
+        data = encode_rgb_video(video, cfg)
+        dt = time.perf_counter() - t0
+        with open(args.output, "wb") as f:
+            f.write(data)
+        t = video.shape[0] - video.shape[0] % cfg.gop_size
+        print(
+            f"encoded {t} RGB frames {args.width}x{args.height} -> "
+            f"{len(data)} bytes in {dt:.2f}s ({t / dt:.1f} fps)"
+        )
+        return 0
     total = rawvideo.frame_count(args.input, args.width, args.height)
     frames = total if args.frames is None else min(args.frames, total)
     frames -= frames % cfg.gop_size
@@ -157,7 +180,13 @@ def cmd_decode(args) -> int:
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.perf_counter()
-    if head == b"D3MH":  # checkpoint/multi-host member container
+    if head == b"D3MH" and args.rgb:  # 3-channel container
+        from .codec.rgb_codec import decode_rgb_video
+
+        video = decode_rgb_video(data, args.width, args.height, cfg)
+        if args.frames is not None:
+            video = video[: args.frames]
+    elif head == b"D3MH":  # checkpoint/multi-host member container
         from .parallel.multihost import decode_multihost_container
 
         video = decode_multihost_container(data, args.width, args.height, cfg)

@@ -1,0 +1,60 @@
+"""Color (interleaved RGB) convenience codec.
+
+The reference handles color by hand: CaptureScreen emits interleaved RGB
+(CaptureScreen.java:135-147), RGBUtils splits it into three planar files
+(RGBUtils.java:39-90), each channel runs through the grayscale codec
+separately, and RGBUtils.mix reassembles (README.md:22-27).  This module
+automates that chain: the three channel planes are encoded as three members
+of the D3MH container (R, G, B order), so one file carries a color clip and
+decodes on any host without the split/mix shuffle.  The per-channel payload
+is the unmodified grayscale bitstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CodecConfig
+from .decoder import decode_video
+from .encoder import encode_video
+from .transform import TransformContext
+
+
+def encode_rgb_video(
+    frames: np.ndarray,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> bytes:
+    """(T, H, W, 3) uint8 interleaved RGB -> D3MH container (3 members)."""
+    from ..parallel.multihost import _member
+
+    cfg = cfg or CodecConfig()
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("expected (T, H, W, 3) interleaved RGB")
+    t = frames.shape[0] - frames.shape[0] % cfg.gop_size
+    out = []
+    for c in range(3):
+        plane = np.ascontiguousarray(frames[:t, :, :, c])
+        out.append(_member(encode_video(plane, cfg, ctx), t))
+    return b"".join(out)
+
+
+def decode_rgb_video(
+    data: bytes,
+    width: int,
+    height: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> np.ndarray:
+    """D3MH container (3 members) -> (T, H, W, 3) uint8 interleaved RGB."""
+    from ..parallel.multihost import split_members
+
+    cfg = cfg or CodecConfig()
+    members = split_members(data)
+    if len(members) != 3:
+        raise ValueError(f"expected 3 channel members, found {len(members)}")
+    planes = [
+        decode_video(payload, width, height, frames, cfg, ctx)
+        for frames, payload in members
+    ]
+    return np.stack(planes, axis=-1)

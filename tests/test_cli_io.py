@@ -103,3 +103,40 @@ def test_cli_sweep(tmp_path, capsys):
     assert q10["psnr_db"] < q2["psnr_db"]
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) == 2
+
+
+def test_rgb_codec_roundtrip(tmp_path):
+    from dct3d_tpu import decode_rgb_video, encode_rgb_video, psnr
+    from dct3d_tpu.io import synthetic
+
+    clip = synthetic.moving_gradient(16, 32, 32, rgb=True)
+    data = encode_rgb_video(clip)
+    out = decode_rgb_video(data, 32, 32)
+    assert out.shape == clip.shape
+    assert psnr(clip, out) > 30.0
+
+
+def test_cli_rgb_encode_decode(tmp_path):
+    from dct3d_tpu import psnr
+    from dct3d_tpu.io import synthetic
+
+    src = str(tmp_path / "c.rgb")
+    enc = str(tmp_path / "c.bin")
+    dec = str(tmp_path / "back.rgb")
+    synthetic.capture(src, 16, 32, 32, rgb=True)
+    assert cli.main(["encode", src, enc, "32", "32", "--rgb"]) == 0
+    assert cli.main(["decode", enc, dec, "32", "32", "--rgb"]) == 0
+    a = rawvideo.read_video(src, 32, 32, channels=3)
+    b = rawvideo.read_video(dec, 32, 32, channels=3)
+    assert psnr(a, b) > 30.0
+
+
+def test_encode_determinism_parallel_deflate():
+    """Same input -> identical bytes even with threaded DEFLATE (race guard,
+    SURVEY.md §5 'race detection')."""
+    from dct3d_tpu import CodecConfig, encode_video
+    from conftest import synthetic_video
+
+    clip = synthetic_video(16, 64, 64, seed=30)
+    cfg = CodecConfig(deflate_workers=3)
+    assert encode_video(clip, cfg) == encode_video(clip, cfg)
