@@ -59,7 +59,16 @@ import numpy as np
 MAX_SPAN_BYTES = 6
 
 
-def pack_bits(code, width, out_bytes: int, group: int = 256):
+def _default_impl() -> str:
+    """Level-2 implementation.  Always the XLA gather formulation: the
+    Pallas splice kernel (ops/splice.py) is rejected by Mosaic on real TPUs
+    because bitstream word offsets are not VMEM-tile-aligned — see the
+    STATUS note there for the measurement-driven decision record."""
+    return "xla"
+
+
+def pack_bits(code, width, out_bytes: int, group: int = 256,
+              impl: str | None = None):
     """Pack codewords into a byte buffer of static size.
 
     Args:
@@ -67,6 +76,9 @@ def pack_bits(code, width, out_bytes: int, group: int = 256):
       width: (n,) int32 field widths in bits, each <= 32 (0 = no-op slot).
       out_bytes: static output buffer size in bytes.
       group: codewords per level-1 group (input is zero-padded to a multiple).
+      impl: level-2 assembly: "pallas" (TPU splice kernel),
+        "pallas_interpret" (same kernel, interpreter), "xla" (gather
+        formulation), None = auto.
 
     Returns:
       (buf, total_bits, tail_byte): buf (out_bytes,) uint8 with the MSB-first
@@ -154,21 +166,32 @@ def pack_bits(code, width, out_bytes: int, group: int = 256):
         group_meta(jnp.where(prev_ne >= 0, prev_ne[jnp.clip(prev_ne, 0, g_count - 1)], -1)),
     ]
 
-    # Smear per-group values across owner runs: all scattered values are
-    # monotone nondecreasing in g (w_words > max group word span), so
-    # scatter-max at group start words + cummax yields the owner's value.
     nwords = (out_bytes + 3) // 4
-    wi = jnp.arange(nwords, dtype=jnp.int32)
-    words = jnp.zeros((nwords,), jnp.uint32)
-    for base_g, limit_g in metas:
-        base = jax.lax.cummax(
-            jnp.full((nwords,), neg, jnp.int32).at[sw].max(base_g, mode="drop")
+    impl = impl or _default_impl()
+    if impl in ("pallas", "pallas_interpret"):
+        from .splice import splice
+
+        words = splice(
+            buf_groups, sw, (gstart + gbits).astype(jnp.int32),
+            nwords=nwords, group=group,
+            interpret=(impl == "pallas_interpret"),
         )
-        limit = jax.lax.cummax(
-            jnp.zeros((nwords,), jnp.int32).at[sw].max(limit_g, mode="drop")
-        )
-        vals = table[jnp.clip(base + wi + 1, 0, t_max)]
-        words = words + jnp.where(wi < limit, vals, 0)
+    else:
+        # XLA fallback: smear per-group values across owner runs — all
+        # scattered values are monotone nondecreasing in g (w_words > max
+        # group word span), so scatter-max at group start words + cummax
+        # yields the owner's value; three table gathers assemble the words.
+        wi = jnp.arange(nwords, dtype=jnp.int32)
+        words = jnp.zeros((nwords,), jnp.uint32)
+        for base_g, limit_g in metas:
+            base = jax.lax.cummax(
+                jnp.full((nwords,), neg, jnp.int32).at[sw].max(base_g, mode="drop")
+            )
+            limit = jax.lax.cummax(
+                jnp.zeros((nwords,), jnp.int32).at[sw].max(limit_g, mode="drop")
+            )
+            vals = table[jnp.clip(base + wi + 1, 0, t_max)]
+            words = words + jnp.where(wi < limit, vals, 0)
 
     shifts = jnp.array([24, 16, 8, 0], jnp.uint32)
     buf = ((words[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)

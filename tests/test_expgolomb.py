@@ -8,6 +8,7 @@ it byte for byte.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from dct3d_tpu import native
@@ -240,3 +241,25 @@ def test_planar_decode_matches_plain(rng):
     np.testing.assert_array_equal(plane, vals.astype(np.int8))
     # exceptions are exactly the out-of-int8 values
     assert set(ei.tolist()) == set(np.flatnonzero(vals.astype(np.int8) != vals).tolist())
+
+
+@pytest.mark.parametrize("n", [100, 70_000, 300_000])
+def test_pallas_splice_matches_xla(rng, n):
+    """The Pallas splice kernel (interpret mode on CPU) and the XLA gather
+    formulation produce identical packed bytes, including multi-cell grids
+    and cross-cell boundary words."""
+    from dct3d_tpu.ops import bitpack, expgolomb
+
+    vals = rng.integers(-300, 300, n).astype(np.int32)
+    code, width = expgolomb.codewords_np(vals)
+    out_bytes = int(width.sum()) // 8 + 8
+    a, bits_a, tail_a = jax.jit(
+        lambda c, w: bitpack.pack_bits(c, w, out_bytes, impl="xla")
+    )(code, width)
+    b, bits_b, tail_b = jax.jit(
+        lambda c, w: bitpack.pack_bits(c, w, out_bytes, impl="pallas_interpret")
+    )(code, width)
+    assert int(bits_a) == int(bits_b)
+    assert int(tail_a) == int(tail_b)
+    nbytes = int(bits_a) // 8  # last partial byte is caller-managed
+    np.testing.assert_array_equal(np.asarray(a)[:nbytes], np.asarray(b)[:nbytes])
