@@ -161,3 +161,32 @@ def test_pack_budget_overflow_retries(clip):
     lossless = CodecConfig(quant_strength=0)  # big coeffs, ~8-10 bits/value
     tight = CodecConfig(quant_strength=0, pack_bits_per_value=2)
     assert encode_video(clip, tight) == encode_video(clip, lossless)
+
+
+def test_extreme_coefficients_through_device_pack():
+    """Flat-white video maximizes the DC coefficient (|c| ~ 255*sqrt(512)
+    before quantization) — exercises the widest Exp-Golomb codewords and the
+    pack's two-word spill path end to end."""
+    clip = np.full((8, 64, 64), 255, dtype=np.uint8)
+    for q in (0, 5):
+        cfg = CodecConfig(quant_strength=q)
+        data = encode_video(clip, cfg)
+        out = decode_video(data, 64, 64, 8, cfg)
+        assert psnr(clip, out) > 40.0
+        # Byte parity with the float64 oracle on the same content.
+        assert data == oracle.encode(clip, cfg)
+
+
+def test_decode_truncated_stream_raises(clip):
+    data = encode_video(clip)
+    with pytest.raises(EOFError):
+        decode_video(data[: len(data) // 4], 64, 64, clip.shape[0])
+
+
+def test_geometry_validation():
+    with pytest.raises(ValueError):
+        CodecConfig().validate_geometry(321, 240)
+    from dct3d_tpu import StreamingEncoder
+
+    with pytest.raises(ValueError):
+        StreamingEncoder(321, 240)
