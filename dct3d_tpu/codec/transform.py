@@ -59,7 +59,10 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
     # packed buffer starts at bit 0 of the continuing stream.
     code = jnp.concatenate([carry_code[None].astype(jnp.uint32), code])
     width = jnp.concatenate([carry_bits[None].astype(jnp.int32), width])
-    packed, total_bits, tail_byte = bitpack.pack_bits(code, width, max_bytes)
+    packed, total_bits, tail_byte = bitpack.pack_bits(
+        code, width, max_bytes,
+        max_width=bitpack.max_codeword_bits(cfg.cube_size),
+    )
     # Next GOP's carry, computed ON DEVICE so consecutive encode steps chain
     # without a host round trip (the host learns total_bits asynchronously).
     # tail_byte is buffer-independent, so the carry chain survives a buffer

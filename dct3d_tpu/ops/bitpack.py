@@ -67,18 +67,29 @@ def _default_impl() -> str:
     return "xla"
 
 
+def max_codeword_bits(cube_size: int) -> int:
+    """Worst-case Exp-Golomb field width for quantized 3D-DCT coefficients
+    of 8-bit video: |c| <= 255*sqrt(cube) (orthonormal basis; divisors only
+    shrink it), code number m+1 <= 2*|c|+2."""
+    max_code = 2 * int(np.ceil(255.0 * np.sqrt(cube_size))) + 2
+    return 2 * max_code.bit_length() - 1
+
+
 def pack_bits(code, width, out_bytes: int, group: int = 256,
-              impl: str | None = None):
+              impl: str | None = None, max_width: int = 32):
     """Pack codewords into a byte buffer of static size.
 
     Args:
       code: (n,) uint32 code numbers (MSB-first payload of each field).
-      width: (n,) int32 field widths in bits, each <= 32 (0 = no-op slot).
+      width: (n,) int32 field widths in bits, each <= max_width (0 = no-op).
       out_bytes: static output buffer size in bytes.
       group: codewords per level-1 group (input is zero-padded to a multiple).
       impl: level-2 assembly: "pallas" (TPU splice kernel),
         "pallas_interpret" (same kernel, interpreter), "xla" (gather
         formulation), None = auto.
+      max_width: static bound on field widths (<= 32); a tighter bound from
+        max_codeword_bits() shrinks the level-1 buffers (~15% less HBM
+        traffic for 8x8x8 cubes).  Widths exceeding it corrupt the stream.
 
     Returns:
       (buf, total_bits, tail_byte): buf (out_bytes,) uint8 with the MSB-first
@@ -96,7 +107,8 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
         code32 = jnp.concatenate([code32, jnp.zeros((pad,), jnp.uint32)])
         width = jnp.concatenate([width, jnp.zeros((pad,), jnp.int32)])
     g_count = (n + pad) // group
-    w_words = group + 2  # zero-padded words per group buffer
+    # Zero-padded words per group buffer (worst-case group bits + c1 spill).
+    w_words = -(-group * min(max_width, 32) // 32) + 2
     code32 = code32.reshape(g_count, group)
     wid = width.reshape(g_count, group)
 

@@ -57,7 +57,10 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
     # bits so the buffer's bytes land on global byte boundaries.
     code = jnp.concatenate([jnp.zeros((1,), jnp.uint32), code])
     width = jnp.concatenate([phase[None], width])
-    packed, total_bits, _ = bitpack.pack_bits(code, width, max_bytes)
+    packed, total_bits, _ = bitpack.pack_bits(
+        code, width, max_bytes,
+        max_width=bitpack.max_codeword_bits(cfg.cube_size),
+    )
     return (
         packed[None],
         (total_bits - phase)[None],
