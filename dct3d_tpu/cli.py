@@ -32,6 +32,7 @@ def _cfg_from_args(args) -> CodecConfig:
         block_h=args.block,
         block_d=args.block,
         quant_strength=args.quant,
+        quant_bias=getattr(args, "quant_bias", 0.5),
         zlib_level=args.zlib_level,
         deflate_workers=0 if getattr(args, "parity", False) else args.deflate_workers,
     )
@@ -52,6 +53,12 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--block", type=int, default=8, help="DCT cube edge (8 or 4)")
     p.add_argument("--quant", type=int, default=5, help="quantization strength")
+    p.add_argument(
+        "--quant-bias", type=float, default=0.5,
+        help="quantizer rounding bias; 0.5 = reference parity, ~0.4 = "
+        "deadzone (+0.1-0.4 dB at equal rate, stream stays "
+        "reference-decodable)",
+    )
     p.add_argument(
         "--zlib-level", type=int, default=9,
         help="DEFLATE level (9 = reference C encoder; lower = faster)",
@@ -291,7 +298,8 @@ def cmd_sweep(args) -> int:
         for q in strengths:
             cfg = CodecConfig(
                 block_w=block, block_h=block, block_d=block,
-                quant_strength=q, zlib_level=args.zlib_level,
+                quant_strength=q, quant_bias=args.quant_bias,
+                zlib_level=args.zlib_level,
                 deflate_workers=args.deflate_workers,
             )
             tt = t - t % cfg.gop_size
@@ -383,6 +391,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated quant strengths")
     pw.add_argument("--blocks", default="8,4",
                     help="comma-separated cube edges")
+    pw.add_argument("--quant-bias", type=float, default=0.5)
     pw.add_argument("--zlib-level", type=int, default=9)
     pw.add_argument("--deflate-workers", type=int, default=-1)
     pw.add_argument("--output", default=None, help="write JSON table here")

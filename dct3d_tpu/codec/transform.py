@@ -35,10 +35,13 @@ from . import framing
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _round_half_away(x):
-    """C roundf() semantics — ties away from zero (encoder.c:53).
-    jnp.round is half-to-even and would diverge from the reference."""
-    return jnp.trunc(x + jnp.copysign(0.5, x))
+def _round_half_away(x, bias=0.5):
+    """q = sign(x)*floor(|x| + bias).  bias=0.5 is C roundf() semantics —
+    ties away from zero (encoder.c:53; jnp.round is half-to-even and would
+    diverge from the reference).  bias<0.5 is a deadzone quantizer: an
+    encoder-side-only RD improvement, the stream stays reference-decodable
+    (the decoder's dequantization is bias-agnostic)."""
+    return jnp.trunc(x + jnp.copysign(bias, x))
 
 
 class EncodedGOP(NamedTuple):
@@ -53,7 +56,7 @@ class EncodedGOP(NamedTuple):
 def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
-    q = _round_half_away(scaled).astype(jnp.int32)
+    q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
     code, width = expgolomb.codewords(q.reshape(-1))
     # Prepend the cross-GOP carry (partial byte) as a pseudo-codeword so the
     # packed buffer starts at bit 0 of the continuing stream.
@@ -119,7 +122,7 @@ def quantize_step(frames, enc_t, *, cfg):
     """Frames -> quantized zigzag int32 coefficients (no bit packing)."""
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
-    return _round_half_away(scaled).astype(jnp.int32)
+    return _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
 
 
 class TransformContext:

@@ -47,6 +47,11 @@ class CodecConfig:
     #: streams need 1-2; pathological batches that exceed it are retried
     #: automatically with a worst-case buffer (see codec/transform.py).
     pack_bits_per_value: int = 6
+    #: Quantizer rounding bias: q = sign(c)*floor(|c|/div + bias).  0.5 is
+    #: the reference's round-half-away (Encoder.java:82, encoder.c:53);
+    #: smaller values give a deadzone quantizer — an encoder-side-only
+    #: rate-distortion knob (the bitstream stays reference-decodable).
+    quant_bias: float = 0.5
 
     @property
     def gop_size(self) -> int:

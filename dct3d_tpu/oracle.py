@@ -22,11 +22,12 @@ from .config import CodecConfig
 from .ops import dct, expgolomb, quant, zigzag
 
 
-def _round_half_away(x: np.ndarray) -> np.ndarray:
-    """C round()/roundf() semantics (half away from zero), the behavior of
-    the accelerated reference (encoder.c:53).  Java's Math.round is half-up
-    and differs only at exact negative .5 ties (SURVEY.md §7 quirks)."""
-    return np.trunc(x + np.copysign(0.5, x))
+def _round_half_away(x: np.ndarray, bias: float = 0.5) -> np.ndarray:
+    """q = sign(x)*floor(|x| + bias).  bias=0.5 is C round()/roundf()
+    semantics (half away from zero), the behavior of the accelerated
+    reference (encoder.c:53).  Java's Math.round is half-up and differs
+    only at exact negative .5 ties (SURVEY.md §7 quirks)."""
+    return np.trunc(x + np.copysign(bias, x))
 
 
 def _cubes(frames: np.ndarray, cfg: CodecConfig) -> np.ndarray:
@@ -54,7 +55,7 @@ def quantized_coefficients(frames: np.ndarray, cfg: CodecConfig) -> np.ndarray:
     div = quant.quant_divisors(
         cfg.block_w, cfg.block_h, cfg.block_d, cfg.quant_strength
     )
-    q = _round_half_away(coeff / div[None, :]).astype(np.int32)
+    q = _round_half_away(coeff / div[None, :], cfg.quant_bias).astype(np.int32)
     perm = zigzag.zigzag_flat_indices(cfg.block_w, cfg.block_h, cfg.block_d)
     return q[:, perm]
 

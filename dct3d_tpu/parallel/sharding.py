@@ -40,7 +40,7 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
     n_tile = mesh_shape[1]
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
-    q = _round_half_away(scaled).astype(jnp.int32)
+    q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
     code, width = expgolomb.codewords(q.reshape(-1))
 
     local_bits = jnp.sum(width).astype(jnp.int32)

@@ -190,3 +190,14 @@ def test_geometry_validation():
 
     with pytest.raises(ValueError):
         StreamingEncoder(321, 240)
+
+
+def test_deadzone_quantizer_rd(clip):
+    """quant_bias < 0.5 (deadzone) must cut rate and remain decodable by the
+    bias-agnostic decoder; 0.5 stays byte-exact reference parity (covered by
+    the oracle tests, which use the same bias path)."""
+    ref = encode_video(clip, CodecConfig())
+    dz = encode_video(clip, CodecConfig(quant_bias=0.4))
+    assert len(dz) < len(ref)
+    out = decode_video(dz, 64, 64, clip.shape[0], CodecConfig(quant_bias=0.4))
+    assert psnr(clip, out) > 30.0
