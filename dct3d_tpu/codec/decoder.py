@@ -18,7 +18,12 @@ import numpy as np
 
 from ..config import CodecConfig
 from . import entropy
-from .transform import TransformContext, decode_step, decode_step_planar
+from .transform import (
+    TransformContext,
+    decode_step,
+    decode_step_planar,
+    decode_step_planar4,
+)
 
 
 def _pad_exceptions(n: int, idx: np.ndarray, val: np.ndarray):
@@ -48,6 +53,24 @@ def _dispatch_planar(planar, ctx: TransformContext, cfg: CodecConfig,
     plane = np.asarray(plane).reshape(-1, cfg.cube_size)
     exc_idx, exc_val = _pad_exceptions(plane.size, np.asarray(idx), np.asarray(val))
     return decode_step_planar(
+        jax.numpy.asarray(plane),
+        jax.numpy.asarray(exc_idx),
+        jax.numpy.asarray(exc_val),
+        ctx.dec_m,
+        cfg=cfg,
+        height=height,
+        width=width,
+    )
+
+
+def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
+                      height: int, width: int):
+    """Dispatch from the packed-nibble planar format (half the upload)."""
+    plane, idx, val = planar
+    plane = np.asarray(plane)
+    n = plane.size * 2
+    exc_idx, exc_val = _pad_exceptions(n, np.asarray(idx), np.asarray(val))
+    return decode_step_planar4(
         jax.numpy.asarray(plane),
         jax.numpy.asarray(exc_idx),
         jax.numpy.asarray(exc_val),
@@ -142,10 +165,10 @@ def decode_video(
     window = max(2, gops_per_batch)
     pending: collections.deque = collections.deque()
     for g0 in range(n_gops):
-        planar = dec.source.try_read_planar(coeffs_per_gop)
+        planar = dec.source.try_read_planar4(coeffs_per_gop)
         if planar is None:
             raise EOFError("bitstream too short for requested frame count")
-        frames_dev = _dispatch_planar(planar, ctx or dec.ctx, cfg, height, width)
+        frames_dev = _dispatch_planar4(planar, ctx or dec.ctx, cfg, height, width)
         frames_dev.copy_to_host_async()
         pending.append((g0, frames_dev))
         if len(pending) >= window:

@@ -144,6 +144,48 @@ def decode_values_planar(
     return plane, idx, vals[idx], pos
 
 
+def decode_values_planar4(
+    data: bytes | np.ndarray, n: int, bitpos: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Decode n (even) values into a packed 4-bit plane + exceptions.
+
+    Two values per byte (low nibble = even index); values outside [-8, 7]
+    go to the exception list.  Halves the decode H2D upload vs the int8
+    plane — DC coefficients are routinely exceptions, AC rarely.
+    """
+    assert n % 2 == 0, "planar4 needs an even value count"
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    lib = native.load()
+    if lib is not None:
+        plane = np.empty(n // 2, np.uint8)
+        cap = max(1024, n // 16)
+        while True:
+            exc_idx = np.empty(cap, np.int32)
+            exc_val = np.empty(cap, np.int32)
+            pos = ctypes.c_uint64(bitpos)
+            cnt = ctypes.c_uint64(0)
+            rc = lib.eg_decode_planar4(
+                buf.ctypes.data, buf.size * 8, ctypes.byref(pos),
+                plane.ctypes.data, n,
+                exc_idx.ctypes.data, exc_val.ctypes.data, cap,
+                ctypes.byref(cnt),
+            )
+            if rc == -2:
+                cap *= 4
+                continue
+            if rc != 0:
+                raise EOFError("exp-golomb stream exhausted")
+            k = int(cnt.value)
+            return plane, exc_idx[:k], exc_val[:k], int(pos.value)
+    vals, pos = decode_values(buf, n, bitpos)
+    nib = (vals & 0xF).astype(np.uint8)
+    plane = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+    mask = (vals < -8) | (vals > 7)
+    idx = np.flatnonzero(mask).astype(np.int32)
+    return plane, idx, vals[idx], pos
+
+
 # ----------------------------------------------------------------------------
 # Streaming DEFLATE with reference chunk semantics
 # ----------------------------------------------------------------------------
@@ -337,6 +379,17 @@ class InflateSource:
         """Decode n values into the device-upload planar format, or None."""
         try:
             plane, ei, ev, pos = decode_values_planar(
+                np.frombuffer(bytes(self._buf), dtype=np.uint8), n, self._bitpos
+            )
+        except EOFError:
+            return None
+        self._consume(pos)
+        return plane, ei, ev
+
+    def try_read_planar4(self, n: int):
+        """Decode n values into the packed-nibble planar format, or None."""
+        try:
+            plane, ei, ev, pos = decode_values_planar4(
                 np.frombuffer(bytes(self._buf), dtype=np.uint8), n, self._bitpos
             )
         except EOFError:

@@ -117,6 +117,22 @@ def decode_step_planar(coeff8, exc_idx, exc_val, dec_m, *, cfg, height, width):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def decode_step_planar4(plane, exc_idx, exc_val, dec_m, *, cfg, height, width):
+    """decode_step taking a packed-nibble plane (two coefficients per byte,
+    low nibble = even index, sign-extended from 4 bits) + exceptions — half
+    the upload of the int8 plane; DC coefficients ride the exception list."""
+    b = plane.astype(jnp.int32)
+    lo = b & 0xF
+    hi = (b >> 4) & 0xF
+    vals = jnp.stack([(lo ^ 8) - 8, (hi ^ 8) - 8], axis=-1).reshape(-1)
+    vals = vals.at[exc_idx].set(exc_val, mode="drop")
+    return decode_step(
+        vals.reshape(-1, cfg.cube_size), dec_m,
+        cfg=cfg, height=height, width=width,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def quantize_step(frames, enc_t, *, cfg):
     """Frames -> quantized zigzag int32 coefficients (no bit packing)."""

@@ -85,6 +85,8 @@ def load():
             ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.eg_decode_planar4.restype = ctypes.c_int
+        lib.eg_decode_planar4.argtypes = lib.eg_decode_planar.argtypes
         lib.eg_scan.restype = ctypes.c_uint64
         lib.eg_scan.argtypes = [
             ctypes.c_void_p,

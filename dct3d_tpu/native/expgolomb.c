@@ -199,6 +199,50 @@ EG_EXPORT int eg_decode_planar(const uint8_t *data, uint64_t nbits_avail,
     return 0;
 }
 
+/* ------------------------------------------------------------------ */
+/* Fused decode + 4-bit planarize: like eg_decode_planar but the plane */
+/* packs two values per byte (low nibble = even index), halving the    */
+/* host->device upload.  Values outside [-8, 7] go to the exception    */
+/* list.  n must be even.                                              */
+/* ------------------------------------------------------------------ */
+EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
+                                uint64_t *bitpos, uint8_t *plane, size_t n,
+                                int32_t *exc_idx, int32_t *exc_val,
+                                size_t exc_cap, uint64_t *exc_count) {
+    uint64_t pos = *bitpos;
+    uint64_t start = pos;
+    size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
+    size_t nexc = 0;
+    for (size_t i = 0; i < n; i++) {
+        int ok;
+        int64_t v = decode_fast(data, cap_bytes, nbits_avail, &pos, &ok);
+        if (!ok) {
+            int32_t one;
+            uint64_t p2 = pos;
+            if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
+                *bitpos = start;
+                return -1;
+            }
+            pos = p2;
+            v = one;
+        }
+        uint8_t nib = (uint8_t)(v & 0xF);
+        if (i & 1)
+            plane[i >> 1] |= (uint8_t)(nib << 4);
+        else
+            plane[i >> 1] = nib;
+        if (v < -8 || v > 7) {
+            if (nexc >= exc_cap) { *bitpos = start; return -2; }
+            exc_idx[nexc] = (int32_t)i;
+            exc_val[nexc] = (int32_t)v;
+            nexc++;
+        }
+    }
+    *bitpos = pos;
+    *exc_count = nexc;
+    return 0;
+}
+
 /* Scan without materializing values: returns the bit position after
  * skipping n codewords, or UINT64_MAX if the stream ran out.  Used by the
  * streaming decoder to find GOP boundaries cheaply. */

@@ -263,3 +263,25 @@ def test_pallas_splice_matches_xla(rng, n):
     assert int(tail_a) == int(tail_b)
     nbytes = int(bits_a) // 8  # last partial byte is caller-managed
     np.testing.assert_array_equal(np.asarray(a)[:nbytes], np.asarray(b)[:nbytes])
+
+
+def test_planar4_decode_reconstructs(rng):
+    """Nibble-plane decode (C + numpy fallback) reconstructs exactly,
+    including DC-sized exception values and the -8 nibble edge."""
+    from dct3d_tpu.codec import entropy
+
+    vals = np.concatenate([
+        rng.integers(-6000, 6000, 1000),
+        rng.integers(-8, 8, 30_000),
+        np.full(24, -8),
+    ]).astype(np.int32)
+    rng.shuffle(vals)
+    payload, nbits = entropy.encode_values(vals)
+    plane, ei, ev, pos = entropy.decode_values_planar4(payload, vals.size)
+    assert pos == nbits
+    lo = (plane & 0xF).astype(np.int32)
+    hi = ((plane >> 4) & 0xF).astype(np.int32)
+    rec = np.stack([(lo ^ 8) - 8, (hi ^ 8) - 8], axis=-1).reshape(-1)
+    rec[ei] = ev
+    np.testing.assert_array_equal(rec, vals)
+    assert set(ei.tolist()) == set(np.flatnonzero((vals < -8) | (vals > 7)).tolist())
