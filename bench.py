@@ -145,6 +145,10 @@ def main() -> int:
         "detail": {
             "decode_fps": round(r["decode_fps"], 2),
             "compute_fps": round(r["compute_fps"], 2),
+            # Like-for-like vs the CPU baseline when transport is excluded:
+            # this tunnel moves host<->device bytes at ~45 MB/s (PCIe-class
+            # hosts are 200-2000x that), so end-to-end fps here is wire-bound.
+            "compute_vs_baseline": round(r["compute_fps"] * base_spf, 2),
             "bpp": round(r["bpp"], 4),
             "psnr_db": round(r["psnr_db"], 2),
             "baseline_fps": round(1.0 / base_spf, 3),

@@ -285,3 +285,25 @@ def test_planar4_decode_reconstructs(rng):
     rec[ei] = ev
     np.testing.assert_array_equal(rec, vals)
     assert set(ei.tolist()) == set(np.flatnonzero((vals < -8) | (vals > 7)).tolist())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pack_bits_fuzz_vs_numpy(seed):
+    """Fuzz the device packer against the NumPy twin across sizes, leading
+    carry pseudo-codewords, and extreme values (within the documented
+    contract: real codewords have width >= 1, zero-width slots only lead)."""
+    rng = np.random.default_rng(seed)
+    for n in (1, 2, 63, 64, 65, 257, 4099, 70_001):
+        vals = rng.integers(-5771, 5772, n).astype(np.int32)
+        code, width = expgolomb.codewords_np(vals)
+        carry_bits = int(rng.integers(0, 8))
+        carry_code = int(rng.integers(0, 1 << carry_bits)) if carry_bits else 0
+        code = np.concatenate([[np.uint32(carry_code)], code])
+        width = np.concatenate([[np.int32(carry_bits)], width.astype(np.int32)])
+        out_bytes = (int(width.sum()) + 7) // 8 + 5
+        ref, ref_bits = bitpack.pack_bits_np(code, width, out_bytes)
+        got, got_bits, _tail = jax.jit(
+            lambda c, w, ob=out_bytes: bitpack.pack_bits(c, w, ob)
+        )(code, width)
+        assert int(got_bits) == ref_bits
+        np.testing.assert_array_equal(np.asarray(got), ref)
