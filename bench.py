@@ -73,7 +73,8 @@ def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
     from dct3d_tpu import metrics
 
     t, h, w = frames.shape
-    cfg = CodecConfig(deflate_workers=-1, pack_bits_per_value=4)  # speed profile
+    cfg = CodecConfig(deflate_workers=-1, pack_bits_per_value=4,
+                      transport_delta=True)  # speed profile
     ctx = TransformContext(cfg)
 
     def run_encode() -> bytes:
@@ -114,9 +115,14 @@ def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
         one_step()
     compute_fps = 3 * cfg.gop_size / (time.perf_counter() - t0)
 
-    video = decode_video(data, w, h, t, cfg, ctx)  # warmup
+    # Decode ships smooth reconstructed frames; raw bytes compress better on
+    # the wire than their deltas, so transport_delta stays encode-side only.
+    import dataclasses
+
+    dcfg = dataclasses.replace(cfg, transport_delta=False)
+    video = decode_video(data, w, h, t, dcfg, ctx)  # warmup
     t0 = time.perf_counter()
-    video = decode_video(data, w, h, t, cfg, ctx)
+    video = decode_video(data, w, h, t, dcfg, ctx)
     dec_fps = t / (time.perf_counter() - t0)
 
     return {

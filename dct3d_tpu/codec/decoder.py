@@ -26,6 +26,13 @@ from .transform import (
 )
 
 
+def _undelta(frames: np.ndarray, cfg: CodecConfig) -> np.ndarray:
+    """Reconstruct frames shipped as wrapping temporal deltas (exact)."""
+    if not cfg.transport_delta:
+        return frames
+    return np.cumsum(frames, axis=0, dtype=np.uint8)
+
+
 def _pad_exceptions(n: int, idx: np.ndarray, val: np.ndarray):
     """Pad exception arrays to a power-of-two bucket (few distinct jit
     shapes); pad slots carry an out-of-range index and are dropped on
@@ -128,9 +135,12 @@ class StreamingDecoder:
         # (multi-GOP repack shapes compile pathologically slowly on TPU).
         per = self._coeffs_per_gop
         batches = [
-            np.asarray(
-                _decode_batch(vals.reshape(-1)[i : i + per], self.ctx,
-                              self.cfg, self.height, self.width)
+            _undelta(
+                np.asarray(
+                    _decode_batch(vals.reshape(-1)[i : i + per], self.ctx,
+                                  self.cfg, self.height, self.width)
+                ),
+                self.cfg,
             )
             for i in range(0, vals.size, per)
         ]
@@ -173,10 +183,10 @@ def decode_video(
         pending.append((g0, frames_dev))
         if len(pending) >= window:
             a0, fd = pending.popleft()
-            out[a0 * fpg : (a0 + 1) * fpg] = np.asarray(fd)
+            out[a0 * fpg : (a0 + 1) * fpg] = _undelta(np.asarray(fd), cfg)
     while pending:
         a0, fd = pending.popleft()
-        out[a0 * fpg : (a0 + 1) * fpg] = np.asarray(fd)
+        out[a0 * fpg : (a0 + 1) * fpg] = _undelta(np.asarray(fd), cfg)
     return out
 
 

@@ -144,6 +144,11 @@ class StreamingEncoder:
             if self._carry is None:
                 self._carry = (jnp.uint32(0), jnp.int32(0))
             carry_in = self._carry
+            if self.cfg.transport_delta:
+                delta = np.empty_like(frames)
+                delta[0] = frames[0]
+                np.subtract(frames[1:], frames[:-1], out=delta[1:])  # wraps
+                frames = delta
             with self.timer.stage("dispatch", frames.nbytes):
                 frames_dev = jnp.asarray(frames)
                 gop = encode_step(

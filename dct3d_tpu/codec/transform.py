@@ -54,6 +54,12 @@ class EncodedGOP(NamedTuple):
 
 
 def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
+    if cfg.transport_delta:
+        # Frames arrived as wrapping temporal deltas (cheap-to-compress on
+        # the wire); reconstruct exactly with a mod-256 prefix sum.
+        frames = (
+            jnp.cumsum(frames.astype(jnp.int32), axis=0) % 256
+        ).astype(jnp.uint8)
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
     q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
@@ -98,7 +104,12 @@ def decode_step(coeffs, dec_m, *, cfg, height, width):
     )
     pixels = jnp.clip(pixels, 0.0, 255.0)
     frames = framing.cubes_to_frames(pixels, cfg, height, width)
-    return frames.astype(jnp.uint8)
+    frames = frames.astype(jnp.uint8)
+    if cfg.transport_delta:
+        # Ship wrapping temporal deltas down the wire; the host reconstructs
+        # with a uint8 cumsum (see codec/decoder.py).
+        frames = jnp.concatenate([frames[:1], frames[1:] - frames[:-1]])
+    return frames
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))

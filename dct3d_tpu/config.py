@@ -47,6 +47,11 @@ class CodecConfig:
     #: streams need 1-2; pathological batches that exceed it are retried
     #: automatically with a worst-case buffer (see codec/transform.py).
     pack_bits_per_value: int = 6
+    #: Ship frames to the device as wrapping mod-256 temporal deltas and
+    #: reconstruct on device (exact; bitstream unchanged).  Wins when the
+    #: host<->device transport compresses (this environment's TPU tunnel
+    #: does; plain PCIe does not) because video deltas are near-zero.
+    transport_delta: bool = False
     #: Quantizer rounding bias: q = sign(c)*floor(|c|/div + bias).  0.5 is
     #: the reference's round-half-away (Encoder.java:82, encoder.c:53);
     #: smaller values give a deadzone quantizer — an encoder-side-only

@@ -201,3 +201,16 @@ def test_deadzone_quantizer_rd(clip):
     assert len(dz) < len(ref)
     out = decode_video(dz, 64, 64, clip.shape[0], CodecConfig(quant_bias=0.4))
     assert psnr(clip, out) > 30.0
+
+
+def test_transport_delta_is_transparent(clip):
+    """transport_delta changes only the wire layout: identical bitstream and
+    identical decoded frames."""
+    plain = CodecConfig()
+    delta = CodecConfig(transport_delta=True)
+    assert encode_video(clip, delta) == encode_video(clip, plain)
+    data = encode_video(clip, plain)
+    np.testing.assert_array_equal(
+        decode_video(data, 64, 64, clip.shape[0], delta),
+        decode_video(data, 64, 64, clip.shape[0], plain),
+    )
