@@ -33,6 +33,7 @@ def _cfg_from_args(args) -> CodecConfig:
         block_d=args.block,
         quant_strength=args.quant,
         quant_bias=getattr(args, "quant_bias", 0.5),
+        transport_delta=getattr(args, "transport_delta", False),
         zlib_level=args.zlib_level,
         deflate_workers=0 if getattr(args, "parity", False) else args.deflate_workers,
     )
@@ -80,6 +81,11 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--stats", action="store_true",
         help="print per-stage timing/bandwidth JSON to stderr",
+    )
+    p.add_argument(
+        "--transport-delta", action="store_true",
+        help="encode: ship frames to the device as temporal deltas "
+        "(faster over compressing transports; output unchanged)",
     )
     p.add_argument(
         "--rgb", action="store_true",

@@ -214,3 +214,19 @@ def test_transport_delta_is_transparent(clip):
         decode_video(data, 64, 64, clip.shape[0], delta),
         decode_video(data, 64, 64, clip.shape[0], plain),
     )
+
+
+def test_drainer_exception_propagates(clip, monkeypatch):
+    """A failure on the background drainer thread must surface to the
+    caller, not vanish (SURVEY.md §5 failure detection)."""
+    from dct3d_tpu.codec import encoder as enc_mod
+
+    enc = enc_mod.StreamingEncoder(64, 64)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected drain failure")
+
+    monkeypatch.setattr(enc, "_drain_gop", boom)
+    with pytest.raises(RuntimeError, match="injected drain failure"):
+        enc.push(clip[:8])  # may surface here (timing) ...
+        enc.finish()        # ... or at flush, never silently
