@@ -89,7 +89,7 @@ class ShardedEncoder:
         self.height = height
         self.mesh = mesh
         self.ctx = ctx or TransformContext(self.cfg)
-        self.sink = entropy.DeflateSink(self.cfg.zlib_level)
+        self.sink = entropy.make_sink(self.cfg)
         self.frames_encoded = 0
         n_gop, n_tile = mesh.shape[GOP_AXIS], mesh.shape[TILE_AXIS]
         if height % (self.cfg.block_h * n_tile):

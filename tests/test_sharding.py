@@ -101,3 +101,14 @@ def test_multihost_container_roundtrip_two_members():
     out = multihost.decode_multihost_container(data, 64, 64, cfg)
     assert out.shape == (32, 64, 64)
     assert psnr(clip, out) > 30.0
+
+
+def test_sharded_parallel_deflate_payload_parity():
+    import zlib
+
+    m = _mesh_or_skip(2, 1)
+    clip = synthetic_video(16, 64, 64, seed=13)
+    want = encode_video(clip, CodecConfig())
+    enc = ShardedEncoder(64, 64, m, CodecConfig(deflate_workers=2))
+    got = enc.push(clip) + enc.finish()
+    assert zlib.decompress(got) == zlib.decompress(want)
