@@ -307,3 +307,20 @@ def test_pack_bits_fuzz_vs_numpy(seed):
         )(code, width)
         assert int(got_bits) == ref_bits
         np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_deflate_sink_sub_byte_carry_chain(rng):
+    """Many tiny pushes (single 1-3 bit codewords) must equal one-shot —
+    exercises the carry path where a whole push stays inside one byte."""
+    import zlib
+
+    vals = rng.integers(-2, 3, 300).astype(np.int32)
+    one = entropy.DeflateSink()
+    a = one.push_values(vals) + one.finish()
+    many = entropy.DeflateSink()
+    chunks = [many.push_values(vals[i : i + 1]) for i in range(300)]
+    b = b"".join(chunks) + many.finish()
+    assert a == b
+    par = entropy.ParallelDeflateSink(workers=2, block_size=64)
+    c = b"".join(par.push_values(vals[i : i + 1]) for i in range(300)) + par.finish()
+    assert zlib.decompress(c) == zlib.decompress(a)
