@@ -186,6 +186,10 @@ def cmd_decode(args) -> int:
     if os.path.exists(args.input):
         with open(args.input, "rb") as f:
             head = f.read(4)
+    if head != b"D3MH" and args.rgb:
+        print("--rgb decode needs a D3MH container (produced by encode "
+              "--rgb); this input is a raw grayscale stream", file=sys.stderr)
+        return 2
     if head != b"D3MH" and args.frames is None:
         print("decode requires an explicit frame count (headerless stream, "
               "as in the reference: Decoder.java:18)", file=sys.stderr)

@@ -153,13 +153,33 @@ def decode_multihost_container(
     width: int,
     height: int,
     cfg: CodecConfig | None = None,
+    workers: int | None = None,
 ) -> np.ndarray:
-    """Decode a multi-host container back to (T, H, W) frames (any host)."""
+    """Decode a multi-host container back to (T, H, W) frames (any host).
+
+    Members are self-contained, so they decode IN PARALLEL across host
+    threads (the serial entropy stage releases the GIL in C, zlib releases
+    it too, and device dispatches interleave safely) — the container doubles
+    as a parallel-decode index, something the headerless reference stream
+    fundamentally cannot offer.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..codec.decoder import decode_video
+    from ..codec.transform import TransformContext
 
     cfg = cfg or CodecConfig()
-    parts = [
-        decode_video(member, width, height, frames, cfg)
-        for frames, member in split_members(data)
-    ]
+    members = split_members(data)
+    ctx = TransformContext(cfg)  # shared constant matrices
+    if len(members) == 1:
+        frames, member = members[0]
+        return decode_video(member, width, height, frames, cfg, ctx)
+    pool = ThreadPoolExecutor(workers or min(len(members), os.cpu_count() or 2))
+    parts = list(
+        pool.map(
+            lambda m: decode_video(m[1], width, height, m[0], cfg, ctx),
+            members,
+        )
+    )
     return np.concatenate(parts)

@@ -72,3 +72,23 @@ def test_cli_checkpoint_encode_decode(tmp_path, capsys):
     assert cli.main(["decode", out, dec, "32", "32"]) == 0
     back = rawvideo.read_video(dec, 32, 32)
     assert psnr(clip, back) > 30.0
+
+
+def test_parallel_member_decode_equals_serial(tmp_path):
+    """Container members decode in parallel threads to the same frames."""
+    from dct3d_tpu.parallel.multihost import (
+        _member,
+        decode_multihost_container,
+    )
+    from dct3d_tpu import encode_video
+
+    cfg = CodecConfig()
+    clip = synthetic_video(48, 64, 64, seed=23)
+    data = b"".join(
+        _member(encode_video(clip[i : i + 16], cfg), 16) for i in (0, 16, 32)
+    )
+    a = decode_multihost_container(data, 64, 64, cfg, workers=3)
+    b = decode_multihost_container(data, 64, 64, cfg, workers=1)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (48, 64, 64)
+    assert psnr(clip, a) > 30.0
