@@ -114,6 +114,11 @@ def cmd_encode(args) -> int:
     if args.rgb:
         from .codec.rgb_codec import encode_rgb_video
 
+        for flag in ("checkpoint_every", "profile_dir", "stats"):
+            if getattr(args, flag, None):
+                print(f"warning: --{flag.replace('_', '-')} is not yet "
+                      "supported with --rgb and is ignored", file=sys.stderr)
+
         video = rawvideo.read_video(
             args.input, args.width, args.height, args.frames, channels=3
         )
@@ -131,6 +136,13 @@ def cmd_encode(args) -> int:
     total = rawvideo.frame_count(args.input, args.width, args.height)
     frames = total if args.frames is None else min(args.frames, total)
     frames -= frames % cfg.gop_size
+    if frames == 0:
+        print(
+            f"nothing to encode: input holds fewer than one GOP "
+            f"({cfg.gop_size} frames; reference truncates the same way, "
+            "Encoder.java:39-40)", file=sys.stderr,
+        )
+        return 2
     if args.checkpoint_every:
         from .codec.checkpoint import CheckpointingEncoder
 
@@ -313,6 +325,10 @@ def cmd_sweep(args) -> int:
                 deflate_workers=args.deflate_workers,
             )
             tt = t - t % cfg.gop_size
+            if tt == 0:
+                print(f"skipping block={block}: fewer than one "
+                      f"{cfg.gop_size}-frame GOP", file=sys.stderr)
+                continue
             t0 = time.perf_counter()
             data = encode_video(video[:tt], cfg)
             enc_s = time.perf_counter() - t0

@@ -17,6 +17,8 @@ continue from the next GOP.  Decode via
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 import struct
 
@@ -69,6 +71,26 @@ class CheckpointingEncoder:
         self.ctx = ctx or TransformContext(self.cfg)
         self.checkpoint_gops = checkpoint_gops
         self.frames_done, safe_bytes = resume_info(path)
+        # The headerless member format can't self-describe codec parameters;
+        # a sidecar pins them so a resume with different flags fails loudly
+        # instead of appending members that decode to garbage.
+        meta = {
+            "cfg": dataclasses.asdict(self.cfg),
+            "width": width,
+            "height": height,
+        }
+        meta_path = path + ".meta"
+        if self.frames_done and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                have = json.load(f)
+            if have != meta:
+                raise ValueError(
+                    f"resume parameters differ from {meta_path}; re-encode "
+                    "from scratch or restore the original flags "
+                    f"(was {have}, now {meta})"
+                )
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
         mode = "r+b" if os.path.exists(path) else "w+b"
         self._f = open(path, mode)
         self._f.truncate(safe_bytes)  # drop any torn tail member

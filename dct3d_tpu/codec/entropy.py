@@ -104,27 +104,22 @@ def decode_values(
     return out, pos
 
 
-def decode_values_planar(
-    data: bytes | np.ndarray, n: int, bitpos: int = 0
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """Decode n values into (int8 plane, exc_idx, exc_val, new bitpos).
-
-    The decoder's device-upload format (codec/decoder.py): wrapping int8
-    cast plus an exception list for out-of-range values.  One C pass when
-    the native library is available.
-    """
+def _decode_planar_impl(data, n, bitpos, lib_symbol, plane_alloc, fallback):
+    """Shared scaffolding of the fused decode+planarize paths: native call
+    with grow-on-exception-overflow retry, NumPy fallback otherwise."""
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
     lib = native.load()
     if lib is not None:
-        plane = np.empty(n, np.int8)
+        plane = plane_alloc()
         cap = max(1024, n // 16)
+        fn = getattr(lib, lib_symbol)
         while True:
             exc_idx = np.empty(cap, np.int32)
             exc_val = np.empty(cap, np.int32)
             pos = ctypes.c_uint64(bitpos)
             cnt = ctypes.c_uint64(0)
-            rc = lib.eg_decode_planar(
+            rc = fn(
                 buf.ctypes.data, buf.size * 8, ctypes.byref(pos),
                 plane.ctypes.data, n,
                 exc_idx.ctypes.data, exc_val.ctypes.data, cap,
@@ -138,10 +133,28 @@ def decode_values_planar(
             k = int(cnt.value)
             return plane, exc_idx[:k], exc_val[:k], int(pos.value)
     vals, pos = decode_values(buf, n, bitpos)
-    plane = vals.astype(np.int8)  # wrapping cast
-    mask = plane != vals
-    idx = np.flatnonzero(mask).astype(np.int32)
+    plane, idx = fallback(vals)
     return plane, idx, vals[idx], pos
+
+
+def decode_values_planar(
+    data: bytes | np.ndarray, n: int, bitpos: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Decode n values into (int8 plane, exc_idx, exc_val, new bitpos).
+
+    The decoder's device-upload format (codec/decoder.py): wrapping int8
+    cast plus an exception list for out-of-range values.  One C pass when
+    the native library is available.
+    """
+
+    def fallback(vals):
+        plane = vals.astype(np.int8)  # wrapping cast
+        return plane, np.flatnonzero(plane != vals).astype(np.int32)
+
+    return _decode_planar_impl(
+        data, n, bitpos, "eg_decode_planar",
+        lambda: np.empty(n, np.int8), fallback,
+    )
 
 
 def decode_values_planar4(
@@ -154,41 +167,48 @@ def decode_values_planar4(
     plane — DC coefficients are routinely exceptions, AC rarely.
     """
     assert n % 2 == 0, "planar4 needs an even value count"
-    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
-    buf = np.ascontiguousarray(buf, dtype=np.uint8)
-    lib = native.load()
-    if lib is not None:
-        plane = np.empty(n // 2, np.uint8)
-        cap = max(1024, n // 16)
-        while True:
-            exc_idx = np.empty(cap, np.int32)
-            exc_val = np.empty(cap, np.int32)
-            pos = ctypes.c_uint64(bitpos)
-            cnt = ctypes.c_uint64(0)
-            rc = lib.eg_decode_planar4(
-                buf.ctypes.data, buf.size * 8, ctypes.byref(pos),
-                plane.ctypes.data, n,
-                exc_idx.ctypes.data, exc_val.ctypes.data, cap,
-                ctypes.byref(cnt),
-            )
-            if rc == -2:
-                cap *= 4
-                continue
-            if rc != 0:
-                raise EOFError("exp-golomb stream exhausted")
-            k = int(cnt.value)
-            return plane, exc_idx[:k], exc_val[:k], int(pos.value)
-    vals, pos = decode_values(buf, n, bitpos)
-    nib = (vals & 0xF).astype(np.uint8)
-    plane = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
-    mask = (vals < -8) | (vals > 7)
-    idx = np.flatnonzero(mask).astype(np.int32)
-    return plane, idx, vals[idx], pos
+
+    def fallback(vals):
+        nib = (vals & 0xF).astype(np.uint8)
+        plane = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+        return plane, np.flatnonzero((vals < -8) | (vals > 7)).astype(np.int32)
+
+    return _decode_planar_impl(
+        data, n, bitpos, "eg_decode_planar4",
+        lambda: np.empty(n // 2, np.uint8), fallback,
+    )
 
 
 # ----------------------------------------------------------------------------
 # Streaming DEFLATE with reference chunk semantics
 # ----------------------------------------------------------------------------
+
+
+def _split_carry(packed: np.ndarray, total_bits: int,
+                 carry_code: int, carry_bits: int):
+    """Shared bit-carry bookkeeping of the DEFLATE sinks: merge the incoming
+    carry into the whole-byte chunk, extract the new trailing carry.
+    Returns (chunk bytes, new_carry_code, new_carry_bits)."""
+    full = total_bits // 8
+    rem = total_bits % 8
+    chunk = packed[:full].copy()
+    if carry_bits and full:
+        chunk[0] |= carry_code << (8 - carry_bits)
+    if rem:
+        nxt = int(packed[full])
+        if full == 0 and carry_bits:
+            # Stream still inside the original partial byte.
+            nxt |= carry_code << (8 - carry_bits)
+        new_code = nxt >> (8 - rem)
+    else:
+        new_code = 0
+    return chunk.tobytes(), new_code, rem
+
+
+def _final_byte(carry_code: int, carry_bits: int) -> int:
+    """The reference's final extra byte: the zero-padded partial byte, or a
+    zero byte (encoder.c:270, Encoder.java:117)."""
+    return (carry_code << (8 - carry_bits)) & 0xFF if carry_bits else 0
 
 
 class DeflateSink:
@@ -203,23 +223,10 @@ class DeflateSink:
     def push_packed(self, packed: np.ndarray, total_bits: int) -> bytes:
         """Consume a device/CPU-packed buffer whose stream includes
         carry_bits bits of this sink's carry at the front (bit 0)."""
-        full = total_bits // 8
-        rem = total_bits % 8
-        chunk = packed[:full].copy()
-        if self.carry_bits and full:
-            chunk[0] |= self.carry_code << (8 - self.carry_bits)
-        elif self.carry_bits and not full:
-            # Stream still inside the original partial byte.
-            pass
-        if rem:
-            nxt = int(packed[full])
-            if full == 0 and self.carry_bits:
-                nxt |= self.carry_code << (8 - self.carry_bits)
-            self.carry_code = nxt >> (8 - rem)
-        else:
-            self.carry_code = 0
-        self.carry_bits = rem
-        return self._z.compress(chunk.tobytes()) if full else b""
+        chunk, self.carry_code, self.carry_bits = _split_carry(
+            packed, total_bits, self.carry_code, self.carry_bits
+        )
+        return self._z.compress(chunk) if chunk else b""
 
     def push_values(self, values: np.ndarray) -> bytes:
         """CPU path: entropy-code values directly into the sink."""
@@ -230,8 +237,7 @@ class DeflateSink:
         """Final partial byte (zero-padded) or a zero byte, then Z_FINISH —
         mirroring `expGolombCodedDataSize + 1` (encoder.c:270) and
         `getBufferPosition() + 1` (Encoder.java:117)."""
-        last = (self.carry_code << (8 - self.carry_bits)) & 0xFF if self.carry_bits else 0
-        out = self._z.compress(bytes([last]))
+        out = self._z.compress(bytes([_final_byte(self.carry_code, self.carry_bits)]))
         self.carry_code = 0
         self.carry_bits = 0
         return out + self._z.flush(zlib.Z_FINISH)
@@ -298,21 +304,11 @@ class ParallelDeflateSink:
         return b"".join(out)
 
     def push_packed(self, packed: np.ndarray, total_bits: int) -> bytes:
-        full = total_bits // 8
-        rem = total_bits % 8
-        chunk = packed[:full].copy()
-        if self.carry_bits and full:
-            chunk[0] |= self.carry_code << (8 - self.carry_bits)
-        if rem:
-            nxt = int(packed[full])
-            if full == 0 and self.carry_bits:
-                nxt |= self.carry_code << (8 - self.carry_bits)
-            self.carry_code = nxt >> (8 - rem)
-        else:
-            self.carry_code = 0
-        self.carry_bits = rem
-        if full:
-            self._submit(chunk.tobytes())
+        chunk, self.carry_code, self.carry_bits = _split_carry(
+            packed, total_bits, self.carry_code, self.carry_bits
+        )
+        if chunk:
+            self._submit(chunk)
         return self._ready()
 
     def push_values(self, values: np.ndarray) -> bytes:
@@ -320,11 +316,7 @@ class ParallelDeflateSink:
         return self.push_packed(np.frombuffer(payload, dtype=np.uint8), nbits)
 
     def finish(self) -> bytes:
-        last = (
-            (self.carry_code << (8 - self.carry_bits)) & 0xFF
-            if self.carry_bits else 0
-        )
-        self._submit(bytes([last]))  # reference's final extra byte
+        self._submit(bytes([_final_byte(self.carry_code, self.carry_bits)]))
         self.carry_code = 0
         self.carry_bits = 0
         body = self._ready(block=True)
@@ -352,7 +344,8 @@ class InflateSource:
     def __init__(self) -> None:
         self._z = zlib.decompressobj()
         self._buf = bytearray()
-        self._bitpos = 0
+        self._start = 0  # consumed-bytes offset (lazy compaction)
+        self._bitpos = 0  # bit cursor within the byte at _start
         self._eof = False
 
     def feed(self, data: bytes) -> None:
@@ -364,42 +357,36 @@ class InflateSource:
             self._buf += self._z.flush()
             self._eof = True
 
-    def try_read(self, n: int) -> np.ndarray | None:
-        """Decode n values if enough bits are buffered, else None."""
+    def _window(self) -> np.ndarray:
+        # Zero-copy view of the unconsumed bytes (the view is dropped before
+        # feed() can resize the bytearray again).
+        return np.frombuffer(self._buf, dtype=np.uint8)[self._start :]
+
+    def _read(self, decoder, n: int):
         try:
-            vals, pos = decode_values(
-                np.frombuffer(bytes(self._buf), dtype=np.uint8), n, self._bitpos
-            )
+            *result, pos = decoder(self._window(), n, self._bitpos)
         except EOFError:
             return None
         self._consume(pos)
-        return vals
+        return result[0] if len(result) == 1 else tuple(result)
+
+    def try_read(self, n: int) -> np.ndarray | None:
+        """Decode n values if enough bits are buffered, else None."""
+        return self._read(decode_values, n)
 
     def try_read_planar(self, n: int):
         """Decode n values into the device-upload planar format, or None."""
-        try:
-            plane, ei, ev, pos = decode_values_planar(
-                np.frombuffer(bytes(self._buf), dtype=np.uint8), n, self._bitpos
-            )
-        except EOFError:
-            return None
-        self._consume(pos)
-        return plane, ei, ev
+        return self._read(decode_values_planar, n)
 
     def try_read_planar4(self, n: int):
         """Decode n values into the packed-nibble planar format, or None."""
-        try:
-            plane, ei, ev, pos = decode_values_planar4(
-                np.frombuffer(bytes(self._buf), dtype=np.uint8), n, self._bitpos
-            )
-        except EOFError:
-            return None
-        self._consume(pos)
-        return plane, ei, ev
+        return self._read(decode_values_planar4, n)
 
     def _consume(self, pos: int) -> None:
-        self._bitpos = pos
-        drop = self._bitpos // 8
-        if drop:
-            del self._buf[:drop]
-            self._bitpos -= drop * 8
+        self._start += pos // 8
+        self._bitpos = pos % 8
+        # Amortized compaction: one memmove when over half is consumed,
+        # keeping long-stream decode linear (not O(n^2) in memcpy).
+        if self._start > 65536 and self._start * 2 > len(self._buf):
+            del self._buf[: self._start]
+            self._start = 0

@@ -87,30 +87,31 @@ def split_members(data: bytes) -> list[tuple[int, bytes]]:
     return out
 
 
-def gather_ordered_bytes(local_payload: bytes, local_frames: int) -> bytes | None:
-    """Gather per-host members to process 0 in process (= stream) order.
+def gather_ordered_bytes(local_container: bytes) -> bytes | None:
+    """Gather per-host container fragments (already member-framed) to
+    process 0 in process (= stream) order.
 
-    Returns the container on process 0, None elsewhere.  Uses two
-    all-gathers (lengths, then padded payload) — the standard variable-length
-    gather over DCN.
+    Returns the concatenated container on process 0, None elsewhere.  Uses
+    two all-gathers (lengths, then padded payload) — the standard
+    variable-length gather over DCN.
     """
     import jax
 
     if jax.process_count() == 1:
-        return _member(local_payload, local_frames)
+        return local_container
     from jax.experimental import multihost_utils
 
-    meta = multihost_utils.process_allgather(
-        np.array([len(local_payload), local_frames], np.int64)
-    ).reshape(-1, 2)
-    cap = int(meta[:, 0].max())
+    lengths = multihost_utils.process_allgather(
+        np.array([len(local_container)], np.int64)
+    ).reshape(-1)
+    cap = int(lengths.max())
     padded = np.zeros(cap, np.uint8)
-    padded[: len(local_payload)] = np.frombuffer(local_payload, np.uint8)
+    padded[: len(local_container)] = np.frombuffer(local_container, np.uint8)
     gathered = multihost_utils.process_allgather(padded)
     if jax.process_index() != 0:
         return None
     return b"".join(
-        _member(gathered[p, : int(meta[p, 0])].tobytes(), int(meta[p, 1]))
+        gathered[p, : int(lengths[p])].tobytes()
         for p in range(jax.process_count())
     )
 
@@ -135,17 +136,29 @@ def encode_multihost(
     Exp-Golomb carry state — the container is the deliberate extension point
     over the (single-process) reference format.
     """
+    from ..codec.encoder import encode_video
     from .sharding import ShardedEncoder
 
     cfg = cfg or CodecConfig()
-    enc = ShardedEncoder(width, height, mesh, cfg)
-    chunks = []
     step = cfg.gop_size * mesh.shape["gop"]
-    t = local_frames.shape[0] - local_frames.shape[0] % step
-    for i in range(0, t, step):
-        chunks.append(enc.push(local_frames[i : i + step]))
-    chunks.append(enc.finish())
-    return gather_ordered_bytes(b"".join(chunks), t)
+    t_all = local_frames.shape[0] - local_frames.shape[0] % cfg.gop_size
+    t_main = t_all - t_all % step
+    members = b""
+    if t_main:
+        enc = ShardedEncoder(width, height, mesh, cfg)
+        chunks = [
+            enc.push(local_frames[i : i + step]) for i in range(0, t_main, step)
+        ]
+        chunks.append(enc.finish())
+        members += _member(b"".join(chunks), t_main)
+    if t_all > t_main:
+        # Tail GOPs that don't fill the gop mesh axis: their own member,
+        # encoded on this host's default device (a host span is balanced to
+        # one GOP, so the tail is at most mesh.gop - 1 GOPs).
+        members += _member(
+            encode_video(local_frames[t_main:t_all], cfg), t_all - t_main
+        )
+    return gather_ordered_bytes(members)
 
 
 def decode_multihost_container(

@@ -92,3 +92,14 @@ def test_parallel_member_decode_equals_serial(tmp_path):
     np.testing.assert_array_equal(a, b)
     assert a.shape == (48, 64, 64)
     assert psnr(clip, a) > 30.0
+
+
+def test_resume_with_different_cfg_rejected(tmp_path):
+    p = str(tmp_path / "v.d3mh")
+    clip = synthetic_video(16, 64, 64, seed=24)
+    with CheckpointingEncoder(p, 64, 64, CodecConfig(quant_strength=5)) as e:
+        e.push(clip)
+    import pytest
+
+    with pytest.raises(ValueError, match="resume parameters differ"):
+        CheckpointingEncoder(p, 64, 64, CodecConfig(quant_strength=10))

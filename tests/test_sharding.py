@@ -112,3 +112,19 @@ def test_sharded_parallel_deflate_payload_parity():
     enc = ShardedEncoder(64, 64, m, CodecConfig(deflate_workers=2))
     got = enc.push(clip) + enc.finish()
     assert zlib.decompress(got) == zlib.decompress(want)
+
+
+def test_multihost_encodes_tail_gops():
+    """A host span that doesn't fill the gop mesh axis must not lose frames
+    (tail GOPs become their own member)."""
+    from dct3d_tpu.parallel import multihost
+
+    m = _mesh_or_skip(2, 1)
+    cfg = CodecConfig()
+    clip = synthetic_video(24, 64, 64, seed=25)  # 3 GOPs on a gop=2 mesh
+    data = multihost.encode_multihost(clip, 64, 64, 24, m, cfg)
+    members = multihost.split_members(data)
+    assert [f for f, _ in members] == [16, 8]
+    out = multihost.decode_multihost_container(data, 64, 64, cfg)
+    assert out.shape == (24, 64, 64)
+    assert psnr(clip, out) > 30.0
