@@ -4,6 +4,7 @@ The crucial property: a (gop x tile)-sharded encode must produce the SAME
 BYTES as the single-device encoder — the bitstream has no notion of the mesh.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -128,3 +129,18 @@ def test_multihost_encodes_tail_gops():
     out = multihost.decode_multihost_container(data, 64, 64, cfg)
     assert out.shape == (24, 64, 64)
     assert psnr(clip, out) > 30.0
+
+
+def test_multihost_two_process_simulation():
+    """Spawn a REAL 2-process jax.distributed run on CPU and validate the
+    cross-process member gather (tools/multihost_sim.py)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "multihost_sim.py")],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "MULTIHOST SIM PASSED" in r.stdout

@@ -1,0 +1,96 @@
+"""Two-process multi-host simulation on CPU (DCN layer validation).
+
+Runs the real jax.distributed runtime with N localhost processes, each
+ingesting its host_frame_span of a deterministic clip, encoding on its own
+virtual CPU devices, and gathering members to process 0 — validating
+parallel/multihost.py's cross-process paths (process_allgather lengths +
+payload, member ordering) that single-process tests cannot reach.
+
+Usage: python tools/multihost_sim.py            # spawns the workers
+       python tools/multihost_sim.py worker I N PORT OUT  (internal)
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(idx: int, nproc: int, port: int, out: str) -> None:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=idx,
+    )
+    sys.path.insert(0, REPO)
+    import numpy as np
+
+    from dct3d_tpu import CodecConfig
+    from dct3d_tpu.io import synthetic
+    from dct3d_tpu.parallel import multihost
+    from dct3d_tpu.parallel.mesh import make_mesh
+
+    cfg = CodecConfig()
+    total = 40  # 5 GOPs over 2 hosts -> spans of 24 and 16 frames
+    clip = synthetic.moving_gradient(total, 64, 64, seed=3)
+    lo, hi = multihost.host_frame_span(total, cfg, idx, nproc)
+    mesh = make_mesh(gop=2, tile=1, devices=jax.local_devices())
+    data = multihost.encode_multihost(
+        clip[lo:hi], 64, 64, total, mesh, cfg
+    )
+    if idx == 0:
+        assert data is not None
+        with open(out, "wb") as f:
+            f.write(data)
+        # Decode and check against the source.
+        from dct3d_tpu import psnr
+
+        video = multihost.decode_multihost_container(data, 64, 64, cfg)
+        assert video.shape == (total, 64, 64), video.shape
+        p = psnr(clip, video)
+        assert p > 30.0, p
+        members = multihost.split_members(data)
+        print(
+            f"process 0: {len(members)} members "
+            f"{[m[0] for m in members]}, PSNR {p:.2f} dB", flush=True
+        )
+    else:
+        assert data is None
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+        return 0
+    import socket
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out = tempfile.mktemp(suffix=".d3mh")
+    nproc = 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "worker",
+             str(i), str(nproc), str(port), out]
+        )
+        for i in range(nproc)
+    ]
+    rc = [p.wait(timeout=300) for p in procs]
+    assert rc == [0] * nproc, rc
+    assert os.path.getsize(out) > 0
+    print("MULTIHOST SIM PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
