@@ -61,10 +61,14 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
         code, width, max_bytes,
         max_width=bitpack.max_codeword_bits(cfg.cube_size),
     )
+    # Next step's sink bit phase, replicated on device — lets consecutive
+    # steps dispatch back to back without waiting for host assembly.
+    next_carry = (carry_bits[0] + all_bits.sum()) % 8
     return (
         packed[None],
         (total_bits - phase)[None],
         start[None],
+        next_carry[None].astype(jnp.int32),
     )
 
 
@@ -114,6 +118,7 @@ class ShardedEncoder:
                     P((GOP_AXIS, TILE_AXIS)),
                     P((GOP_AXIS, TILE_AXIS)),
                     P((GOP_AXIS, TILE_AXIS)),
+                    P(),
                 ),
             )
             self._jitted[max_bytes] = jax.jit(fn)
@@ -138,22 +143,33 @@ class ShardedEncoder:
         shard_vals = self.cfg.gop_size * (h // n_tile) * w
         max_bytes = self.cfg.pack_bits_per_value * shard_vals // 8 + 64
         step = self._step_fn(max_bytes)
+        # Pipeline: the sink bit-phase carry chains ON DEVICE, so step k+1
+        # dispatches while step k's buffers are still in flight; host
+        # assembly trails one step behind.
+        carry = jnp.asarray([self.sink.carry_bits], jnp.int32)
+        pending = None
         out = []
         for i in range(0, t, step_t):
-            carry = jnp.asarray([self.sink.carry_bits], jnp.int32)
             frames_sharded = jax.device_put(
                 frames[i : i + step_t], self._sharding
             )
-            packed, bits, starts = step(frames_sharded, self.ctx.enc_t, carry)
-            out.append(
-                self._assemble(
-                    np.asarray(jax.device_get(packed)),
-                    np.asarray(bits),
-                    np.asarray(starts),
-                )
+            packed, bits, starts, carry = step(
+                frames_sharded, self.ctx.enc_t, carry
             )
+            if pending is not None:
+                out.append(self._assemble_dev(*pending))
+            pending = (packed, bits, starts)
+        if pending is not None:
+            out.append(self._assemble_dev(*pending))
         self.frames_encoded += t
         return b"".join(out)
+
+    def _assemble_dev(self, packed, bits, starts) -> bytes:
+        return self._assemble(
+            np.asarray(jax.device_get(packed)),
+            np.asarray(bits),
+            np.asarray(starts),
+        )
 
     def _assemble(self, packed: np.ndarray, bits: np.ndarray, starts: np.ndarray) -> bytes:
         """Byte-splice phase-aligned shard buffers into the global stream."""
