@@ -63,7 +63,11 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
     )
     # Next step's sink bit phase, replicated on device — lets consecutive
     # steps dispatch back to back without waiting for host assembly.
-    next_carry = (carry_bits[0] + all_bits.sum()) % 8
+    # (psum rather than all_bits.sum(): the vma checker can prove psum
+    # output is replicated across the axes.)
+    next_carry = (
+        carry_bits[0] + jax.lax.psum(local_bits, (GOP_AXIS, TILE_AXIS))
+    ) % 8
     return (
         packed[None],
         (total_bits - phase)[None],
