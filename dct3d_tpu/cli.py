@@ -235,6 +235,39 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Inspect a bitstream / container (SURVEY.md §7 M5 'info')."""
+    import zlib
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    out: dict = {"bytes": len(data)}
+    if data[:4] == b"D3MH":
+        from .parallel.multihost import split_members
+
+        members = split_members(data)
+        out["format"] = "d3mh-container"
+        out["members"] = [
+            {"frames": frames, "bytes": len(payload)}
+            for frames, payload in members
+        ]
+        out["frames"] = sum(m[0] for m in members)
+        meta_path = args.input + ".meta"
+        if os.path.exists(meta_path):
+            out["meta"] = json.load(open(meta_path))
+    else:
+        out["format"] = "raw-zlib-stream (reference-compatible, headerless)"
+        try:
+            payload = zlib.decompressobj().decompress(data, 1 << 20)
+            out["payload_bytes_sampled"] = len(payload)
+            out["note"] = ("geometry travels out of band; supply width/"
+                           "height/frames to decode (Decoder.java:17-28)")
+        except zlib.error:
+            out["format"] = "unknown (not zlib, not D3MH)"
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_devices(_args) -> int:
     import jax
 
@@ -377,6 +410,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     pv = sub.add_parser("devices", help="list accelerator devices")
     pv.set_defaults(fn=cmd_devices)
+
+    pi = sub.add_parser("info", help="inspect a bitstream or container")
+    pi.add_argument("input")
+    pi.set_defaults(fn=cmd_info)
 
     pc = sub.add_parser("capture", help="generate a synthetic raw clip")
     pc.add_argument("output")

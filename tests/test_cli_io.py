@@ -140,3 +140,26 @@ def test_encode_determinism_parallel_deflate():
     clip = synthetic_video(16, 64, 64, seed=30)
     cfg = CodecConfig(deflate_workers=3)
     assert encode_video(clip, cfg) == encode_video(clip, cfg)
+
+
+def test_cli_info(tmp_path, capsys):
+    import json
+
+    from dct3d_tpu import encode_video
+    from dct3d_tpu.parallel.multihost import _member
+    from conftest import synthetic_video
+
+    clip = synthetic_video(16, 32, 32)
+    raw = str(tmp_path / "v.bin")
+    open(raw, "wb").write(encode_video(clip))
+    assert cli.main(["info", raw]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["format"].startswith("raw-zlib")
+
+    cont = str(tmp_path / "v.d3mh")
+    open(cont, "wb").write(_member(encode_video(clip[:8]), 8)
+                           + _member(encode_video(clip[8:]), 8))
+    assert cli.main(["info", cont]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["format"] == "d3mh-container"
+    assert out["frames"] == 16 and len(out["members"]) == 2
