@@ -65,7 +65,7 @@ def synthetic_clip(t: int, h: int, w: int) -> np.ndarray:
     return frames ^ noise
 
 
-def bench_encode(frames: np.ndarray, reps: int = 3) -> dict:
+def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     from dct3d_tpu.codec.encoder import StreamingEncoder
     from dct3d_tpu.codec.decoder import decode_video
     from dct3d_tpu.codec.transform import TransformContext
