@@ -194,6 +194,25 @@ def cmd_decode(args) -> int:
     from .io import rawvideo
 
     cfg = _cfg_from_args(args)
+    width, height = args.width, args.height
+    # A .meta sidecar (written by checkpointing encode) pins cfg/geometry;
+    # honor it so stale CLI flags can't silently decode to garbage.
+    meta_path = args.input + ".meta"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        mcfg = CodecConfig(**meta["cfg"])
+        differs = (
+            (width, height) != (meta["width"], meta["height"])
+            or (cfg.block_w, cfg.block_h, cfg.block_d, cfg.quant_strength)
+            != (mcfg.block_w, mcfg.block_h, mcfg.block_d, mcfg.quant_strength)
+        )
+        if differs:
+            print(
+                f"note: decoding with the parameters pinned in {meta_path} "
+                "(the command-line flags differ)", file=sys.stderr,
+            )
+        cfg, width, height = mcfg, meta["width"], meta["height"]
     head = b""
     if os.path.exists(args.input):
         with open(args.input, "rb") as f:
@@ -209,27 +228,42 @@ def cmd_decode(args) -> int:
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.perf_counter()
-    if head == b"D3MH" and args.rgb:  # 3-channel container
-        from .codec.rgb_codec import decode_rgb_video
+    if head == b"D3MH":
+        # Route by the container's member type tags, not the --rgb flag:
+        # tagged containers self-describe (ADVICE r1); the flag only decides
+        # legacy all-zero-tag 3-member containers.
+        from .parallel.multihost import container_kind, split_members
 
-        video = decode_rgb_video(data, args.width, args.height, cfg)
-        if args.frames is not None:
-            video = video[: args.frames]
-    elif head == b"D3MH":  # checkpoint/multi-host member container
-        from .parallel.multihost import decode_multihost_container
+        members = split_members(data)
+        kind = container_kind(members)
+        if kind == "unknown":
+            print(f"unrecognized member type tags "
+                  f"{[m[2] for m in members]}", file=sys.stderr)
+            return 2
+        as_rgb = kind == "rgb" or (args.rgb and len(members) == 3)
+        if args.rgb and kind == "temporal" and len(members) != 3:
+            print("--rgb requested but this container holds "
+                  f"{len(members)} temporal member(s)", file=sys.stderr)
+            return 2
+        if as_rgb:
+            from .codec.rgb_codec import decode_rgb_video
 
-        video = decode_multihost_container(data, args.width, args.height, cfg)
+            video = decode_rgb_video(data, width, height, cfg)
+        else:
+            from .parallel.multihost import decode_multihost_container
+
+            video = decode_multihost_container(data, width, height, cfg)
         if args.frames is not None:
             video = video[: args.frames]
     else:
         video = decode_video(
-            data, args.width, args.height, args.frames, cfg,
+            data, width, height, args.frames, cfg,
             gops_per_batch=args.gops_per_batch,
         )
     dt = time.perf_counter() - t0
     rawvideo.write_video(args.output, video)
     print(
-        f"decoded {video.shape[0]} frames {args.width}x{args.height} "
+        f"decoded {video.shape[0]} frames {width}x{height} "
         f"in {dt:.2f}s ({video.shape[0] / dt:.1f} fps)"
     )
     return 0
@@ -243,15 +277,20 @@ def cmd_info(args) -> int:
         data = f.read()
     out: dict = {"bytes": len(data)}
     if data[:4] == b"D3MH":
-        from .parallel.multihost import split_members
+        from .parallel.multihost import container_kind, split_members
 
         members = split_members(data)
+        type_names = {0: "temporal", 1: "red", 2: "green", 3: "blue"}
         out["format"] = "d3mh-container"
+        out["kind"] = container_kind(members)
         out["members"] = [
-            {"frames": frames, "bytes": len(payload)}
-            for frames, payload in members
+            {"frames": frames, "bytes": len(payload),
+             "type": type_names.get(mtype, mtype)}
+            for frames, payload, mtype in members
         ]
-        out["frames"] = sum(m[0] for m in members)
+        out["frames"] = (
+            members[0][0] if out["kind"] == "rgb" else sum(m[0] for m in members)
+        )
         meta_path = args.input + ".meta"
         if os.path.exists(meta_path):
             out["meta"] = json.load(open(meta_path))

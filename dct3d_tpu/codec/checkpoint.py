@@ -42,10 +42,10 @@ def resume_info(path: str) -> tuple[int, int]:
     frames = 0
     pos = 0
     while pos + 16 <= len(data) and data[pos : pos + 4] == MEMBER_MAGIC:
-        f, length = struct.unpack_from("<IQ", data, pos + 4)
+        tagged, length = struct.unpack_from("<IQ", data, pos + 4)
         if pos + 16 + length > len(data):
             break  # torn member
-        frames += f
+        frames += tagged & 0xFFFFFF  # top byte is the member type tag
         pos += 16 + length
     return frames, pos
 
@@ -102,12 +102,11 @@ class CheckpointingEncoder:
     def _flush_member(self) -> None:
         if self._enc is None:
             return
+        from ..parallel.multihost import _member
+
         self._member_chunks.append(self._enc.finish())
         payload = b"".join(self._member_chunks)
-        self._f.write(
-            MEMBER_MAGIC + struct.pack("<IQ", self._member_frames, len(payload))
-        )
-        self._f.write(payload)
+        self._f.write(_member(payload, self._member_frames))
         self._f.flush()
         os.fsync(self._f.fileno())
         self.frames_done += self._member_frames

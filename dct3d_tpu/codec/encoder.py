@@ -179,9 +179,17 @@ class StreamingEncoder:
         return self._collect()
 
     def finish(self) -> bytes:
-        """Flush pipeline + carry + DEFLATE tail.  Stream complete after."""
+        """Flush pipeline + carry + DEFLATE tail.  Stream complete after.
+
+        Also releases the drainer and sink worker threads deterministically
+        (loops building many encoders — sweep, per-member checkpoint/RGB —
+        must not lean on GC to reap them).  The encoder is done after this.
+        """
         self._out.append(self._drainer.submit(self.sink.finish))
-        return self._collect(block=True)
+        out = self._collect(block=True)
+        self._drainer.shutdown(wait=True)
+        self.sink.close()
+        return out
 
 
 def encode_video(

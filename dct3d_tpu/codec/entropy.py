@@ -242,6 +242,9 @@ class DeflateSink:
         self.carry_bits = 0
         return out + self._z.flush(zlib.Z_FINISH)
 
+    def close(self) -> None:
+        """No worker threads to release; symmetry with ParallelDeflateSink."""
+
 
 class ParallelDeflateSink:
     """Multi-threaded DEFLATE producing ONE valid zlib stream (pigz-style).
@@ -323,6 +326,10 @@ class ParallelDeflateSink:
         # Final empty fixed-Huffman block with BFINAL=1, then the adler32 of
         # the whole uncompressed payload — completing the zlib framing.
         return body + b"\x03\x00" + struct.pack(">I", self._adler & 0xFFFFFFFF)
+
+    def close(self) -> None:
+        """Release the worker threads (sinks are one-shot after finish)."""
+        self._pool.shutdown(wait=True)
 
 
 def make_sink(cfg) -> "DeflateSink | ParallelDeflateSink":

@@ -25,17 +25,20 @@ def encode_rgb_video(
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
 ) -> bytes:
-    """(T, H, W, 3) uint8 interleaved RGB -> D3MH container (3 members)."""
-    from ..parallel.multihost import _member
+    """(T, H, W, 3) uint8 interleaved RGB -> D3MH container (3 members,
+    tagged MEMBER_RED/GREEN/BLUE so decode auto-routes without a flag)."""
+    from ..parallel.multihost import (
+        MEMBER_BLUE, MEMBER_GREEN, MEMBER_RED, _member,
+    )
 
     cfg = cfg or CodecConfig()
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError("expected (T, H, W, 3) interleaved RGB")
     t = frames.shape[0] - frames.shape[0] % cfg.gop_size
     out = []
-    for c in range(3):
+    for c, mtype in enumerate((MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE)):
         plane = np.ascontiguousarray(frames[:t, :, :, c])
-        out.append(_member(encode_video(plane, cfg, ctx), t))
+        out.append(_member(encode_video(plane, cfg, ctx), t, mtype))
     return b"".join(out)
 
 
@@ -47,14 +50,23 @@ def decode_rgb_video(
     ctx: TransformContext | None = None,
 ) -> np.ndarray:
     """D3MH container (3 members) -> (T, H, W, 3) uint8 interleaved RGB."""
-    from ..parallel.multihost import split_members
+    from ..parallel.multihost import container_kind, split_members
 
     cfg = cfg or CodecConfig()
     members = split_members(data)
     if len(members) != 3:
         raise ValueError(f"expected 3 channel members, found {len(members)}")
+    kind = container_kind(members)
+    # kind == 'temporal' (all-zero tags): legacy (round-1) RGB container
+    # predating type tags — caller asked for RGB and it has exactly 3
+    # members, so honor it.
+    if kind == "unknown":
+        raise ValueError(
+            f"unexpected member type tags {[m[2] for m in members]}; "
+            "not an RGB container"
+        )
     planes = [
         decode_video(payload, width, height, frames, cfg, ctx)
-        for frames, payload in members
+        for frames, payload, _ in members
     ]
     return np.stack(planes, axis=-1)

@@ -64,15 +64,30 @@ def host_frame_span(total_frames: int, cfg: CodecConfig,
 # header.  Single-host output stays headerless/reference-shaped.
 MEMBER_MAGIC = b"D3MH"
 
+# Member type rides in the top byte of the count field (frame counts are
+# bounded far below 2^24; round-1 containers always wrote 0 there, so old
+# temporal containers parse identically).  The tag is what lets decode
+# auto-route an RGB container vs a temporal (checkpoint / multi-host) one
+# instead of trusting a CLI flag.
+MEMBER_TEMPORAL = 0
+MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE = 1, 2, 3
+_MAX_MEMBER_FRAMES = (1 << 24) - 1
 
-def _member(payload: bytes, frames: int) -> bytes:
+
+def _member(payload: bytes, frames: int, mtype: int = MEMBER_TEMPORAL) -> bytes:
     import struct
 
-    return MEMBER_MAGIC + struct.pack("<IQ", frames, len(payload)) + payload
+    if frames > _MAX_MEMBER_FRAMES:
+        raise ValueError(f"member frame count {frames} exceeds 2^24-1")
+    return (
+        MEMBER_MAGIC
+        + struct.pack("<IQ", (mtype << 24) | frames, len(payload))
+        + payload
+    )
 
 
-def split_members(data: bytes) -> list[tuple[int, bytes]]:
-    """Parse a multi-host container into [(frame_count, zlib member), ...]."""
+def split_members(data: bytes) -> list[tuple[int, bytes, int]]:
+    """Parse a container into [(frame_count, zlib member, member_type), ...]."""
     import struct
 
     out = []
@@ -80,11 +95,22 @@ def split_members(data: bytes) -> list[tuple[int, bytes]]:
     while pos < len(data):
         if data[pos : pos + 4] != MEMBER_MAGIC:
             raise ValueError("not a multi-host container (missing D3MH magic)")
-        frames, length = struct.unpack_from("<IQ", data, pos + 4)
+        tagged, length = struct.unpack_from("<IQ", data, pos + 4)
         pos += 16
-        out.append((frames, data[pos : pos + length]))
+        out.append((tagged & _MAX_MEMBER_FRAMES, data[pos : pos + length],
+                    tagged >> 24))
         pos += length
     return out
+
+
+def container_kind(members: list[tuple[int, bytes, int]]) -> str:
+    """'rgb' | 'temporal' | 'unknown' from the member type tags."""
+    types = [m[2] for m in members]
+    if types == [MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE]:
+        return "rgb"
+    if all(t == MEMBER_TEMPORAL for t in types):
+        return "temporal"
+    return "unknown"
 
 
 def gather_ordered_bytes(local_container: bytes) -> bytes | None:
@@ -184,15 +210,22 @@ def decode_multihost_container(
 
     cfg = cfg or CodecConfig()
     members = split_members(data)
+    if container_kind(members) == "rgb":
+        raise ValueError(
+            "this container carries RGB channel members; decode it with "
+            "codec.rgb_codec.decode_rgb_video (CLI: decode --rgb)"
+        )
     ctx = TransformContext(cfg)  # shared constant matrices
     if len(members) == 1:
-        frames, member = members[0]
+        frames, member, _ = members[0]
         return decode_video(member, width, height, frames, cfg, ctx)
-    pool = ThreadPoolExecutor(workers or min(len(members), os.cpu_count() or 2))
-    parts = list(
-        pool.map(
-            lambda m: decode_video(m[1], width, height, m[0], cfg, ctx),
-            members,
+    with ThreadPoolExecutor(
+        workers or min(len(members), os.cpu_count() or 2)
+    ) as pool:
+        parts = list(
+            pool.map(
+                lambda m: decode_video(m[1], width, height, m[0], cfg, ctx),
+                members,
+            )
         )
-    )
     return np.concatenate(parts)

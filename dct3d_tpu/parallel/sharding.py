@@ -178,7 +178,16 @@ class ShardedEncoder:
     def _assemble(self, packed: np.ndarray, bits: np.ndarray, starts: np.ndarray) -> bytes:
         """Byte-splice phase-aligned shard buffers into the global stream."""
         carry_bits = self.sink.carry_bits
-        total_bits = int(carry_bits + bits.sum())
+        total_bits = int(carry_bits + bits.astype(np.int64).sum())
+        if total_bits >= 1 << 31:
+            # Device-side offsets (start, all-bits scan) are int32; one step
+            # must stay under 2^31 bits (~256 MB of entropy bits).  Large gop
+            # meshes on near-lossless content can exceed it — split the push
+            # into more steps instead of corrupting the stream silently.
+            raise OverflowError(
+                f"one sharded step produced {total_bits} bits >= 2^31; "
+                "push fewer GOPs per step (smaller gop mesh axis / batch)"
+            )
         nbytes = total_bits // 8 + 1
         stream = np.zeros(nbytes, dtype=np.uint8)
         for k in range(packed.shape[0]):
@@ -204,7 +213,9 @@ class ShardedEncoder:
         return self.sink.push_packed(stream, total_bits)
 
     def finish(self) -> bytes:
-        return self.sink.finish()
+        out = self.sink.finish()
+        self.sink.close()
+        return out
 
 
 def sharded_decode_step(mesh: Mesh, ctx: TransformContext, cfg: CodecConfig,

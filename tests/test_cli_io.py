@@ -163,3 +163,52 @@ def test_cli_info(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["format"] == "d3mh-container"
     assert out["frames"] == 16 and len(out["members"]) == 2
+
+
+def test_cli_rgb_autoroutes_without_flag(tmp_path):
+    """Member type tags make decode self-routing: an RGB container decodes
+    correctly with NO --rgb flag, and a temporal container refuses --rgb."""
+    from dct3d_tpu import psnr
+    from dct3d_tpu.io import synthetic
+
+    src = str(tmp_path / "c.rgb")
+    enc = str(tmp_path / "c.bin")
+    dec = str(tmp_path / "back.rgb")
+    synthetic.capture(src, 16, 32, 32, rgb=True)
+    assert cli.main(["encode", src, enc, "32", "32", "--rgb"]) == 0
+    assert cli.main(["decode", enc, dec, "32", "32"]) == 0  # no --rgb
+    a = rawvideo.read_video(src, 32, 32, channels=3)
+    b = rawvideo.read_video(dec, 32, 32, channels=3)
+    assert psnr(a, b) > 30.0
+
+
+def test_rgb_container_rejected_by_temporal_decode(tmp_path):
+    from dct3d_tpu.codec.rgb_codec import encode_rgb_video
+    from dct3d_tpu.io import synthetic
+    from dct3d_tpu.parallel.multihost import decode_multihost_container
+
+    clip = synthetic.moving_gradient(8, 32, 32, rgb=True)
+    data = encode_rgb_video(clip)
+    with pytest.raises(ValueError, match="RGB channel members"):
+        decode_multihost_container(data, 32, 32)
+
+
+def test_cli_decode_honors_meta_sidecar(tmp_path, capsys):
+    """Checkpoint-container decode pins cfg/geometry from the .meta sidecar,
+    so mismatched CLI flags cannot silently produce garbage."""
+    from dct3d_tpu import psnr
+    from dct3d_tpu.io import synthetic
+
+    src = str(tmp_path / "s.raw")
+    enc = str(tmp_path / "s.d3mh")
+    dec = str(tmp_path / "back.raw")
+    synthetic.capture(src, 16, 32, 32)
+    assert cli.main([
+        "encode", src, enc, "32", "32", "--quant", "3",
+        "--checkpoint-every", "1",
+    ]) == 0
+    # Wrong quant on the CLI: the sidecar must win.
+    assert cli.main(["decode", enc, dec, "32", "32", "--quant", "20"]) == 0
+    a = rawvideo.read_video(src, 32, 32)
+    b = rawvideo.read_video(dec, 32, 32)
+    assert psnr(a, b) > 30.0

@@ -76,7 +76,7 @@ def test_multihost_single_process_equals_sharded():
     clip = synthetic_video(32, 64, 64, seed=11)
     data = multihost.encode_multihost(clip, 64, 64, 32, m, cfg)
     members = multihost.split_members(data)
-    assert [f for f, _ in members] == [32]
+    assert [m[0] for m in members] == [32]
     assert members[0][1] == encode_video(clip, cfg)  # payload byte parity
     out = multihost.decode_multihost_container(data, 64, 64, cfg)
     assert psnr(clip, out) > 30.0
@@ -125,7 +125,7 @@ def test_multihost_encodes_tail_gops():
     clip = synthetic_video(24, 64, 64, seed=25)  # 3 GOPs on a gop=2 mesh
     data = multihost.encode_multihost(clip, 64, 64, 24, m, cfg)
     members = multihost.split_members(data)
-    assert [f for f, _ in members] == [16, 8]
+    assert [m[0] for m in members] == [16, 8]
     out = multihost.decode_multihost_container(data, 64, 64, cfg)
     assert out.shape == (24, 64, 64)
     assert psnr(clip, out) > 30.0
