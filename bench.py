@@ -103,17 +103,23 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     fj = jnp.asarray(frames[: cfg.gop_size])
     mb = ctx.max_packed_bytes(fj.size)
 
-    def one_step():
-        g = encode_step(fj, ctx.enc_t, jnp.uint32(0), jnp.int32(0),
-                        max_bytes=mb, cfg=cfg)
-        int(g.total_bits)  # forces execution (block_until_ready is a no-op
-        # through the remote relay)
+    def chain(steps: int) -> float:
+        # Back-to-back dispatch with the carry chained ON DEVICE — exactly
+        # how StreamingEncoder pipelines GOPs — then one tiny fetch to force
+        # completion (block_until_ready is a no-op through the remote relay).
+        carry = (jnp.uint32(0), jnp.int32(0))
+        g = None
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            g = encode_step(fj, ctx.enc_t, carry[0], carry[1],
+                            max_bytes=mb, cfg=cfg)
+            carry = (g.carry_code, g.carry_bits)
+        int(g.total_bits)
+        return time.perf_counter() - t0
 
-    one_step()
-    t0 = time.perf_counter()
-    for _ in range(3):
-        one_step()
-    compute_fps = 3 * cfg.gop_size / (time.perf_counter() - t0)
+    chain(1)  # warmup (compile + remote program load)
+    t2, t10 = chain(2), chain(10)
+    compute_fps = 8 * cfg.gop_size / (t10 - t2)  # slope: relay latency out
 
     # Decode ships smooth reconstructed frames; raw bytes compress better on
     # the wire than their deltas, so transport_delta stays encode-side only.

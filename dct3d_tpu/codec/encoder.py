@@ -84,15 +84,15 @@ class StreamingEncoder:
     def _drain_gop(self, frames_dev, carry_in, gop) -> bytes:
         """Drainer thread: fetch packed bytes (bucketed slice) and deflate.
 
-        If the batch overflowed the budgeted pack buffer (pathological
-        content), re-encode just this batch with the worst-case buffer — the
-        carry chain is buffer-independent (ops/bitpack.py), so already
-        dispatched later batches remain valid.
+        If the batch overflowed the budgeted pack buffer OR a pack group's
+        bit budget (pathological content), re-encode just this batch with
+        the worst-case shapes — the carry chain is overflow-proof
+        (ops/bitpack.py), so already dispatched later batches remain valid.
         """
         with self.timer.stage("device_wait"):
             total_bits = int(gop.total_bits)
         nbytes = total_bits // 8 + 1
-        if nbytes > gop.packed.shape[0]:
+        if nbytes > gop.packed.shape[0] or bool(gop.overflow):
             gop = encode_step(
                 frames_dev,
                 self.ctx.enc_t,
@@ -100,6 +100,7 @@ class StreamingEncoder:
                 carry_in[1],
                 max_bytes=self.ctx.max_packed_bytes_worst_case(frames_dev.size),
                 cfg=self.cfg,
+                tight=False,
             )
         cap = min(gop.packed.shape[0], -(-nbytes // _D2H_BUCKET) * _D2H_BUCKET)
         with self.timer.stage("d2h", cap):

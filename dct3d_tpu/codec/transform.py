@@ -51,9 +51,13 @@ class EncodedGOP(NamedTuple):
     total_bits: jax.Array  # () int32, valid bit count in `packed`
     carry_code: jax.Array  # () uint32, trailing partial byte, right-aligned
     carry_bits: jax.Array  # () int32, 0..7
+    overflow: jax.Array  # () bool, a pack group exceeded its bit budget
+    # (packed is then invalid and the driver retries with tight=False;
+    # total_bits and the carry scalars stay exact either way)
 
 
-def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
+def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
+                 tight=True):
     if cfg.transport_delta:
         # Frames arrived as wrapping temporal deltas (cheap-to-compress on
         # the wire); reconstruct exactly with a mod-256 prefix sum.
@@ -68,28 +72,37 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg):
     # packed buffer starts at bit 0 of the continuing stream.
     code = jnp.concatenate([carry_code[None].astype(jnp.uint32), code])
     width = jnp.concatenate([carry_bits[None].astype(jnp.int32), width])
-    packed, total_bits, tail_byte = bitpack.pack_bits(
+    packed, total_bits, tail_byte, overflow = bitpack.pack_bits(
         code, width, max_bytes,
         max_width=bitpack.max_codeword_bits(cfg.cube_size),
+        w_words=(bitpack.budget_w_words(256, cfg.pack_bits_per_value)
+                 if tight else None),
     )
     # Next GOP's carry, computed ON DEVICE so consecutive encode steps chain
     # without a host round trip (the host learns total_bits asynchronously).
-    # tail_byte is buffer-independent, so the carry chain survives a buffer
-    # overflow and the driver can retry just the overflowed batch.
+    # tail_byte is overflow-proof (dedicated mini-pack, ops/bitpack.py), so
+    # the carry chain survives buffer/budget overflows and the driver can
+    # retry just the overflowed batch.
     rem = total_bits % 8
     new_code = jnp.where(rem > 0, tail_byte >> (8 - rem).astype(jnp.uint32), 0)
-    return EncodedGOP(packed, total_bits, new_code.astype(jnp.uint32), rem)
+    return EncodedGOP(packed, total_bits, new_code.astype(jnp.uint32), rem,
+                      overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("max_bytes", "cfg"))
-def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg):
+@functools.partial(jax.jit, static_argnames=("max_bytes", "cfg", "tight"))
+def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg,
+                tight=True):
     """Encode a (T, H, W) uint8 frame batch into packed Exp-Golomb bytes.
 
     carry_code/carry_bits: the partial trailing byte of the previous call
     (value right-aligned in carry_bits bits), continuing the bitstream across
     GOPs exactly like the C encoder's buffer carry (encoder.c:266-271).
+
+    tight=True uses budget-capped pack buffers (fast path; may flag
+    overflow); tight=False is the worst-case retry shape.
     """
-    return _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg)
+    return _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
+                        tight=tight)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))

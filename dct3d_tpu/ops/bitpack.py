@@ -2,41 +2,43 @@
 
 The reference packs bits serially on the host (ExpGolombWriter.java:19-49,
 ExpGolomb.c:32-64).  Here packing is data-parallel on the TPU (SURVEY.md §7
-M3).  TPU constraint discovered the hard way: XLA lowers big scatters,
-searchsorted and multi-million-element gathers to (near-)serial loops, so the
-obvious "scatter every codeword's bytes" and "searchsorted run boundaries"
-formulations cost ~1.5 s per 1080p GOP.  This implementation instead routes
-the irregular work through the MXU and a handful of small gathers:
+M3).  TPU constraints discovered by measurement (tools/profile_*.py):
+XLA lowers scatters/gathers/searchsorted to near-serial latency-bound loops
+(~7-14 ns per gathered ELEMENT), but a gather of an R-word contiguous ROW
+costs about the same as one word — so the design routes all bulk work
+through the MXU, cumsums, and a small number of ROW gathers:
 
-  level 1 — groups of `group` (256 by default; measured fastest at 256-512
-    on v5e) codewords.  Bit offsets inside a group are
-    a row-wise cumsum.  Each codeword (field width <= 32 bits) contributes to
-    exactly two 32-bit words of a zero-padded per-group buffer of W = group+2
-    words, via shifts.  The per-word segment sums are computed EXACTLY as a
-    one-hot matmul on the MXU: one-hot(word index) in bfloat16 x the four
-    byte-planes of each contribution (bf16 holds 0..255 exactly), f32
-    accumulation (sums <= group*255 << 2^24), recombined into uint32 words.
+  level 1 — groups of `group` (256) codewords.  Bit offsets inside a group
+    are a row-wise cumsum.  Each codeword (field width <= 32 bits)
+    contributes to exactly two 32-bit words of a zero-padded per-group
+    buffer of `w_words` words, via shifts.  The per-word segment sums are
+    computed EXACTLY as a one-hot matmul on the MXU: one-hot(word index) in
+    bfloat16 x the byte-planes of each contribution (bf16 holds 0..255
+    exactly), f32 accumulation, recombined into uint32 words.  `w_words` is
+    budget-capped (pack_bits_per_value), not worst-case-capped: a ~6x
+    smaller one-hot; groups whose content exceeds the budget raise an
+    `overflow` flag and the driver retries with the worst-case shape.
 
-  level 2 — the global stream is the concatenation of per-group bit strings.
-    Every group's buffer is already packed at its *global* bit phase
-    (phase = group start bit % 32, group starts = one tiny cumsum), so output
-    word w is the sum of at most three group buffers' words (a group with
-    >= 33 bits spans >= 2 words, so only the owner group, its nonempty
-    predecessor, and — for the single sub-32-bit partial tail group — one
-    more can overlap any word; zero padding makes extra terms harmless).
-    Per-word table addresses and validity limits are produced WITHOUT
-    per-word gathers of group metadata: per-group (base, limit) values are
-    monotone in the group index, so scattering them at each group's start
-    word and running a cummax "smears" them across each owner run.  Only
-    three table gathers (one per overlap term) remain — gathers/scatters
-    are the expensive primitive on TPU, everything else here is cumsum/
-    elementwise/MXU work.
+  level 2 — the global stream is the concatenation of per-group bit
+    strings, each already packed at its *global* bit phase (phase = group
+    start bit % 32; group starts = one tiny cumsum), so group g's word j IS
+    global word sw[g] + j.  Key structural facts (real codewords are >= 1
+    bit, zero-width slots only lead or trail):
+      * every interior group carries >= 255 bits, so it spans >= 7 whole
+        words and a predecessor's bits reach at most the ONE boundary word
+        sw[g] — merged by two scalar gathers per group (pre-merge);
+      * group starts are therefore >= 7 words apart, so an aligned 8-word
+        output row crosses at most ONE ownership change — the whole output
+        is assembled from TWO row gathers (owner of the row's first word,
+        owner of its last) over an overlapping-8-word-window table, plus a
+        per-word select.  ~260k row gathers replace ~6M element gathers.
 
   The carry byte for the next batch (the byte containing bit total_bits-1)
-  is computed separately from three scalar gathers, NOT from the output
-  buffer — so it stays correct even if out_bytes overflows, which lets the
-  driver retry an overflowed batch with a bigger static buffer without
-  breaking the bit-carry chain (see TransformContext.max_packed_bytes).
+  comes from a dedicated worst-case-sized mini-pack of the last two groups,
+  NOT from the main buffers — so it stays correct under BOTH overflow modes
+  (global buffer and per-group budget), which lets the driver retry an
+  overflowed batch with a bigger static shape without breaking the bit-carry
+  chain (already-dispatched later batches chained on these scalars).
 
 The output buffer has a static size (jit-friendly); the true bit length is
 returned alongside.  Streaming carry across GOPs (the C encoder's
@@ -58,9 +60,13 @@ import numpy as np
 # any bit phase); the device path instead requires width <= 32 (see above).
 MAX_SPAN_BYTES = 6
 
+# Output words per placement row (see level-2 notes: safe while interior
+# groups span >= ROW_WORDS-1 whole words, i.e. group >= 256 at width >= 1).
+ROW_WORDS = 8
+
 
 def _default_impl() -> str:
-    """Level-2 implementation.  Always the XLA gather formulation: the
+    """Level-2 implementation.  Always the XLA row-gather formulation: the
     Pallas splice kernel (ops/splice.py) is rejected by Mosaic on real TPUs
     because bitstream word offsets are not VMEM-tile-aligned — see the
     STATUS note there for the measurement-driven decision record."""
@@ -75,52 +81,26 @@ def max_codeword_bits(cube_size: int) -> int:
     return 2 * max_code.bit_length() - 1
 
 
-def pack_bits(code, width, out_bytes: int, group: int = 256,
-              impl: str | None = None, max_width: int = 32):
-    """Pack codewords into a byte buffer of static size.
+def worst_case_w_words(group: int, max_width: int = 32) -> int:
+    """Per-group buffer words that can never overflow."""
+    return -(-group * min(max_width, 32) // 32) + 2
 
-    Args:
-      code: (n,) uint32 code numbers (MSB-first payload of each field).
-      width: (n,) int32 field widths in bits, each <= max_width (0 = no-op).
-      out_bytes: static output buffer size in bytes.
-      group: codewords per level-1 group (input is zero-padded to a multiple).
-      impl: level-2 assembly: "pallas" (TPU splice kernel),
-        "pallas_interpret" (same kernel, interpreter), "xla" (gather
-        formulation), None = auto.
-      max_width: static bound on field widths (<= 32); a tighter bound from
-        max_codeword_bits() shrinks the level-1 buffers (~15% less HBM
-        traffic for 8x8x8 cubes).  Widths exceeding it corrupt the stream.
 
-    Returns:
-      (buf, total_bits, tail_byte): buf (out_bytes,) uint8 with the MSB-first
-      bit concatenation starting at bit 0; total_bits int32 scalar; tail_byte
-      uint32 scalar = the stream byte containing bit total_bits-1 (zero
-      padded), valid even when total_bits > 8*out_bytes (overflow).
+def budget_w_words(group: int, bits_per_value: float) -> int:
+    """Budget-capped per-group buffer words (bits_per_value average)."""
+    return max(int(np.ceil(group * bits_per_value / 32.0)) + 2, 6)
+
+
+def _group_pack(code32, wid, phase, w_words: int):
+    """One-hot MXU pack of per-group codewords into phase-aligned words.
+
+    code32/wid: (g, group) uint32/int32; phase: (g,) int32 start-bit % 32.
+    Returns (g, w_words) uint32.  Contributions whose word index exceeds
+    w_words-1 are silently dropped (callers flag that via the budget check).
     """
-    width = width.astype(jnp.int32)
-    n = width.shape[0]
-    if n == 0:
-        return jnp.zeros((out_bytes,), jnp.uint8), jnp.int32(0), jnp.uint32(0)
-    pad = (-n) % group
-    code32 = code.astype(jnp.uint32)
-    if pad:
-        code32 = jnp.concatenate([code32, jnp.zeros((pad,), jnp.uint32)])
-        width = jnp.concatenate([width, jnp.zeros((pad,), jnp.int32)])
-    g_count = (n + pad) // group
-    # Zero-padded words per group buffer (worst-case group bits + c1 spill).
-    w_words = -(-group * min(max_width, 32) // 32) + 2
-    code32 = code32.reshape(g_count, group)
-    wid = width.reshape(g_count, group)
-
-    # Group bit geometry (tiny arrays; one global cumsum of g_count).
-    gbits = wid.sum(axis=1)
-    gstart = jnp.cumsum(gbits) - gbits
-    total_bits = gstart[-1] + gbits[-1]
-    phase = (gstart & 31).astype(jnp.int32)
-
-    # Per-codeword aligned contributions to its word and the next.
+    g_count, group = code32.shape
     loff = jnp.cumsum(wid, axis=1) - wid + phase[:, None]
-    word0 = (loff >> 5).astype(jnp.int32)  # in [0, w_words-2]
+    word0 = (loff >> 5).astype(jnp.int32)
     start_bit = (loff & 31).astype(jnp.int32)
     over = start_bit + wid - 32  # bits spilling into the next word
     shr = jnp.clip(over, 0, 31).astype(jnp.uint32)
@@ -129,7 +109,6 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
     c0 = jnp.where(wid > 0, c0, 0)
     c1 = jnp.where(over > 0, code32 << (32 - shr), 0)
 
-    # Level 1: exact per-(group, word) segment sums on the MXU.
     onehot = (
         word0[:, :, None] == jnp.arange(w_words, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.bfloat16)
@@ -142,92 +121,178 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
     ).astype(jnp.bfloat16)  # (g, group, 8)
     sums = jnp.einsum(
         "gcw,gcx->gwx", onehot, planes, preferred_element_type=jnp.float32
-    ).astype(jnp.uint32)  # exact: <= group*255 < 2^24
+    ).astype(jnp.uint32)  # exact: byte planes of bit-disjoint fields
     w0 = (sums[..., 0] << 24) + (sums[..., 1] << 16) + (sums[..., 2] << 8) + sums[..., 3]
     w1 = (sums[..., 4] << 24) + (sums[..., 5] << 16) + (sums[..., 6] << 8) + sums[..., 7]
     # c1 lands one word later than c0's word.
-    buf_groups = w0 + jnp.concatenate(
+    return w0 + jnp.concatenate(
         [jnp.zeros((g_count, 1), jnp.uint32), w1[:, :-1]], axis=1
     )
-    # Lookup table with one leading zero word: clamped-to-0 reads are no-ops.
-    table = jnp.concatenate([jnp.zeros((1,), jnp.uint32), buf_groups.reshape(-1)])
-    t_max = g_count * w_words  # last valid table index
 
-    # Level 2: per-group metadata for the <= 3 overlap terms.
+
+def pack_bits(code, width, out_bytes: int, group: int = 256,
+              impl: str | None = None, max_width: int = 32,
+              w_words: int | None = None):
+    """Pack codewords into a byte buffer of static size.
+
+    Args:
+      code: (n,) uint32 code numbers (MSB-first payload of each field).
+      width: (n,) int32 field widths in bits, each <= max_width.  Real
+        codewords have width >= 1; zero-width slots may only lead (the
+        carry/phase pseudo-codeword) or trail (padding) — the level-2 row
+        placement relies on interior groups spanning whole words.
+      out_bytes: static output buffer size in bytes.
+      group: codewords per level-1 group (>= 256; input is zero-padded to a
+        multiple).
+      impl: level-2 assembly: "pallas" (TPU splice kernel),
+        "pallas_interpret" (same kernel, interpreter), "xla" (row-gather
+        formulation), None = auto.
+      max_width: static bound on field widths (<= 32); widths exceeding it
+        corrupt the stream.
+      w_words: per-group buffer words.  None = worst case (cannot overflow).
+        Smaller (budget_w_words) shrinks the level-1 one-hot and the level-2
+        table; batches whose content exceeds it set the overflow flag and
+        must be retried with w_words=None.
+
+    Returns:
+      (buf, total_bits, tail_byte, overflow): buf (out_bytes,) uint8 with
+      the MSB-first bit concatenation starting at bit 0; total_bits int32
+      scalar; tail_byte uint32 scalar = the stream byte containing bit
+      total_bits-1 (zero padded), valid even on overflow; overflow bool
+      scalar = some group exceeded w_words (buf invalid, retry).
+    """
+    width = width.astype(jnp.int32)
+    n = width.shape[0]
+    if n == 0:
+        return (jnp.zeros((out_bytes,), jnp.uint8), jnp.int32(0),
+                jnp.uint32(0), jnp.bool_(False))
+    assert group >= 32 * ROW_WORDS, "row placement needs group >= 256"
+    worst = worst_case_w_words(group, max_width)
+    w_words = worst if w_words is None else min(w_words, worst)
+    pad = (-n) % group
+    code32 = code.astype(jnp.uint32)
+    if pad:
+        code32 = jnp.concatenate([code32, jnp.zeros((pad,), jnp.uint32)])
+        width = jnp.concatenate([width, jnp.zeros((pad,), jnp.int32)])
+    g_count = (n + pad) // group
+    code32 = code32.reshape(g_count, group)
+    wid = width.reshape(g_count, group)
+
+    # Group bit geometry (tiny arrays; one global cumsum of g_count).
+    gbits = wid.sum(axis=1)
+    gstart = jnp.cumsum(gbits) - gbits
+    total_bits = gstart[-1] + gbits[-1]
+    phase = (gstart & 31).astype(jnp.int32)
     sw = (gstart >> 5).astype(jnp.int32)  # start word per group
-    gidx = jnp.arange(g_count, dtype=jnp.int32)
-    nonempty = jnp.where(gbits > 0, gidx, -1)
-    last_ne = jax.lax.cummax(nonempty)
-    prev_ne = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_ne[:-1]])
-    neg = jnp.int32(-(1 << 30))  # sentinel: clips to table[0] == 0
 
-    def group_meta(g):
-        """(base, limit) per group g (may be -1): word w of group g lives at
-        table[base + w + 1] and is valid while w < limit."""
-        gc = jnp.clip(g, 0, g_count - 1)
-        ok = g >= 0
-        base = jnp.where(ok, gc * w_words - sw[gc], neg)
-        limit = jnp.where(ok, sw[gc] + w_words, 0)
-        return base, limit
+    # A group overflows its budgeted buffer if its last written word
+    # (incl. the one-word c1 spill) would exceed w_words - 1.
+    overflow = jnp.any(
+        (gbits > 0) & (((phase + gbits - 1) >> 5) > w_words - 2)
+    )
 
-    # Terms per output word w: the owner group (last group starting <= w),
-    # its previous nonempty group, and that one's previous nonempty group.
-    metas = [
-        group_meta(gidx),
-        group_meta(prev_ne),
-        group_meta(jnp.where(prev_ne >= 0, prev_ne[jnp.clip(prev_ne, 0, g_count - 1)], -1)),
-    ]
+    buf_groups = _group_pack(code32, wid, phase, w_words)
 
-    nwords = (out_bytes + 3) // 4
+    # Tail byte (carry source) from a dedicated worst-case mini-pack of the
+    # last two groups (>= 255 bits of history before the final byte), so it
+    # is exact under BOTH overflow modes.
+    g2 = min(2, g_count)
+    mstart = gstart[g_count - g2]
+    mbuf = _group_pack(
+        code32[g_count - g2:].reshape(1, -1),
+        wid[g_count - g2:].reshape(1, -1),
+        (mstart & 31)[None],
+        g2 * group + 2,
+    )[0]
+    tail_w_local = ((total_bits - 1) >> 5) - (mstart >> 5)
+    tail_word = mbuf[jnp.clip(tail_w_local, 0, mbuf.shape[0] - 1)]
+    byte_in_word = (jnp.maximum(total_bits - 1, 0) >> 3) & 3
+    tail_byte = (tail_word >> (8 * (3 - byte_in_word)).astype(jnp.uint32)) & 0xFF
+
     impl = impl or _default_impl()
     if impl in ("pallas", "pallas_interpret"):
         from .splice import splice
 
+        nwords = (out_bytes + 3) // 4
         words = splice(
             buf_groups, sw, (gstart + gbits).astype(jnp.int32),
             nwords=nwords, group=group,
             interpret=(impl == "pallas_interpret"),
         )
-    else:
-        # XLA fallback: smear per-group values across owner runs — all
-        # scattered values are monotone nondecreasing in g (w_words > max
-        # group word span), so scatter-max at group start words + cummax
-        # yields the owner's value; three table gathers assemble the words.
-        wi = jnp.arange(nwords, dtype=jnp.int32)
-        words = jnp.zeros((nwords,), jnp.uint32)
-        for base_g, limit_g in metas:
-            base = jax.lax.cummax(
-                jnp.full((nwords,), neg, jnp.int32).at[sw].max(base_g, mode="drop")
+        shifts = jnp.array([24, 16, 8, 0], jnp.uint32)
+        buf = ((words[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
+        return (buf.reshape(-1)[:out_bytes], total_bits.astype(jnp.int32),
+                tail_byte.astype(jnp.uint32), overflow)
+
+    # ---- level 2 (XLA): pre-merge + overlapping-window row gather --------
+    gidx = jnp.arange(g_count, dtype=jnp.int32)
+    nonempty = jnp.where(gbits > 0, gidx, -1)
+    last_ne = jax.lax.cummax(nonempty)
+    prev_ne = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_ne[:-1]])
+
+    # Pre-merge: predecessors reach only word sw[g]; add their contribution
+    # into each group's word 0 so every output word has ONE owner source.
+    flat0 = buf_groups.reshape(-1)
+
+    def boundary_from(p):
+        pc = jnp.clip(p, 0, g_count - 1)
+        delta = sw - sw[pc]
+        ok = (p >= 0) & (delta >= 0) & (delta < w_words)
+        src = pc * w_words + jnp.clip(delta, 0, w_words - 1)
+        return jnp.where(ok, flat0[src], 0)
+
+    p2 = jnp.where(prev_ne >= 0, prev_ne[jnp.clip(prev_ne, 0, g_count - 1)], -1)
+    pre = buf_groups.at[:, 0].add(boundary_from(prev_ne) + boundary_from(p2))
+
+    # Overlapping ROW_WORDS-word windows of the pre-merged table: window i =
+    # flat[i : i + ROW_WORDS], so the window starting at any global word is
+    # ONE row gather away.
+    flat = pre.reshape(-1)
+    padf = jnp.concatenate([flat, jnp.zeros((ROW_WORDS,), jnp.uint32)])
+    t8 = jnp.stack(
+        [padf[k : k + flat.shape[0]] for k in range(ROW_WORDS)], axis=1
+    )
+    t_max = flat.shape[0] - 1
+
+    nwords = (out_bytes + 3) // 4
+    nrows = -(-nwords // ROW_WORDS)
+    rows = jnp.arange(nrows, dtype=jnp.int32)
+    w0_glob = rows * ROW_WORDS
+    neg = jnp.int32(-(1 << 30))
+    base_g = gidx * w_words - sw  # monotone nondecreasing in g
+
+    def smear(row_idx, vals, init):
+        return jax.lax.cummax(
+            jnp.full((nrows,), init, jnp.int32).at[row_idx].max(
+                vals, mode="drop"
             )
-            limit = jax.lax.cummax(
-                jnp.zeros((nwords,), jnp.int32).at[sw].max(limit_g, mode="drop")
-            )
-            vals = table[jnp.clip(base + wi + 1, 0, t_max)]
-            words = words + jnp.where(wi < limit, vals, 0)
+        )
+
+    # Owner of a row's FIRST word: last g with sw[g] <= 8r; of its LAST
+    # word: last g with sw[g] <= 8r+7.  Both via scatter-max + cummax
+    # (values monotone in g).
+    base_a = smear((sw + ROW_WORDS - 1) // ROW_WORDS, base_g, neg)
+    base_b = smear(sw // ROW_WORDS, base_g, neg)
+    sw_b = smear(sw // ROW_WORDS, sw, 0)
+
+    row_a = t8[jnp.clip(base_a + w0_glob, 0, t_max)]
+    row_b = t8[jnp.clip(base_b + w0_glob, 0, t_max)]
+    k = jnp.arange(ROW_WORDS, dtype=jnp.int32)[None, :]
+    words = jnp.where(k >= (sw_b - w0_glob)[:, None], row_b, row_a)
+    # Beyond-stream words read trailing buffer padding via the index clamp;
+    # zero them so the whole static buffer is deterministic.
+    total_words = (total_bits + 31) >> 5
+    words = jnp.where((w0_glob[:, None] + k) < total_words, words, 0)
 
     shifts = jnp.array([24, 16, 8, 0], jnp.uint32)
-    buf = ((words[:, None] >> shifts[None, :]) & 0xFF).astype(jnp.uint8)
-
-    # Tail byte (carry source), independent of the output buffer.
-    tail_w = jnp.maximum(total_bits - 1, 0) >> 5
-    g_tail = last_ne[-1]
-    tail_word = jnp.uint32(0)
-    g = g_tail
-    for _ in range(3):
-        base, limit = group_meta(g)
-        idx = tail_w - jnp.where(g >= 0, sw[jnp.clip(g, 0, g_count - 1)], 0)
-        ok = (g >= 0) & (idx >= 0) & (idx < w_words)
-        tail_word = tail_word + jnp.where(
-            ok, table[jnp.clip(base + tail_w + 1, 0, t_max)], 0
-        )
-        g = jnp.where(g >= 0, prev_ne[jnp.clip(g, 0, g_count - 1)], -1)
-    byte_in_word = (jnp.maximum(total_bits - 1, 0) >> 3) & 3
-    tail_byte = (tail_word >> (8 * (3 - byte_in_word)).astype(jnp.uint32)) & 0xFF
-
+    buf = ((words.reshape(-1)[:nwords, None] >> shifts[None, :]) & 0xFF).astype(
+        jnp.uint8
+    )
     return (
         buf.reshape(-1)[:out_bytes],
         total_bits.astype(jnp.int32),
         tail_byte.astype(jnp.uint32),
+        overflow,
     )
 
 

@@ -35,7 +35,8 @@ from ..ops import bitpack, expgolomb
 from .mesh import GOP_AXIS, TILE_AXIS
 
 
-def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
+def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
+                  tight=True):
     """Per-device body: transform, codewords, offset-aligned bit pack."""
     n_tile = mesh_shape[1]
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
@@ -57,10 +58,17 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
     # bits so the buffer's bytes land on global byte boundaries.
     code = jnp.concatenate([jnp.zeros((1,), jnp.uint32), code])
     width = jnp.concatenate([phase[None], width])
-    packed, total_bits, _ = bitpack.pack_bits(
+    packed, total_bits, _, overflow = bitpack.pack_bits(
         code, width, max_bytes,
         max_width=bitpack.max_codeword_bits(cfg.cube_size),
+        w_words=(bitpack.budget_w_words(256, cfg.pack_bits_per_value)
+                 if tight else None),
     )
+    # Any shard's budget overflow is everyone's problem (the stream is one
+    # bit-contiguous concatenation); replicate the flag for the host retry.
+    any_overflow = jax.lax.psum(
+        overflow.astype(jnp.int32), (GOP_AXIS, TILE_AXIS)
+    ) > 0
     # Next step's sink bit phase, replicated on device — lets consecutive
     # steps dispatch back to back without waiting for host assembly.
     # (psum rather than all_bits.sum(): the vma checker can prove psum
@@ -73,6 +81,7 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape):
         (total_bits - phase)[None],
         start[None],
         next_carry[None].astype(jnp.int32),
+        any_overflow[None],
     )
 
 
@@ -109,12 +118,13 @@ class ShardedEncoder:
         self._sharding = NamedSharding(mesh, P(GOP_AXIS, TILE_AXIS, None))
         self._jitted: dict[int, object] = {}
 
-    def _step_fn(self, max_bytes: int):
-        if max_bytes not in self._jitted:
+    def _step_fn(self, max_bytes: int, tight: bool = True):
+        key = (max_bytes, tight)
+        if key not in self._jitted:
             fn = shard_map(
                 functools.partial(
                     _encode_shard, cfg=self.cfg, max_bytes=max_bytes,
-                    mesh_shape=self._mesh_shape,
+                    mesh_shape=self._mesh_shape, tight=tight,
                 ),
                 mesh=self.mesh,
                 in_specs=(P(GOP_AXIS, TILE_AXIS, None), P(), P()),
@@ -123,10 +133,11 @@ class ShardedEncoder:
                     P((GOP_AXIS, TILE_AXIS)),
                     P((GOP_AXIS, TILE_AXIS)),
                     P(),
+                    P(),
                 ),
             )
-            self._jitted[max_bytes] = jax.jit(fn)
-        return self._jitted[max_bytes]
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
 
     def push(self, frames: np.ndarray) -> bytes:
         """Encode frames; T must be a multiple of gop_size * mesh.gop.
@@ -157,18 +168,38 @@ class ShardedEncoder:
             frames_sharded = jax.device_put(
                 frames[i : i + step_t], self._sharding
             )
-            packed, bits, starts, carry = step(
+            carry_in = carry
+            packed, bits, starts, carry, ovf = step(
                 frames_sharded, self.ctx.enc_t, carry
             )
             if pending is not None:
                 out.append(self._assemble_dev(*pending))
-            pending = (packed, bits, starts)
+            pending = (frames_sharded, carry_in, packed, bits, starts, ovf)
         if pending is not None:
             out.append(self._assemble_dev(*pending))
         self.frames_encoded += t
         return b"".join(out)
 
-    def _assemble_dev(self, packed, bits, starts) -> bytes:
+    def _assemble_dev(self, frames_sharded, carry_in, packed, bits, starts,
+                      ovf) -> bytes:
+        bits_h = np.asarray(bits).astype(np.int64)
+        starts_h = np.asarray(starts).astype(np.int64)
+        # Pathological content: a shard blew the per-group bit budget or its
+        # packed-buffer budget.  Re-dispatch just this step with worst-case
+        # shapes — the device carry chain depends only on bit counts, so
+        # later (already dispatched) steps stay valid.
+        span_over = bool(
+            np.any(starts_h % 8 + bits_h > 8 * packed.shape[1] - 7)
+        )
+        if bool(np.asarray(ovf)) or span_over:
+            worst = self._step_fn(
+                4 * int(frames_sharded.size) // int(np.prod(self._mesh_shape))
+                + 64,
+                tight=False,
+            )
+            packed, bits, starts, _, _ = worst(
+                frames_sharded, self.ctx.enc_t, carry_in
+            )
         return self._assemble(
             np.asarray(jax.device_get(packed)),
             np.asarray(bits),

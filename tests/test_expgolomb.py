@@ -84,7 +84,8 @@ def test_device_bitpack_matches_serial(n, rng):
 
     code, width = expgolomb.codewords(jnp.asarray(vals))
     out_bytes = 4 * n + 16
-    buf, total_bits, _tail = bitpack.pack_bits(code, width, out_bytes)
+    buf, total_bits, _tail, ovf = bitpack.pack_bits(code, width, out_bytes)
+    assert not bool(ovf)
     assert int(total_bits) == w.bit_length
     got = np.asarray(buf)[: (w.bit_length + 7) // 8].tobytes()
     assert got == want
@@ -253,10 +254,10 @@ def test_pallas_splice_matches_xla(rng, n):
     vals = rng.integers(-300, 300, n).astype(np.int32)
     code, width = expgolomb.codewords_np(vals)
     out_bytes = int(width.sum()) // 8 + 8
-    a, bits_a, tail_a = jax.jit(
+    a, bits_a, tail_a, _ = jax.jit(
         lambda c, w: bitpack.pack_bits(c, w, out_bytes, impl="xla")
     )(code, width)
-    b, bits_b, tail_b = jax.jit(
+    b, bits_b, tail_b, _ = jax.jit(
         lambda c, w: bitpack.pack_bits(c, w, out_bytes, impl="pallas_interpret")
     )(code, width)
     assert int(bits_a) == int(bits_b)
@@ -302,10 +303,10 @@ def test_pack_bits_fuzz_vs_numpy(seed):
         width = np.concatenate([[np.int32(carry_bits)], width.astype(np.int32)])
         out_bytes = (int(width.sum()) + 7) // 8 + 5
         ref, ref_bits = bitpack.pack_bits_np(code, width, out_bytes)
-        got, got_bits, _tail = jax.jit(
+        got, got_bits, _tail, ovf = jax.jit(
             lambda c, w, ob=out_bytes: bitpack.pack_bits(c, w, ob)
         )(code, width)
-        assert int(got_bits) == ref_bits
+        assert int(got_bits) == ref_bits and not bool(ovf)
         np.testing.assert_array_equal(np.asarray(got), ref)
 
 
@@ -324,3 +325,27 @@ def test_deflate_sink_sub_byte_carry_chain(rng):
     par = entropy.ParallelDeflateSink(workers=2, block_size=64)
     c = b"".join(par.push_values(vals[i : i + 1]) for i in range(300)) + par.finish()
     assert zlib.decompress(c) == zlib.decompress(a)
+
+
+def test_pack_bits_group_overflow_flag_and_tail(rng):
+    """A group exceeding its budgeted w_words must raise the overflow flag
+    while total_bits and the tail byte (the carry source) stay exact —
+    that's what lets the driver retry without breaking the carry chain."""
+    vals = rng.integers(-5000, 5000, 600).astype(np.int32)  # ~21 bits each
+    code, width = expgolomb.codewords_np(vals)
+    out_bytes = (int(width.sum()) + 7) // 8 + 5
+    ref, ref_bits = bitpack.pack_bits_np(code, width, out_bytes)
+    got, bits, tail, ovf = jax.jit(
+        lambda c, w: bitpack.pack_bits(c, w, out_bytes, w_words=8)
+    )(code, width)
+    assert bool(ovf)
+    assert int(bits) == ref_bits
+    assert int(tail) == int(ref[(ref_bits - 1) // 8])
+    # Ample budget: no overflow, byte-exact.
+    got2, bits2, tail2, ovf2 = jax.jit(
+        lambda c, w: bitpack.pack_bits(
+            c, w, out_bytes, w_words=bitpack.budget_w_words(256, 24)
+        )
+    )(code, width)
+    assert not bool(ovf2)
+    np.testing.assert_array_equal(np.asarray(got2), ref)

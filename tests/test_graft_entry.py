@@ -17,9 +17,10 @@ def _mod():
 def test_entry_compiles():
     fn, args = _mod().entry()
     out = jax.jit(fn)(*args)
-    packed, total_bits, carry_code, carry_bits = out
+    packed, total_bits, carry_code, carry_bits, overflow = out
     assert packed.dtype == jax.numpy.uint8
     assert total_bits.shape == ()
+    assert not bool(overflow)
 
 
 def test_dryrun_multichip():

@@ -230,3 +230,15 @@ def test_drainer_exception_propagates(clip, monkeypatch):
     with pytest.raises(RuntimeError, match="injected drain failure"):
         enc.push(clip[:8])  # may surface here (timing) ...
         enc.finish()        # ... or at flush, never silently
+
+
+def test_local_burst_group_overflow_retries():
+    """One noisy cube in an otherwise flat clip: the GLOBAL stream fits the
+    pack budget but one pack group bursts its per-group word cap.  The
+    overflow flag must force the worst-case retry and keep byte parity and
+    the cross-GOP carry chain intact."""
+    rng = np.random.default_rng(7)
+    clip = np.zeros((16, 64, 64), np.uint8)
+    clip[0:8, 0:8, 0:8] = rng.integers(0, 256, (8, 8, 8))
+    cfg = CodecConfig(quant_strength=0, pack_bits_per_value=4)
+    assert encode_video(clip, cfg) == oracle.encode(clip, cfg)
