@@ -131,10 +131,59 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     video = decode_video(data, w, h, t, dcfg, ctx)
     dec_fps = t / (time.perf_counter() - t0)
 
+    # Decode compute (device-resident planes -> frames), slope-based like
+    # compute_fps: back-to-back async dispatches, one tiny fetch.
+    import zlib
+
+    from dct3d_tpu.codec import entropy
+    from dct3d_tpu.codec.transform import decode_step_planar4
+
+    from dct3d_tpu.codec.decoder import _pad_exceptions
+
+    cpg = w * h * dcfg.gop_size
+    payload = zlib.decompress(data)
+    plane, ei, ev, _ = entropy.decode_values_planar4(payload, cpg)
+    exc_idx, exc_val = _pad_exceptions(plane.size * 2, ei, ev)
+    pd, pi, pv = jnp.asarray(plane), jnp.asarray(exc_idx), jnp.asarray(exc_val)
+
+    def dchain(steps: int) -> float:
+        fd = None
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            fd = decode_step_planar4(pd, pi, pv, ctx.dec_m, cfg=dcfg,
+                                     height=h, width=w)
+        jax.device_get(fd[0, 0, 0])
+        return time.perf_counter() - t0
+
+    dchain(1)
+    d2, d10 = dchain(2), dchain(10)
+    decode_compute_fps = 8 * dcfg.gop_size / (d10 - d2)
+
+    # Host entropy stage alone: GOP-parallel scan + planar4 decode pool.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_gops = t // dcfg.gop_size
+    workers = max(1, min(n_gops, (os.cpu_count() or 2) - 1))
+    t0 = time.perf_counter()
+    pos = [0]
+    with ThreadPoolExecutor(workers) as pool:
+        futs = []
+        for _ in range(n_gops):
+            futs.append(pool.submit(
+                entropy.decode_values_planar4, payload, cpg, pos[-1]
+            ))
+            pos.append(entropy.scan_values(payload, cpg, pos[-1]))
+        for f in futs:
+            f.result()
+    entropy_fps = t / (time.perf_counter() - t0)
+
     return {
         "encode_fps": enc_fps,
         "decode_fps": dec_fps,
         "compute_fps": compute_fps,
+        "decode_compute_fps": decode_compute_fps,
+        "decode_entropy_fps": entropy_fps,
         "bpp": metrics.bits_per_pixel(len(data), w, h, t),
         "psnr_db": metrics.psnr(frames, video),
         "bytes": len(data),
@@ -157,6 +206,8 @@ def main() -> int:
         "detail": {
             "decode_fps": round(r["decode_fps"], 2),
             "compute_fps": round(r["compute_fps"], 2),
+            "decode_compute_fps": round(r["decode_compute_fps"], 2),
+            "decode_entropy_fps": round(r["decode_entropy_fps"], 2),
             # Like-for-like vs the CPU baseline when transport is excluded:
             # this tunnel moves host<->device bytes at ~45 MB/s (PCIe-class
             # hosts are 200-2000x that), so end-to-end fps here is wire-bound.

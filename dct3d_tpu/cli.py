@@ -102,6 +102,30 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "--profile-dir", default=None,
         help="capture a jax.profiler device trace into this directory",
     )
+    p.add_argument(
+        "--mesh", default=None, metavar="GxT",
+        help="run on a (gop, tile) device mesh, e.g. 4x1 or 2x2 — the "
+        "bitstream stays byte-identical to single-device; the analogue of "
+        "the reference's compute-platform selection (main.c:33-37)",
+    )
+
+
+def _make_cli_mesh(spec: str):
+    """Build the (gop, tile) mesh requested by --mesh, or None + error rc."""
+    import jax
+
+    from .parallel.mesh import make_mesh
+
+    g, _, t = spec.lower().partition("x")
+    gop, tile = int(g), int(t or 1)
+    devs = jax.devices()
+    if gop * tile > len(devs):
+        print(
+            f"--mesh {spec} needs {gop * tile} devices, found {len(devs)} "
+            "(see `devices`)", file=sys.stderr,
+        )
+        return None
+    return make_mesh(gop=gop, tile=tile, devices=devs[: gop * tile])
 
 
 def cmd_encode(args) -> int:
@@ -111,6 +135,10 @@ def cmd_encode(args) -> int:
     from .profiling import profile_to
 
     cfg = _cfg_from_args(args)
+    if args.mesh and (args.rgb or args.checkpoint_every):
+        print("--mesh cannot combine with --rgb/--checkpoint-every yet",
+              file=sys.stderr)
+        return 2
     if args.rgb:
         from .codec.rgb_codec import encode_rgb_video
 
@@ -167,14 +195,33 @@ def cmd_encode(args) -> int:
             f"in {dt:.2f}s"
         )
         return 0
-    enc = StreamingEncoder(args.width, args.height, cfg)
+    align = cfg.gop_size
+    if args.mesh:
+        from .parallel.sharding import ShardedEncoder
+
+        mesh = _make_cli_mesh(args.mesh)
+        if mesh is None:
+            return 2
+        align = cfg.gop_size * mesh.shape["gop"]
+        old = frames
+        frames -= frames % align
+        if frames == 0:
+            print(f"input shorter than one {align}-frame mesh step",
+                  file=sys.stderr)
+            return 2
+        if frames != old:
+            print(f"note: truncating to {frames} frames (mesh step {align})",
+                  file=sys.stderr)
+        enc = ShardedEncoder(args.width, args.height, mesh, cfg)
+    else:
+        enc = StreamingEncoder(args.width, args.height, cfg)
     t0 = time.perf_counter()
     written = 0
     with profile_to(args.profile_dir), open(args.output, "wb") as out:
         for batch in rawvideo.iter_frame_batches(
             args.input, args.width, args.height,
-            cfg.gop_size * args.gops_per_batch, frames,
-            align=cfg.gop_size,
+            align * args.gops_per_batch, frames,
+            align=align,
         ):
             written += out.write(enc.push(batch))
         written += out.write(enc.finish())
@@ -184,7 +231,7 @@ def cmd_encode(args) -> int:
         f"({metrics.bits_per_pixel(written, args.width, args.height, frames):.3f} bpp) "
         f"in {dt:.2f}s ({frames / dt:.1f} fps)"
     )
-    if args.stats:
+    if args.stats and hasattr(enc, "timer"):
         print(enc.timer.report(), file=sys.stderr)
     return 0
 
@@ -255,6 +302,15 @@ def cmd_decode(args) -> int:
             video = decode_multihost_container(data, width, height, cfg)
         if args.frames is not None:
             video = video[: args.frames]
+    elif args.mesh:
+        from .parallel.sharding import ShardedDecoder
+
+        mesh = _make_cli_mesh(args.mesh)
+        if mesh is None:
+            return 2
+        video = ShardedDecoder(width, height, mesh, cfg).decode(
+            data, args.frames
+        )
     else:
         video = decode_video(
             data, width, height, args.frames, cfg,

