@@ -42,8 +42,12 @@ def _cfg_from_args(args) -> CodecConfig:
 def _add_codec_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("width", type=int)
-    p.add_argument("height", type=int)
+    p.add_argument(
+        "width", type=int, nargs="?", default=None,
+        help="frame width (required for raw input; PNG sequences and .y4m "
+        "streams carry their own geometry)",
+    )
+    p.add_argument("height", type=int, nargs="?", default=None)
     p.add_argument(
         "frames",
         type=int,
@@ -108,6 +112,19 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "bitstream stays byte-identical to single-device; the analogue of "
         "the reference's compute-platform selection (main.c:33-37)",
     )
+    p.add_argument(
+        "--pad", action="store_true",
+        help="encode: edge-replicate frames up to block multiples when the "
+        "geometry doesn't divide (the documented extension over the "
+        "reference's hard requirement, CaptureScreen.java:113-118); the "
+        "stream then carries the padded geometry — decode with it and "
+        "--crop WxH to recover the original",
+    )
+    p.add_argument(
+        "--crop", default=None, metavar="WxH",
+        help="decode: crop the decoded frames back to WxH (pairs with "
+        "encode --pad)",
+    )
 
 
 def _make_cli_mesh(spec: str):
@@ -128,6 +145,43 @@ def _make_cli_mesh(spec: str):
     return make_mesh(gop=gop, tile=tile, devices=devs[: gop * tile])
 
 
+def _load_footage(args):
+    """Detect and load non-raw input (PNG sequence / y4m stream).
+
+    Returns (video_or_None, width, height): video None means "raw file,
+    stream it from disk"; otherwise the footage is in memory and geometry
+    came from the content (SURVEY.md §7 M5 real-footage path).
+    """
+    inp = args.input
+    is_png = (
+        os.path.isdir(inp)
+        or any(c in inp for c in "*?[")
+        or inp.lower().endswith(".png")
+    )
+    is_y4m = False
+    if not is_png and os.path.isfile(inp):
+        with open(inp, "rb") as f:
+            is_y4m = f.read(9) == b"YUV4MPEG2"
+    if is_png:
+        from .io.png import read_png_sequence
+
+        video = read_png_sequence(inp, frames=args.frames,
+                                  gray=not args.rgb)
+    elif is_y4m:
+        from .io.y4m import read_y4m
+
+        if args.rgb:
+            raise SystemExit("--rgb with .y4m is unsupported (luma only)")
+        video, _info = read_y4m(inp, frames=args.frames)
+    else:
+        return None, args.width, args.height
+    h, w = video.shape[1], video.shape[2]
+    if (args.width, args.height) not in ((None, None), (w, h)):
+        print(f"note: input carries its own geometry {w}x{h}; "
+              "ignoring the command-line values", file=sys.stderr)
+    return video, w, h
+
+
 def cmd_encode(args) -> int:
     from .codec.encoder import StreamingEncoder
     from .io import rawvideo
@@ -139,6 +193,28 @@ def cmd_encode(args) -> int:
         print("--mesh cannot combine with --rgb/--checkpoint-every yet",
               file=sys.stderr)
         return 2
+    video, width, height = _load_footage(args)
+    if width is None or height is None:
+        print("raw input needs explicit width and height", file=sys.stderr)
+        return 2
+    channels = 3 if args.rgb else 1
+    if args.pad:
+        from .io.pad import pad_frames, padded_geometry
+
+        pw, ph = padded_geometry(width, height, cfg.block_w, cfg.block_h)
+        if (pw, ph) != (width, height):
+            if video is None:
+                video = rawvideo.read_video(
+                    args.input, width, height, args.frames, channels=channels
+                )
+            video = pad_frames(video, cfg.block_w, cfg.block_h)
+            print(
+                f"note: padded {width}x{height} -> {pw}x{ph}; decode with "
+                f"geometry {pw} {ph} and --crop {width}x{height}",
+                file=sys.stderr,
+            )
+            width, height = pw, ph
+
     if args.rgb:
         from .codec.rgb_codec import encode_rgb_video
 
@@ -146,10 +222,10 @@ def cmd_encode(args) -> int:
             if getattr(args, flag, None):
                 print(f"warning: --{flag.replace('_', '-')} is not yet "
                       "supported with --rgb and is ignored", file=sys.stderr)
-
-        video = rawvideo.read_video(
-            args.input, args.width, args.height, args.frames, channels=3
-        )
+        if video is None:
+            video = rawvideo.read_video(
+                args.input, width, height, args.frames, channels=3
+            )
         t0 = time.perf_counter()
         data = encode_rgb_video(video, cfg)
         dt = time.perf_counter() - t0
@@ -157,11 +233,14 @@ def cmd_encode(args) -> int:
             f.write(data)
         t = video.shape[0] - video.shape[0] % cfg.gop_size
         print(
-            f"encoded {t} RGB frames {args.width}x{args.height} -> "
+            f"encoded {t} RGB frames {width}x{height} -> "
             f"{len(data)} bytes in {dt:.2f}s ({t / dt:.1f} fps)"
         )
         return 0
-    total = rawvideo.frame_count(args.input, args.width, args.height)
+    if video is not None:
+        total = video.shape[0]
+    else:
+        total = rawvideo.frame_count(args.input, width, height)
     frames = total if args.frames is None else min(args.frames, total)
     frames -= frames % cfg.gop_size
     if frames == 0:
@@ -176,17 +255,14 @@ def cmd_encode(args) -> int:
 
         t0 = time.perf_counter()
         with profile_to(args.profile_dir), CheckpointingEncoder(
-            args.output, args.width, args.height, cfg,
+            args.output, width, height, cfg,
             checkpoint_gops=args.checkpoint_every,
         ) as cenc:
             skip = cenc.frames_done
             if skip:
                 print(f"resuming at frame {skip}")
-            for batch in rawvideo.iter_frame_batches(
-                args.input, args.width, args.height,
-                cfg.gop_size * args.gops_per_batch, frames,
-                align=cfg.gop_size, start=skip,
-            ):
+            for batch in _frame_batches(args, video, width, height,
+                                        cfg.gop_size, frames, start=skip):
                 cenc.push(batch)
         dt = time.perf_counter() - t0
         written = os.path.getsize(args.output)
@@ -212,28 +288,38 @@ def cmd_encode(args) -> int:
         if frames != old:
             print(f"note: truncating to {frames} frames (mesh step {align})",
                   file=sys.stderr)
-        enc = ShardedEncoder(args.width, args.height, mesh, cfg)
+        enc = ShardedEncoder(width, height, mesh, cfg)
     else:
-        enc = StreamingEncoder(args.width, args.height, cfg)
+        enc = StreamingEncoder(width, height, cfg)
     t0 = time.perf_counter()
     written = 0
     with profile_to(args.profile_dir), open(args.output, "wb") as out:
-        for batch in rawvideo.iter_frame_batches(
-            args.input, args.width, args.height,
-            align * args.gops_per_batch, frames,
-            align=align,
-        ):
+        for batch in _frame_batches(args, video, width, height, align, frames):
             written += out.write(enc.push(batch))
         written += out.write(enc.finish())
     dt = time.perf_counter() - t0
     print(
-        f"encoded {frames} frames {args.width}x{args.height} -> {written} bytes "
-        f"({metrics.bits_per_pixel(written, args.width, args.height, frames):.3f} bpp) "
+        f"encoded {frames} frames {width}x{height} -> {written} bytes "
+        f"({metrics.bits_per_pixel(written, width, height, frames):.3f} bpp) "
         f"in {dt:.2f}s ({frames / dt:.1f} fps)"
     )
     if args.stats and hasattr(enc, "timer"):
         print(enc.timer.report(), file=sys.stderr)
     return 0
+
+
+def _frame_batches(args, video, width, height, align, frames, start=0):
+    """Aligned frame batches from in-memory footage or a raw file."""
+    from .io import rawvideo
+
+    step = align * args.gops_per_batch
+    if video is not None:
+        for i in range(start, frames, step):
+            yield video[i : min(i + step, frames)]
+    else:
+        yield from rawvideo.iter_frame_batches(
+            args.input, width, height, step, frames, align=align, start=start
+        )
 
 
 def cmd_decode(args) -> int:
@@ -317,6 +403,12 @@ def cmd_decode(args) -> int:
             gops_per_batch=args.gops_per_batch,
         )
     dt = time.perf_counter() - t0
+    if args.crop:
+        from .io.pad import crop_frames
+
+        cw, _, ch = args.crop.lower().partition("x")
+        video = crop_frames(video, int(cw), int(ch))
+        width, height = int(cw), int(ch)
     rawvideo.write_video(args.output, video)
     print(
         f"decoded {video.shape[0]} frames {width}x{height} "
@@ -410,9 +502,18 @@ def cmd_render(args) -> int:
     )
     print(json.dumps(stats))
     if args.png_prefix:
+        sel = None  # default: first / middle / last
+        if args.frames == "all":
+            sel = list(range(stats["frames"]))
+        elif args.frames and ":" in args.frames:
+            a, _, b = args.frames.partition(":")
+            sel = list(range(int(a or 0), min(int(b or stats["frames"]),
+                                              stats["frames"])))
+        elif args.frames:
+            sel = [int(x) for x in args.frames.split(",")]
         outs = render.render_frames(
             args.input, args.width, args.height, args.png_prefix,
-            channels=3 if args.rgb else 1,
+            frames=sel, channels=3 if args.rgb else 1,
         )
         print("wrote: " + " ".join(outs))
     return 0
@@ -536,6 +637,12 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("height", type=int)
     pr.add_argument("--rgb", action="store_true")
     pr.add_argument("--png-prefix", default=None)
+    pr.add_argument(
+        "--frames", default=None,
+        help='frames to export: "all", "a:b", or a comma list '
+        "(default: first/middle/last; full export matches "
+        "RenderVideo.java:54-87 playing every frame)",
+    )
     pr.set_defaults(fn=cmd_render)
 
     pw = sub.add_parser(

@@ -1,0 +1,67 @@
+"""YUV4MPEG2 (.y4m) ingestion — the standard uncompressed-video interchange
+format (ffmpeg: `-f yuv4mpeg`).  The codec is single-plane (the reference
+encodes one channel at a time, RGBUtils.java:39-90), so this reads the luma
+plane; geometry comes from the stream header, unlike the reference's
+out-of-band CLI geometry (Decoder.java:17-28).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CHROMA_DIV = {
+    # chroma tag -> (x_div, y_div) of each chroma plane, or None for mono
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2), "420paldv": (2, 2),
+    "422": (2, 1), "444": (1, 1), "mono": None,
+}
+
+
+def probe_y4m(path: str) -> dict:
+    """Parse the stream header: {'width', 'height', 'fps', 'chroma'}."""
+    with open(path, "rb") as f:
+        header = f.readline()
+    if not header.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"{path}: not a YUV4MPEG2 stream")
+    out = {"fps": 30.0, "chroma": "420jpeg"}
+    for tok in header.split()[1:]:
+        tag, val = chr(tok[0]), tok[1:].decode()
+        if tag == "W":
+            out["width"] = int(val)
+        elif tag == "H":
+            out["height"] = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            out["fps"] = int(num) / int(den)
+        elif tag == "C":
+            out["chroma"] = val
+    if "width" not in out or "height" not in out:
+        raise ValueError(f"{path}: header missing W/H")
+    if out["chroma"] not in _CHROMA_DIV:
+        raise ValueError(f"{path}: unsupported chroma mode C{out['chroma']}")
+    return out
+
+
+def read_y4m(path: str, frames: int | None = None) -> tuple[np.ndarray, dict]:
+    """(T, H, W) uint8 luma plane + the header info."""
+    info = probe_y4m(path)
+    w, h = info["width"], info["height"]
+    div = _CHROMA_DIV[info["chroma"]]
+    luma = w * h
+    chroma = 0 if div is None else 2 * ((w // div[0]) * (h // div[1]))
+    out = []
+    with open(path, "rb") as f:
+        f.readline()  # stream header
+        while frames is None or len(out) < frames:
+            frame_hdr = f.readline()
+            if not frame_hdr:
+                break
+            if not frame_hdr.startswith(b"FRAME"):
+                raise ValueError(f"{path}: bad FRAME marker")
+            y = f.read(luma)
+            if len(y) < luma:
+                break  # truncated tail frame
+            f.seek(chroma, 1)
+            out.append(np.frombuffer(y, np.uint8).reshape(h, w))
+    if not out:
+        raise ValueError(f"{path}: no complete frames")
+    return np.stack(out), info

@@ -94,6 +94,14 @@ def load():
             ctypes.c_uint64,
             ctypes.c_size_t,
         ]
+        lib.png_unfilter.restype = ctypes.c_int
+        lib.png_unfilter.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
         _lib = lib
     except OSError as e:  # pragma: no cover
         print(f"dct3d_tpu: native codec unavailable ({e})", file=sys.stderr)

@@ -356,3 +356,59 @@ EG_EXPORT uint64_t eg_scan(const uint8_t *data, uint64_t nbits_avail,
     }
     return pos;
 }
+
+/* ------------------------------------------------------------------ */
+/* PNG scanline unfiltering (spec 4.5.2): sequential per pixel, so it */
+/* lives here at memory speed (io/png.py's reader calls it; the       */
+/* Python fallback is only for hosts without a compiler).             */
+/* raw: h*(stride+1) filtered bytes; out: h*stride.  Returns 0, or    */
+/* -1 on an invalid filter type.                                      */
+/* ------------------------------------------------------------------ */
+EG_EXPORT int png_unfilter(const uint8_t *raw, size_t h, size_t stride,
+                           int bpp, uint8_t *out) {
+    const uint8_t *prev = NULL;
+    for (size_t y = 0; y < h; y++) {
+        uint8_t ftype = raw[y * (stride + 1)];
+        const uint8_t *line = raw + y * (stride + 1) + 1;
+        uint8_t *cur = out + y * stride;
+        switch (ftype) {
+        case 0:
+            memcpy(cur, line, stride);
+            break;
+        case 1: /* Sub */
+            for (size_t x = 0; x < stride; x++) {
+                uint8_t a = x >= (size_t)bpp ? cur[x - bpp] : 0;
+                cur[x] = (uint8_t)(line[x] + a);
+            }
+            break;
+        case 2: /* Up */
+            for (size_t x = 0; x < stride; x++)
+                cur[x] = (uint8_t)(line[x] + (prev ? prev[x] : 0));
+            break;
+        case 3: /* Average */
+            for (size_t x = 0; x < stride; x++) {
+                int a = x >= (size_t)bpp ? cur[x - bpp] : 0;
+                int b = prev ? prev[x] : 0;
+                cur[x] = (uint8_t)(line[x] + ((a + b) >> 1));
+            }
+            break;
+        case 4: /* Paeth */
+            for (size_t x = 0; x < stride; x++) {
+                int a = x >= (size_t)bpp ? cur[x - bpp] : 0;
+                int b = prev ? prev[x] : 0;
+                int c = (prev && x >= (size_t)bpp) ? prev[x - bpp] : 0;
+                int p = a + b - c;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > c ? p - c : c - p;
+                int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                cur[x] = (uint8_t)(line[x] + pred);
+            }
+            break;
+        default:
+            return -1;
+        }
+        prev = cur;
+    }
+    return 0;
+}

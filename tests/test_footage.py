@@ -1,0 +1,179 @@
+"""Real-footage ingestion (SURVEY.md §7 M5): PNG sequences, y4m streams,
+and the pad-and-crop extension for non-multiple-of-8 geometry."""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from conftest import synthetic_video
+from dct3d_tpu import cli, metrics
+from dct3d_tpu.io import rawvideo, render
+from dct3d_tpu.io.png import read_png, read_png_sequence
+
+
+def _write_filtered_png(path, img, filter_type):
+    """PNG writer applying one scanline filter everywhere (exercises the
+    native unfilter paths that io/render.py's type-0 writer never emits)."""
+    if img.ndim == 2:
+        color, raw = 0, img[:, :, None]
+    else:
+        color, raw = 2, img
+    h, w, nch = raw.shape
+    raw = raw.astype(np.int32)
+    lines = []
+    prev = np.zeros((w, nch), np.int32)
+    for y in range(h):
+        cur = raw[y]
+        left = np.zeros_like(cur)
+        left[1:] = cur[:-1]
+        pleft = np.zeros_like(prev)
+        pleft[1:] = prev[:-1]
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - pleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - pleft))
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, pleft)
+            )
+            f = cur - pred
+        lines.append(bytes([filter_type]) + (f & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    with open(path, "wb") as fo:
+        fo.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                 + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                 + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("color", ["gray", "rgb"])
+def test_png_reader_all_filters(tmp_path, rng, ftype, color):
+    shape = (24, 40) if color == "gray" else (24, 40, 3)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    p = str(tmp_path / f"f{ftype}.png")
+    _write_filtered_png(p, img, ftype)
+    np.testing.assert_array_equal(read_png(p), img)
+
+
+def test_png_reader_reads_own_writer(tmp_path, rng):
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    p = str(tmp_path / "w.png")
+    render._write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+
+
+def test_png_sequence_roundtrip_through_cli(tmp_path):
+    """PNG directory -> encode (geometry from content) -> decode -> PSNR."""
+    d = tmp_path / "seq"
+    d.mkdir()
+    clip = synthetic_video(16, 48, 64, seed=40)
+    for i in range(16):
+        render._write_png(str(d / f"frame_{i:04d}.png"), clip[i])
+    enc = str(tmp_path / "seq.bin")
+    dec = str(tmp_path / "seq.raw")
+    assert cli.main(["encode", str(d), enc]) == 0
+    assert cli.main(["decode", enc, dec, "64", "48", "16"]) == 0
+    out = rawvideo.read_video(dec, 64, 48)
+    assert metrics.psnr(clip, out) > 30.0
+
+
+def test_png_sequence_gray_conversion(tmp_path, rng):
+    d = tmp_path / "c"
+    d.mkdir()
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    render._write_png(str(d / "a.png"), img)
+    got = read_png_sequence(str(d))
+    r, g, b = (img[..., c].astype(np.uint32) for c in range(3))
+    want = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(got[0], want)
+
+
+def _write_y4m(path, clip, chroma="420jpeg"):
+    t, h, w = clip.shape
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode())
+        for k in range(t):
+            f.write(b"FRAME\n")
+            f.write(clip[k].tobytes())
+            if chroma != "mono":
+                div = {"420jpeg": 4, "422": 2, "444": 1}[chroma]
+                f.write(b"\x80" * (2 * w * h // div))
+
+
+@pytest.mark.parametrize("chroma", ["420jpeg", "444", "mono"])
+def test_y4m_reader(tmp_path, chroma):
+    from dct3d_tpu.io.y4m import probe_y4m, read_y4m
+
+    clip = synthetic_video(8, 32, 48, seed=41)
+    p = str(tmp_path / "v.y4m")
+    _write_y4m(p, clip, chroma)
+    info = probe_y4m(p)
+    assert (info["width"], info["height"]) == (48, 32)
+    assert info["fps"] == 25.0
+    video, _ = read_y4m(p)
+    np.testing.assert_array_equal(video, clip)
+
+
+def test_y4m_through_cli(tmp_path):
+    clip = synthetic_video(16, 32, 48, seed=42)
+    src = str(tmp_path / "v.y4m")
+    _write_y4m(src, clip)
+    enc = str(tmp_path / "v.bin")
+    dec = str(tmp_path / "v.raw")
+    assert cli.main(["encode", src, enc]) == 0
+    assert cli.main(["decode", enc, dec, "48", "32", "16"]) == 0
+    out = rawvideo.read_video(dec, 48, 32)
+    assert metrics.psnr(clip, out) > 30.0
+
+
+def test_pad_and_crop_roundtrip(tmp_path):
+    """Non-multiple-of-8 geometry: encode --pad, decode --crop recovers the
+    original frame exactly in shape and closely in content (SURVEY.md §7
+    hard part 5)."""
+    clip = synthetic_video(16, 45, 60, seed=43)  # 60x45: neither divides 8
+    src = str(tmp_path / "odd.raw")
+    rawvideo.write_video(src, clip)
+    enc = str(tmp_path / "odd.bin")
+    dec = str(tmp_path / "odd.raw.out")
+    assert cli.main(["encode", src, enc, "60", "45", "--pad"]) == 0
+    assert cli.main(["decode", enc, dec, "64", "48", "16",
+                     "--crop", "60x45"]) == 0
+    out = rawvideo.read_video(dec, 60, 45)
+    assert out.shape == clip.shape
+    assert metrics.psnr(clip, out) > 30.0
+
+
+def test_pad_rejected_without_flag(tmp_path):
+    clip = synthetic_video(8, 45, 60, seed=44)
+    src = str(tmp_path / "odd2.raw")
+    rawvideo.write_video(src, clip)
+    with pytest.raises(ValueError):
+        cli.main(["encode", src, str(tmp_path / "x.bin"), "60", "45"])
+
+
+def test_render_all_frames(tmp_path, clip):
+    p = str(tmp_path / "v.raw")
+    rawvideo.write_video(p, clip)
+    assert cli.main(["render", p, "64", "64", "--png-prefix",
+                     str(tmp_path / "img"), "--frames", "all"]) == 0
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert len(pngs) == clip.shape[0]
+    assert cli.main(["render", p, "64", "64", "--png-prefix",
+                     str(tmp_path / "rng"), "--frames", "2:5"]) == 0
+    assert len([f for f in os.listdir(tmp_path) if f.startswith("rng")]) == 3
