@@ -100,7 +100,15 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     import jax.numpy as jnp
     from dct3d_tpu.codec.transform import encode_step
 
-    fj = jnp.asarray(frames[: cfg.gop_size])
+    # encode_step expects transport deltas when cfg.transport_delta is set
+    # (the production encoder differences frames on the host first).
+    gop0 = frames[: cfg.gop_size]
+    if cfg.transport_delta:
+        d = np.empty_like(gop0)
+        d[0] = gop0[0]
+        np.subtract(gop0[1:], gop0[:-1], out=d[1:])  # wrapping uint8
+        gop0 = d
+    fj = jnp.asarray(gop0)
     mb = ctx.max_packed_bytes(fj.size)
 
     def chain(steps: int) -> float:
