@@ -91,13 +91,35 @@ def budget_w_words(group: int, bits_per_value: float) -> int:
     return max(int(np.ceil(group * bits_per_value / 32.0)) + 2, 6)
 
 
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
 def _group_pack(code32, wid, phase, w_words: int):
-    """One-hot MXU pack of per-group codewords into phase-aligned words.
+    """Level-1 pack of per-group codewords into phase-aligned words.
 
     code32/wid: (g, group) uint32/int32; phase: (g,) int32 start-bit % 32.
     Returns (g, w_words) uint32.  Contributions whose word index exceeds
     w_words-1 are silently dropped (callers flag that via the budget check).
+
+    On TPU with budget-capped buffers this runs as a Pallas VPU kernel
+    (ops/group_pack.py, ~3x the einsum); the einsum covers CPU, the tiny
+    mini-pack, and the wide worst-case retry shape (its w_words loop is
+    unrolled at trace time).
     """
+    from . import group_pack
+
+    if (w_words <= 64 and code32.shape[0] >= group_pack.GB
+            and _tpu_backend()):
+        return group_pack.group_pack_pallas(code32, wid, phase, w_words)
+    return _group_pack_einsum(code32, wid, phase, w_words)
+
+
+def _group_pack_einsum(code32, wid, phase, w_words: int):
+    """One-hot MXU einsum formulation (exact byte-plane sums in bf16/f32)."""
     g_count, group = code32.shape
     loff = jnp.cumsum(wid, axis=1) - wid + phase[:, None]
     word0 = (loff >> 5).astype(jnp.int32)

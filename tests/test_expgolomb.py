@@ -372,3 +372,29 @@ def test_scan_values_matches_decode_positions(rng):
     assert entropy.scan_values(payload, vals.size) == nbits
     with pytest.raises(EOFError):
         entropy.scan_values(payload, vals.size + 1)
+
+
+def test_group_pack_pallas_matches_einsum(rng):
+    """The Pallas level-1 kernel (interpret mode on CPU) is byte-exact vs
+    the einsum formulation, across phases, wide codewords, and zero pads."""
+    from dct3d_tpu.ops import bitpack
+    from dct3d_tpu.ops.group_pack import GB, group_pack_pallas
+
+    g_count, group, w = GB + 3, 256, 34
+    wid = rng.integers(1, 5, (g_count, group)).astype(np.int32)
+    hot = rng.random((g_count, group)) < 0.02
+    wid[hot] = rng.integers(15, 28, hot.sum())
+    wid[-1, 100:] = 0  # trailing zero-width pad slots
+    code = rng.integers(0, 1 << 32, (g_count, group), dtype=np.uint64).astype(
+        np.uint32
+    )
+    code[wid == 0] = 0
+    phase = rng.integers(0, 32, g_count).astype(np.int32)
+    want = jax.jit(bitpack._group_pack_einsum, static_argnums=3)(
+        code, wid, phase, w
+    )
+    got = group_pack_pallas(
+        jnp.asarray(code), jnp.asarray(wid), jnp.asarray(phase), w,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
