@@ -193,6 +193,10 @@ def cmd_encode(args) -> int:
         print("--mesh cannot combine with --rgb/--checkpoint-every yet",
               file=sys.stderr)
         return 2
+    if args.mesh and getattr(args, "transport_delta", False):
+        print("warning: --transport-delta is a single-device upload "
+              "optimization; the sharded path ships raw frames (output "
+              "is identical)", file=sys.stderr)
     video, width, height = _load_footage(args)
     if width is None or height is None:
         print("raw input needs explicit width and height", file=sys.stderr)

@@ -189,6 +189,14 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
         return (jnp.zeros((out_bytes,), jnp.uint8), jnp.int32(0),
                 jnp.uint32(0), jnp.bool_(False))
     assert group >= 32 * ROW_WORDS, "row placement needs group >= 256"
+    if n * max_width >= 1 << 31:
+        # Bit offsets are int32 on device; one batch must stay under 2^31
+        # bits even at worst-case widths (a 1080p GOP is ~0.45 Gbit worst
+        # case; an 8K GOP would not be — shard it over a (gop, tile) mesh).
+        raise ValueError(
+            f"batch of {n} codewords can exceed 2^31 bits at width "
+            f"{max_width}; split the batch (e.g. tile-shard the frame)"
+        )
     worst = worst_case_w_words(group, max_width)
     w_words = worst if w_words is None else min(w_words, worst)
     pad = (-n) % group
@@ -254,6 +262,11 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
 
     # Pre-merge: predecessors reach only word sw[g]; add their contribution
     # into each group's word 0 so every output word has ONE owner source.
+    # One term suffices: a second-predecessor term would need p1's data to
+    # END in the word p1 STARTS in (p1 spanning zero whole words), i.e.
+    # gbits[p1] < 32 — impossible for a nonempty predecessor, since only
+    # the globally LAST group can hold fewer than 255 real bits (zero-width
+    # slots only lead or trail), and nothing follows the last group.
     flat0 = buf_groups.reshape(-1)
 
     def boundary_from(p):
@@ -263,8 +276,7 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
         src = pc * w_words + jnp.clip(delta, 0, w_words - 1)
         return jnp.where(ok, flat0[src], 0)
 
-    p2 = jnp.where(prev_ne >= 0, prev_ne[jnp.clip(prev_ne, 0, g_count - 1)], -1)
-    pre = buf_groups.at[:, 0].add(boundary_from(prev_ne) + boundary_from(p2))
+    pre = buf_groups.at[:, 0].add(boundary_from(prev_ne))
 
     # Overlapping ROW_WORDS-word windows of the pre-merged table: window i =
     # flat[i : i + ROW_WORDS], so the window starting at any global word is
