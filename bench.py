@@ -168,22 +168,13 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     decode_compute_fps = 8 * dcfg.gop_size / (d10 - d2)
 
     # Host entropy stage alone: GOP-parallel scan + planar4 decode pool.
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
     n_gops = t // dcfg.gop_size
-    workers = max(1, min(n_gops, (os.cpu_count() or 2) - 1))
     t0 = time.perf_counter()
-    pos = [0]
-    with ThreadPoolExecutor(workers) as pool:
-        futs = []
-        for _ in range(n_gops):
-            futs.append(pool.submit(
-                entropy.decode_values_planar4, payload, cpg, pos[-1]
-            ))
-            pos.append(entropy.scan_values(payload, cpg, pos[-1]))
-        for f in futs:
-            f.result()
+    for _ in entropy.parallel_chunks(
+        np.frombuffer(payload, np.uint8), cpg, n_gops,
+        entropy.decode_values_planar4,
+    ):
+        pass
     entropy_fps = t / (time.perf_counter() - t0)
 
     return {

@@ -134,7 +134,14 @@ def _make_cli_mesh(spec: str):
     from .parallel.mesh import make_mesh
 
     g, _, t = spec.lower().partition("x")
-    gop, tile = int(g), int(t or 1)
+    try:
+        gop, tile = int(g), int(t or 1)
+        if gop < 1 or tile < 1:
+            raise ValueError
+    except ValueError:
+        print(f"--mesh expects GxT (e.g. 4x1, 2x2), got {spec!r}",
+              file=sys.stderr)
+        return None
     devs = jax.devices()
     if gop * tile > len(devs):
         print(
@@ -350,6 +357,12 @@ def cmd_decode(args) -> int:
                 "(the command-line flags differ)", file=sys.stderr,
             )
         cfg, width, height = mcfg, meta["width"], meta["height"]
+    if width is None or height is None:
+        # Geometry travels out of band in every container/stream variant
+        # (Decoder.java:17-28); only a .meta sidecar can supply it.
+        print("decode requires explicit width and height (or a .meta "
+              "sidecar next to the input)", file=sys.stderr)
+        return 2
     head = b""
     if os.path.exists(args.input):
         with open(args.input, "rb") as f:

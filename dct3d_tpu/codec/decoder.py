@@ -168,9 +168,7 @@ def decode_video(
     transform + async D2H of earlier GOPs are in flight.  The reference's
     refill loop (decoder.c:207-236) is single-threaded and synchronous.
     """
-    import os
     import zlib
-    from concurrent.futures import ThreadPoolExecutor
 
     cfg = cfg or CodecConfig()
     ctx = ctx or TransformContext(cfg)
@@ -191,35 +189,20 @@ def decode_video(
     if n_gops > 1 and native.load() is not None:
         z = zlib.decompressobj()
         payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
-        workers = entropy_workers or max(1, min(n_gops, (os.cpu_count() or 2) - 1))
-        positions = [0]
-        futs: dict = {}
-        with ThreadPoolExecutor(workers) as pool:
-            def ensure(k: int) -> None:
-                while len(positions) <= k:
-                    positions.append(
-                        entropy.scan_values(payload, cpg, positions[-1])
-                    )
-                if k not in futs:
-                    futs[k] = pool.submit(
-                        entropy.decode_values_planar4, payload, cpg,
-                        positions[k],
-                    )
-
-            try:
-                for g0 in range(n_gops):
-                    for k in range(g0, min(g0 + workers + 1, n_gops)):
-                        ensure(k)
-                    plane, ei, ev, _pos = futs.pop(g0).result()
-                    frames_dev = _dispatch_planar4(
-                        (plane, ei, ev), ctx, cfg, height, width
-                    )
-                    frames_dev.copy_to_host_async()
-                    pending.append((g0, frames_dev))
-                    if len(pending) >= window:
-                        drain_one()
-            except EOFError:
-                raise EOFError("bitstream too short for requested frame count")
+        try:
+            for g0, (plane, ei, ev, _pos) in enumerate(entropy.parallel_chunks(
+                payload, cpg, n_gops, entropy.decode_values_planar4,
+                entropy_workers,
+            )):
+                frames_dev = _dispatch_planar4(
+                    (plane, ei, ev), ctx, cfg, height, width
+                )
+                frames_dev.copy_to_host_async()
+                pending.append((g0, frames_dev))
+                if len(pending) >= window:
+                    drain_one()
+        except EOFError:
+            raise EOFError("bitstream too short for requested frame count")
     else:
         # No native library: serial streaming route.
         dec = StreamingDecoder(width, height, cfg, ctx)

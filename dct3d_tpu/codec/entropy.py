@@ -125,6 +125,41 @@ def scan_values(data: bytes | np.ndarray, n: int, bitpos: int = 0) -> int | None
     return int(pos)
 
 
+def parallel_chunks(payload, values_per_chunk: int, n_chunks: int,
+                    decode_fn, workers: int | None = None):
+    """Entropy-decode consecutive fixed-size chunks GOP-parallel, in order.
+
+    The caller thread runs eg_scan ahead (boundaries are ~3x cheaper than
+    decoding) while a worker pool applies ``decode_fn(payload, n, bitpos)``
+    to several chunks concurrently (the C decoders release the GIL).
+    Yields each chunk's full decode_fn result tuple in stream order.
+    Requires the native library (callers keep a serial fallback); raises
+    EOFError if the stream ends early.  Shared by decode_video, the
+    sharded decoder, and the bench.
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    workers = workers or max(1, min(n_chunks, (_os.cpu_count() or 2) - 1))
+    positions = [0]
+    futs: dict = {}
+    with _TPE(workers) as pool:
+        def ensure(k: int) -> None:
+            while len(positions) <= k:
+                positions.append(
+                    scan_values(payload, values_per_chunk, positions[-1])
+                )
+            if k not in futs:
+                futs[k] = pool.submit(
+                    decode_fn, payload, values_per_chunk, positions[k]
+                )
+
+        for c in range(n_chunks):
+            for k in range(c, min(c + workers + 1, n_chunks)):
+                ensure(k)
+            yield futs.pop(c).result()
+
+
 def _decode_planar_impl(data, n, bitpos, lib_symbol, plane_alloc, fallback):
     """Shared scaffolding of the fused decode+planarize paths: native call
     with grow-on-exception-overflow retry, NumPy fallback otherwise."""

@@ -287,9 +287,11 @@ class ShardedDecoder:
     Streams one mesh-step (gop_size * mesh.gop frames) at a time instead of
     materializing the whole video's coefficients: the host entropy stage
     runs step-parallel on a worker pool behind a fast eg_scan boundary
-    cursor (like codec/decoder.decode_video), device steps overlap via a
-    small in-flight window, so memory stays O(step) for arbitrarily long
-    4K/multi-host streams.
+    cursor (like codec/decoder.decode_video), and device steps overlap via
+    a small in-flight window.  The int32 COEFFICIENT arrays (4 B/value
+    before transform) are O(step); the inflated entropy payload (~0.2-1
+    bit/value) and the decoded output frames are still whole-stream
+    resident.
     """
 
     def __init__(
@@ -323,9 +325,7 @@ class ShardedDecoder:
 
     def decode(self, data: bytes, frames: int) -> np.ndarray:
         import collections
-        import os
         import zlib
-        from concurrent.futures import ThreadPoolExecutor
 
         from .. import native
 
@@ -355,28 +355,11 @@ class ShardedDecoder:
         payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
         try:
             if n_steps > 1 and native.load() is not None:
-                workers = self.entropy_workers or max(
-                    1, min(n_steps, (os.cpu_count() or 2) - 1)
-                )
-                positions = [0]
-                futs: dict = {}
-                with ThreadPoolExecutor(workers) as pool:
-                    def ensure(k: int) -> None:
-                        while len(positions) <= k:
-                            positions.append(entropy.scan_values(
-                                payload, cps, positions[-1]
-                            ))
-                        if k not in futs:
-                            futs[k] = pool.submit(
-                                entropy.decode_values, payload, cps,
-                                positions[k],
-                            )
-
-                    for s in range(n_steps):
-                        for k in range(s, min(s + workers + 1, n_steps)):
-                            ensure(k)
-                        vals, _pos = futs.pop(s).result()
-                        dispatch(s, vals)
+                for s, (vals, _pos) in enumerate(entropy.parallel_chunks(
+                    payload, cps, n_steps, entropy.decode_values,
+                    self.entropy_workers,
+                )):
+                    dispatch(s, vals)
             else:
                 pos = 0
                 for s in range(n_steps):

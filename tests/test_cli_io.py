@@ -212,3 +212,26 @@ def test_cli_decode_honors_meta_sidecar(tmp_path, capsys):
     a = rawvideo.read_video(src, 32, 32)
     b = rawvideo.read_video(dec, 32, 32)
     assert psnr(a, b) > 30.0
+
+
+def test_cli_decode_requires_geometry(tmp_path):
+    """Flagless decode of a container without a .meta sidecar must fail
+    cleanly, not crash on None geometry."""
+    from dct3d_tpu.codec.rgb_codec import encode_rgb_video
+    from dct3d_tpu.io import synthetic
+
+    clip = synthetic.moving_gradient(8, 32, 32, rgb=True)
+    cont = str(tmp_path / "c.bin")
+    open(cont, "wb").write(encode_rgb_video(clip))
+    assert cli.main(["decode", cont, str(tmp_path / "o.rgb")]) == 2
+
+
+def test_cli_mesh_bad_spec(tmp_path):
+    from dct3d_tpu.io import synthetic
+
+    src = str(tmp_path / "s.raw")
+    synthetic.capture(src, 8, 32, 32)
+    assert cli.main(["encode", src, str(tmp_path / "o.bin"), "32", "32",
+                     "--mesh", "2x2x2"]) == 2
+    assert cli.main(["encode", src, str(tmp_path / "o.bin"), "32", "32",
+                     "--mesh", "x2"]) == 2

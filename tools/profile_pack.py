@@ -259,7 +259,7 @@ def main():
     # current production pack for comparison
     @jax.jit
     def pack_now(code, width):
-        buf, tb, tail = bitpack.pack_bits(
+        buf, tb, tail, ovf = bitpack.pack_bits(
             code, width, mb, max_width=bitpack.max_codeword_bits(512)
         )
         return buf[:1], buf.sum(dtype=jnp.int32), tb
