@@ -158,8 +158,8 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         fd = None
         t0 = time.perf_counter()
         for _ in range(steps):
-            fd = decode_step_planar4(pd, pi, pv, ctx.dec_m, cfg=dcfg,
-                                     height=h, width=w)
+            fd = decode_step_planar4(pd, pi, pv, ctx.dec_me, ctx.dec_mo,
+                                     cfg=dcfg, height=h, width=w)
         jax.device_get(fd[0, 0, 0])
         return time.perf_counter() - t0
 

@@ -63,7 +63,8 @@ def _dispatch_planar(planar, ctx: TransformContext, cfg: CodecConfig,
         jax.numpy.asarray(plane),
         jax.numpy.asarray(exc_idx),
         jax.numpy.asarray(exc_val),
-        ctx.dec_m,
+        ctx.dec_me,
+        ctx.dec_mo,
         cfg=cfg,
         height=height,
         width=width,
@@ -81,7 +82,8 @@ def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
         jax.numpy.asarray(plane),
         jax.numpy.asarray(exc_idx),
         jax.numpy.asarray(exc_val),
-        ctx.dec_m,
+        ctx.dec_me,
+        ctx.dec_mo,
         cfg=cfg,
         height=height,
         width=width,

@@ -105,16 +105,10 @@ def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg,
                         tight=tight)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def decode_step(coeffs, dec_m, *, cfg, height, width):
-    """Quantized zigzag coefficients (num_cubes, cube) int -> uint8 frames.
-
-    Dequantization (exact integer multiply, folded into dec_m), inverse DCT
-    matmul, clamp to [0, 255] (3dDCT.cl:256-262) and truncating byte cast
-    (writeCubes decoder.c:30, Decoder.java:112)."""
-    pixels = jnp.dot(
-        coeffs.astype(dec_m.dtype), dec_m, precision=_PRECISION
-    )
+def _finish_frames(pixels, cfg, height, width):
+    """Clamp to [0, 255] (3dDCT.cl:256-262), truncating byte cast
+    (writeCubes decoder.c:30, Decoder.java:112), frame relayout, and the
+    optional transport-delta wire form."""
     pixels = jnp.clip(pixels, 0.0, 255.0)
     frames = framing.cubes_to_frames(pixels, cfg, height, width)
     frames = frames.astype(jnp.uint8)
@@ -125,8 +119,35 @@ def decode_step(coeffs, dec_m, *, cfg, height, width):
     return frames
 
 
+def _dequant_matmul(ce, co, dec_me, dec_mo):
+    """Inverse transform as even-feature + odd-feature half matmuls.
+
+    The split exists so the packed-nibble upload never interleaves its two
+    planes (a 16.6M-element stride-2 shuffle XLA executes near-serially,
+    ~12 ms/GOP at 1080p).  EVERY decode path uses this same summation order
+    so decoded pixels stay identical across upload formats (the
+    transparency invariant); vs the float64 oracle the f32 result keeps the
+    usual <=1 LSB envelope."""
+    return (
+        jnp.dot(ce.astype(dec_me.dtype), dec_me, precision=_PRECISION)
+        + jnp.dot(co.astype(dec_mo.dtype), dec_mo, precision=_PRECISION)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def decode_step_planar(coeff8, exc_idx, exc_val, dec_m, *, cfg, height, width):
+def decode_step(coeffs, dec_me, dec_mo, *, cfg, height, width):
+    """Quantized zigzag coefficients (num_cubes, cube) int -> uint8 frames.
+
+    Dequantization (exact integer multiply, folded into the matrices) and
+    inverse DCT via the split matmul (_dequant_matmul)."""
+    v2 = coeffs.reshape(coeffs.shape[0], -1, 2)
+    pixels = _dequant_matmul(v2[:, :, 0], v2[:, :, 1], dec_me, dec_mo)
+    return _finish_frames(pixels, cfg, height, width)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def decode_step_planar(coeff8, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
+                       height, width):
     """decode_step taking an int8 coefficient plane + sparse exceptions.
 
     Host->device bandwidth is the decode bottleneck (int32 coefficients are
@@ -137,24 +158,32 @@ def decode_step_planar(coeff8, exc_idx, exc_val, dec_m, *, cfg, height, width):
     coeffs = coeff8.astype(jnp.int32).reshape(-1)
     coeffs = coeffs.at[exc_idx].set(exc_val, mode="drop")
     return decode_step(
-        coeffs.reshape(coeff8.shape), dec_m, cfg=cfg, height=height, width=width
+        coeffs.reshape(coeff8.shape), dec_me, dec_mo,
+        cfg=cfg, height=height, width=width,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def decode_step_planar4(plane, exc_idx, exc_val, dec_m, *, cfg, height, width):
+def decode_step_planar4(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
+                        height, width):
     """decode_step taking a packed-nibble plane (two coefficients per byte,
     low nibble = even index, sign-extended from 4 bits) + exceptions — half
-    the upload of the int8 plane; DC coefficients ride the exception list."""
+    the upload of the int8 plane; DC coefficients ride the exception list.
+
+    The even/odd planes feed the split matmul directly — no interleave."""
     b = plane.astype(jnp.int32)
-    lo = b & 0xF
-    hi = (b >> 4) & 0xF
-    vals = jnp.stack([(lo ^ 8) - 8, (hi ^ 8) - 8], axis=-1).reshape(-1)
-    vals = vals.at[exc_idx].set(exc_val, mode="drop")
-    return decode_step(
-        vals.reshape(-1, cfg.cube_size), dec_m,
-        cfg=cfg, height=height, width=width,
+    lo = (((b & 0xF) ^ 8) - 8).reshape(-1)
+    hi = ((((b >> 4) & 0xF) ^ 8) - 8).reshape(-1)
+    half = lo.shape[0]
+    e_even = jnp.where((exc_idx & 1) == 0, exc_idx >> 1, half)
+    e_odd = jnp.where((exc_idx & 1) == 1, exc_idx >> 1, half)
+    lo = lo.at[e_even].set(exc_val, mode="drop", unique_indices=True)
+    hi = hi.at[e_odd].set(exc_val, mode="drop", unique_indices=True)
+    hc = cfg.cube_size // 2
+    pixels = _dequant_matmul(
+        lo.reshape(-1, hc), hi.reshape(-1, hc), dec_me, dec_mo
     )
+    return _finish_frames(pixels, cfg, height, width)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -176,7 +205,13 @@ class TransformContext:
         self.cfg = cfg or CodecConfig()
         dtype = np.dtype(self.cfg.compute_dtype)
         self.enc_t = jnp.asarray(dct.encode_matrix(self.cfg, dtype))
-        self.dec_m = jnp.asarray(dct.decode_matrix(self.cfg, dtype))
+        dec_m = dct.decode_matrix(self.cfg, dtype)
+        self.dec_m = jnp.asarray(dec_m)
+        # Even/odd coefficient-row halves for the split inverse matmul
+        # (_dequant_matmul): the packed-nibble decode upload feeds its two
+        # planes straight into these without interleaving.
+        self.dec_me = jnp.asarray(np.ascontiguousarray(dec_m[0::2]))
+        self.dec_mo = jnp.asarray(np.ascontiguousarray(dec_m[1::2]))
 
     def max_packed_bytes(self, num_pixels: int) -> int:
         """Static bit-pack buffer size for a frame batch.

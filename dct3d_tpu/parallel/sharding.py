@@ -259,11 +259,14 @@ def sharded_decode_step(mesh: Mesh, ctx: TransformContext, cfg: CodecConfig,
     caller.
     """
 
-    def _shard(coeffs_local, dec_m):
-        pixels = jnp.dot(
-            coeffs_local[0, 0].astype(dec_m.dtype), dec_m,
-            precision=_PRECISION,
-        )
+    from ..codec.transform import _dequant_matmul
+
+    def _shard(coeffs_local, dec_me, dec_mo):
+        c = coeffs_local[0, 0]
+        v2 = c.reshape(c.shape[0], -1, 2)
+        # Split even/odd matmul: same summation order as every other decode
+        # path, so sharded pixels match single-device pixels exactly.
+        pixels = _dequant_matmul(v2[:, :, 0], v2[:, :, 1], dec_me, dec_mo)
         pixels = jnp.clip(pixels, 0.0, 255.0)
         n_tile = mesh.shape[TILE_AXIS]
         frames = framing.cubes_to_frames(
@@ -274,10 +277,10 @@ def sharded_decode_step(mesh: Mesh, ctx: TransformContext, cfg: CodecConfig,
     fn = shard_map(
         _shard,
         mesh=mesh,
-        in_specs=(P(GOP_AXIS, TILE_AXIS, None, None), P()),
+        in_specs=(P(GOP_AXIS, TILE_AXIS, None, None), P(), P()),
         out_specs=P(GOP_AXIS, TILE_AXIS, None),
     )
-    return jax.jit(lambda c: fn(c, ctx.dec_m))
+    return jax.jit(lambda c: fn(c, ctx.dec_me, ctx.dec_mo))
 
 
 class ShardedDecoder:
