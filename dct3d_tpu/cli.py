@@ -426,7 +426,16 @@ def cmd_decode(args) -> int:
         cw, _, ch = args.crop.lower().partition("x")
         video = crop_frames(video, int(cw), int(ch))
         width, height = int(cw), int(ch)
-    rawvideo.write_video(args.output, video)
+    if args.output.lower().endswith(".y4m"):
+        if video.ndim == 4:
+            print("y4m output is luma-only; decode without --rgb or use a "
+                  ".rgb output path", file=sys.stderr)
+            return 2
+        from .io.y4m import write_y4m
+
+        write_y4m(args.output, video)
+    else:
+        rawvideo.write_video(args.output, video)
     print(
         f"decoded {video.shape[0]} frames {width}x{height} "
         f"in {dt:.2f}s ({video.shape[0] / dt:.1f} fps)"

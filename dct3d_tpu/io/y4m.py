@@ -41,6 +41,21 @@ def probe_y4m(path: str) -> dict:
     return out
 
 
+def write_y4m(path: str, frames: np.ndarray, fps: float = 30.0) -> None:
+    """(T, H, W) uint8 luma -> a Cmono YUV4MPEG2 stream (ffmpeg-readable).
+
+    Gives decoded output a standard container so `ffmpeg -i out.y4m ...`
+    works directly; the reference's raw format needs -video_size/-pix_fmt
+    flags typed by hand."""
+    t, h, w = frames.shape
+    num = int(round(fps * 1000))
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F{num}:1000 Ip A1:1 Cmono\n".encode())
+        for k in range(t):
+            f.write(b"FRAME\n")
+            f.write(np.ascontiguousarray(frames[k], dtype=np.uint8).tobytes())
+
+
 def read_y4m(path: str, frames: int | None = None) -> tuple[np.ndarray, dict]:
     """(T, H, W) uint8 luma plane + the header info."""
     info = probe_y4m(path)

@@ -177,3 +177,29 @@ def test_render_all_frames(tmp_path, clip):
     assert cli.main(["render", p, "64", "64", "--png-prefix",
                      str(tmp_path / "rng"), "--frames", "2:5"]) == 0
     assert len([f for f in os.listdir(tmp_path) if f.startswith("rng")]) == 3
+
+
+def test_y4m_write_read_roundtrip(tmp_path):
+    from dct3d_tpu.io.y4m import read_y4m, write_y4m
+
+    clip = synthetic_video(8, 32, 48, seed=45)
+    p = str(tmp_path / "o.y4m")
+    write_y4m(p, clip, fps=24.0)
+    back, info = read_y4m(p)
+    np.testing.assert_array_equal(back, clip)
+    assert info["chroma"] == "mono" and info["fps"] == 24.0
+
+
+def test_cli_decode_to_y4m(tmp_path):
+    from dct3d_tpu.io.y4m import read_y4m
+
+    clip = synthetic_video(16, 32, 48, seed=46)
+    src = str(tmp_path / "v.raw")
+    rawvideo.write_video(src, clip)
+    enc = str(tmp_path / "v.bin")
+    out = str(tmp_path / "v.y4m")
+    assert cli.main(["encode", src, enc, "48", "32"]) == 0
+    assert cli.main(["decode", enc, out, "48", "32", "16"]) == 0
+    video, _ = read_y4m(out)
+    assert video.shape == (16, 32, 48)
+    assert metrics.psnr(clip, video) > 30.0

@@ -43,8 +43,23 @@ def worker(idx: int, nproc: int, port: int, out: str) -> None:
     clip = synthetic.moving_gradient(total, 64, 64, seed=3)
     lo, hi = multihost.host_frame_span(total, cfg, idx, nproc)
     mesh = make_mesh(gop=2, tile=1, devices=jax.local_devices())
+    import time
+
+    t0 = time.perf_counter()
     data = multihost.encode_multihost(
         clip[lo:hi], 64, 64, total, mesh, cfg
+    )
+    wall = time.perf_counter() - t0
+    # Scaling-efficiency evidence (BASELINE >=80% 1->N hosts): per-host
+    # encode is fully independent; the ONLY cross-host work is the ordered
+    # gather of compressed bytes (two process_allgathers).  Time it alone.
+    t0 = time.perf_counter()
+    multihost.gather_ordered_bytes(b"x" * (len(data) if data else 4096))
+    gather_wall = time.perf_counter() - t0
+    print(
+        f"process {idx}: encode+gather {wall:.3f}s, standalone gather "
+        f"{gather_wall * 1e3:.1f} ms ({100 * gather_wall / wall:.1f}% of "
+        "the step — the only serial cross-host cost)", flush=True,
     )
     if idx == 0:
         assert data is not None
