@@ -67,17 +67,24 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
     q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
-    code, width = expgolomb.codewords(q.reshape(-1))
-    # Prepend the cross-GOP carry (partial byte) as a pseudo-codeword so the
-    # packed buffer starts at bit 0 of the continuing stream.
-    code = jnp.concatenate([carry_code[None].astype(jnp.uint32), code])
-    width = jnp.concatenate([carry_bits[None].astype(jnp.int32), width])
-    packed, total_bits, tail_byte, overflow = bitpack.pack_bits(
-        code, width, max_bytes,
-        max_width=bitpack.max_codeword_bits(cfg.cube_size),
-        w_words=(bitpack.budget_w_words(256, cfg.pack_bits_per_value)
-                 if tight else None),
-    )
+    w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)
+               if tight else None)
+    max_width = bitpack.max_codeword_bits(cfg.cube_size)
+    if q.size % 256 == 0:
+        # Fast path: the carry rides as a bit offset and the packer derives
+        # codewords from q in VMEM (no code/width arrays, no concat copies).
+        packed, total_bits, tail_byte, overflow = bitpack.pack_values(
+            q.reshape(-1), carry_code, carry_bits, max_bytes,
+            max_width=max_width, w_words=w_words,
+        )
+    else:
+        # Odd cube counts (e.g. tiny 4^3 frames): carry as a pseudo-codeword.
+        code, width = expgolomb.codewords(q.reshape(-1))
+        code = jnp.concatenate([carry_code[None].astype(jnp.uint32), code])
+        width = jnp.concatenate([carry_bits[None].astype(jnp.int32), width])
+        packed, total_bits, tail_byte, overflow = bitpack.pack_bits(
+            code, width, max_bytes, max_width=max_width, w_words=w_words,
+        )
     # Next GOP's carry, computed ON DEVICE so consecutive encode steps chain
     # without a host round trip (the host learns total_bits asynchronously).
     # tail_byte is overflow-proof (dedicated mini-pack, ops/bitpack.py), so

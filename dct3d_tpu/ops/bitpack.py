@@ -188,15 +188,7 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
     if n == 0:
         return (jnp.zeros((out_bytes,), jnp.uint8), jnp.int32(0),
                 jnp.uint32(0), jnp.bool_(False))
-    assert group >= 32 * ROW_WORDS, "row placement needs group >= 256"
-    if n * max_width >= 1 << 31:
-        # Bit offsets are int32 on device; one batch must stay under 2^31
-        # bits even at worst-case widths (a 1080p GOP is ~0.45 Gbit worst
-        # case; an 8K GOP would not be — shard it over a (gop, tile) mesh).
-        raise ValueError(
-            f"batch of {n} codewords can exceed 2^31 bits at width "
-            f"{max_width}; split the batch (e.g. tile-shard the frame)"
-        )
+    _check_batch_bits(n, max_width, group)
     worst = worst_case_w_words(group, max_width)
     w_words = worst if w_words is None else min(w_words, worst)
     pad = (-n) % group
@@ -208,36 +200,9 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
     code32 = code32.reshape(g_count, group)
     wid = width.reshape(g_count, group)
 
-    # Group bit geometry (tiny arrays; one global cumsum of g_count).
-    gbits = wid.sum(axis=1)
-    gstart = jnp.cumsum(gbits) - gbits
-    total_bits = gstart[-1] + gbits[-1]
-    phase = (gstart & 31).astype(jnp.int32)
-    sw = (gstart >> 5).astype(jnp.int32)  # start word per group
-
-    # A group overflows its budgeted buffer if its last written word
-    # (incl. the one-word c1 spill) would exceed w_words - 1.
-    overflow = jnp.any(
-        (gbits > 0) & (((phase + gbits - 1) >> 5) > w_words - 2)
-    )
-
+    gbits, gstart, total_bits, phase, sw, overflow = _geometry(wid, 0, w_words)
     buf_groups = _group_pack(code32, wid, phase, w_words)
-
-    # Tail byte (carry source) from a dedicated worst-case mini-pack of the
-    # last two groups (>= 255 bits of history before the final byte), so it
-    # is exact under BOTH overflow modes.
-    g2 = min(2, g_count)
-    mstart = gstart[g_count - g2]
-    mbuf = _group_pack(
-        code32[g_count - g2:].reshape(1, -1),
-        wid[g_count - g2:].reshape(1, -1),
-        (mstart & 31)[None],
-        g2 * group + 2,
-    )[0]
-    tail_w_local = ((total_bits - 1) >> 5) - (mstart >> 5)
-    tail_word = mbuf[jnp.clip(tail_w_local, 0, mbuf.shape[0] - 1)]
-    byte_in_word = (jnp.maximum(total_bits - 1, 0) >> 3) & 3
-    tail_byte = (tail_word >> (8 * (3 - byte_in_word)).astype(jnp.uint32)) & 0xFF
+    tail_byte = _tail_byte(code32, wid, gstart, total_bits)
 
     impl = impl or _default_impl()
     if impl in ("pallas", "pallas_interpret"):
@@ -254,7 +219,68 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
         return (buf.reshape(-1)[:out_bytes], total_bits.astype(jnp.int32),
                 tail_byte.astype(jnp.uint32), overflow)
 
-    # ---- level 2 (XLA): pre-merge + overlapping-window row gather --------
+    buf = _place(buf_groups, gbits, gstart, total_bits, out_bytes, w_words)
+    return (buf, total_bits.astype(jnp.int32), tail_byte.astype(jnp.uint32),
+            overflow)
+
+
+def _check_batch_bits(n: int, max_width: int, group: int) -> None:
+    assert group >= 32 * ROW_WORDS, "row placement needs group >= 256"
+    if n * max_width >= 1 << 31:
+        # Bit offsets are int32 on device; one batch must stay under 2^31
+        # bits even at worst-case widths (a 1080p GOP is ~0.45 Gbit worst
+        # case; an 8K GOP would not be — shard it over a (gop, tile) mesh).
+        raise ValueError(
+            f"batch of {n} codewords can exceed 2^31 bits at width "
+            f"{max_width}; split the batch (e.g. tile-shard the frame)"
+        )
+
+
+def _geometry(wid, lead_bits, w_words: int):
+    """Group bit geometry (tiny arrays; one global cumsum of g_count).
+
+    lead_bits: bits occupying the stream before the first codeword (the
+    carry partial byte / sharded phase alignment), folded into every
+    group's start offset instead of a prepended pseudo-codeword.
+    """
+    gbits = wid.sum(axis=1, dtype=jnp.int32)
+    gstart = jnp.cumsum(gbits) - gbits + lead_bits
+    total_bits = gstart[-1] + gbits[-1]
+    phase = (gstart & 31).astype(jnp.int32)
+    sw = (gstart >> 5).astype(jnp.int32)  # start word per group
+    # A group overflows its budgeted buffer if its last written word
+    # (incl. the one-word c1 spill) would exceed w_words - 1.
+    overflow = jnp.any(
+        (gbits > 0) & (((phase + gbits - 1) >> 5) > w_words - 2)
+    )
+    return gbits, gstart, total_bits, phase, sw, overflow
+
+
+def _tail_byte(code32, wid, gstart, total_bits):
+    """The stream byte containing bit total_bits-1, from a dedicated
+    worst-case mini-pack of the last two groups (>= 255 bits of history
+    before the final byte) — exact under BOTH overflow modes, which is what
+    keeps the device carry chain valid when the driver retries a batch."""
+    g_count, group = code32.shape
+    g2 = min(2, g_count)
+    mstart = gstart[g_count - g2]
+    mbuf = _group_pack_einsum(
+        code32[g_count - g2:].reshape(1, -1),
+        wid[g_count - g2:].reshape(1, -1),
+        (mstart & 31)[None],
+        g2 * group + 2,
+    )[0]
+    tail_w_local = ((total_bits - 1) >> 5) - (mstart >> 5)
+    tail_word = mbuf[jnp.clip(tail_w_local, 0, mbuf.shape[0] - 1)]
+    byte_in_word = (jnp.maximum(total_bits - 1, 0) >> 3) & 3
+    return (tail_word >> (8 * (3 - byte_in_word)).astype(jnp.uint32)) & 0xFF
+
+
+def _place(buf_groups, gbits, gstart, total_bits, out_bytes: int,
+           w_words: int):
+    """Level 2 (XLA): pre-merge + overlapping-window row gather."""
+    g_count = buf_groups.shape[0]
+    sw = (gstart >> 5).astype(jnp.int32)
     gidx = jnp.arange(g_count, dtype=jnp.int32)
     nonempty = jnp.where(gbits > 0, gidx, -1)
     last_ne = jax.lax.cummax(nonempty)
@@ -322,12 +348,71 @@ def pack_bits(code, width, out_bytes: int, group: int = 256,
     buf = ((words.reshape(-1)[:nwords, None] >> shifts[None, :]) & 0xFF).astype(
         jnp.uint8
     )
-    return (
-        buf.reshape(-1)[:out_bytes],
-        total_bits.astype(jnp.int32),
-        tail_byte.astype(jnp.uint32),
-        overflow,
+    return buf.reshape(-1)[:out_bytes]
+
+
+def pack_values(values, carry_code, carry_bits, out_bytes: int,
+                group: int = 256, max_width: int = 32,
+                w_words: int | None = None):
+    """Pack int32 coefficients (codewords computed on the fly) after a
+    leading partial byte.
+
+    The fast-path twin of pack_bits for the encoders: instead of
+    materializing (code, width) arrays in HBM and prepending the carry as a
+    pseudo-codeword (which forces whole-array copies for the concat and the
+    group-multiple pad), the carry rides as a global bit offset
+    (carry_bits <= 31, value right-aligned in carry_code) OR-ed into the
+    first buffer word, and the Pallas level-1 kernel derives each group's
+    codewords from the values in VMEM.  Requires n % group == 0 (the
+    encoders' cube batches always are; other callers use pack_bits).
+
+    Returns (buf, total_bits, tail_byte, overflow) exactly like pack_bits.
+    """
+    n = values.shape[0]
+    assert n and n % group == 0, "pack_values needs whole groups"
+    _check_batch_bits(n, max_width, group)
+    worst = worst_case_w_words(group, max_width)
+    w_words = worst if w_words is None else min(w_words, worst)
+    v2 = values.reshape(-1, group)
+    g_count = v2.shape[0]
+
+    # Widths only (stored int8) for the geometry; the packer recomputes
+    # codewords per block in VMEM rather than round-tripping them via HBM.
+    from . import expgolomb, group_pack
+
+    wid8 = expgolomb.codewords(values)[1].astype(jnp.int8).reshape(
+        g_count, group
     )
+    gbits, gstart, total_bits, phase, sw, overflow = _geometry(
+        wid8, carry_bits.astype(jnp.int32), w_words
+    )
+
+    if (w_words <= 64 and g_count >= group_pack.GB and _tpu_backend()):
+        buf_groups = group_pack.group_pack_values_pallas(v2, phase, w_words)
+    else:
+        code32, wid = expgolomb.codewords(values)
+        buf_groups = _group_pack_einsum(
+            code32.reshape(g_count, group),
+            wid.reshape(g_count, group), phase, w_words,
+        )
+    # The carry's bits live at [0, carry_bits) of word 0 (group 0 starts at
+    # bit carry_bits, so there is no overlap; shift clamp dodges the
+    # undefined shift-by-32 when carry_bits == 0, which `where` masks).
+    shift = ((32 - carry_bits) & 31).astype(jnp.uint32)
+    lead = jnp.where(
+        carry_bits > 0, carry_code.astype(jnp.uint32) << shift, 0
+    )
+    buf_groups = buf_groups.at[0, 0].add(lead)
+
+    g2 = min(2, g_count)
+    code32m = expgolomb.codewords(v2[-g2:].reshape(-1))[0].reshape(g2, group)
+    tail_byte = _tail_byte(
+        code32m, wid8[-g2:].astype(jnp.int32), gstart[-g2:], total_bits
+    )
+
+    buf = _place(buf_groups, gbits, gstart, total_bits, out_bytes, w_words)
+    return (buf, total_bits.astype(jnp.int32), tail_byte.astype(jnp.uint32),
+            overflow)
 
 
 def pack_bits_np(

@@ -42,10 +42,7 @@ def _cumsum_lanes(x):
     return x
 
 
-def _kernel(code_ref, wid_ref, phase_ref, out_ref, *, w_words: int):
-    wid = wid_ref[...]
-    code = code_ref[...].astype(jnp.uint32)
-    phase = phase_ref[...]  # (GB, 1)
+def _pack_body(code, wid, phase, out_ref, *, w_words: int):
     loff = _cumsum_lanes(wid) - wid + phase
     word0 = loff >> 5
     start_bit = loff & 31
@@ -71,6 +68,68 @@ def _kernel(code_ref, wid_ref, phase_ref, out_ref, *, w_words: int):
     out_ref[...] = pltpu.bitcast(jnp.concatenate(cols, axis=1), jnp.uint32)
 
 
+def _kernel(code_ref, wid_ref, phase_ref, out_ref, *, w_words: int):
+    _pack_body(code_ref[...].astype(jnp.uint32), wid_ref[...],
+               phase_ref[...], out_ref, w_words=w_words)
+
+
+def _kernel_values(val_ref, phase_ref, out_ref, *, w_words: int):
+    """Like _kernel but derives the Exp-Golomb codewords from raw int32
+    coefficients in VMEM (no code/width arrays ever hit HBM).  bitlen via
+    the float32 exponent (exact for code numbers < 2^24; ours are < 2^16)."""
+    v = val_ref[...]
+    m = jnp.where(v > 0, 2 * v - 1, -2 * v)
+    code = m + 1  # int32 in [1, 2^16)
+    expo = (pltpu.bitcast(code.astype(jnp.float32), jnp.int32) >> 23) & 0xFF
+    wid = 2 * (expo - 126) - 1  # = 2*bitlen(code) - 1
+    _pack_body(pltpu.bitcast(code, jnp.uint32), wid, phase_ref[...],
+               out_ref, w_words=w_words)
+
+
+def _call(kernel, inputs, in_block_shapes, gc: int, w_words: int,
+          interpret: bool):
+    # Under shard_map(check_vma=True) the output aval must declare which
+    # mesh axes it varies over; it varies exactly like the inputs do.
+    vma = frozenset().union(*(jax.typeof(x).vma for x in inputs))
+    return pl.pallas_call(
+        kernel,
+        grid=(gc // GB,),
+        in_specs=[
+            pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for shape in in_block_shapes
+        ],
+        out_specs=pl.BlockSpec((GB, w_words), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gc, w_words), jnp.uint32, vma=vma),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.jit, static_argnames=("w_words", "interpret"))
+def group_pack_values_pallas(values, phase, w_words: int,
+                             interpret: bool = False):
+    """(g, group) int32 coefficients -> (g, w_words) phase-aligned words.
+
+    The codeword math runs inside the kernel, so only the raw values cross
+    HBM.  The grid pad appends zero-VALUE groups (width-1 codewords, unlike
+    pack_bits' zero-width pads) — harmless because padded group rows are
+    sliced off here and never enter the caller's geometry."""
+    g_count, group = values.shape
+    pad = (-g_count) % GB
+    if pad:
+        values = jnp.concatenate(
+            [values, jnp.zeros((pad, group), jnp.int32)]
+        )
+        phase = jnp.concatenate([phase, jnp.zeros((pad,), jnp.int32)])
+    out = _call(
+        functools.partial(_kernel_values, w_words=w_words),
+        (values, phase[:, None]),
+        [(GB, group), (GB, 1)],
+        values.shape[0], w_words, interpret,
+    )
+    return out[:g_count]
+
+
 @functools.partial(jax.jit, static_argnames=("w_words", "interpret"))
 def group_pack_pallas(code32, wid, phase, w_words: int,
                       interpret: bool = False):
@@ -84,21 +143,10 @@ def group_pack_pallas(code32, wid, phase, w_words: int,
         code32 = jnp.concatenate([code32, jnp.zeros((pad, group), jnp.uint32)])
         wid = jnp.concatenate([wid, jnp.zeros((pad, group), jnp.int32)])
         phase = jnp.concatenate([phase, jnp.zeros((pad,), jnp.int32)])
-    gc = code32.shape[0]
-    out = pl.pallas_call(
+    out = _call(
         functools.partial(_kernel, w_words=w_words),
-        grid=(gc // GB,),
-        in_specs=[
-            pl.BlockSpec((GB, group), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, group), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((GB, w_words), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gc, w_words), jnp.uint32),
-        interpret=interpret,
-    )(code32, wid, phase[:, None])
+        (code32, wid, phase[:, None]),
+        [(GB, group), (GB, group), (GB, 1)],
+        code32.shape[0], w_words, interpret,
+    )
     return out[:g_count]

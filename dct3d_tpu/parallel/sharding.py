@@ -44,7 +44,7 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
     q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
     code, width = expgolomb.codewords(q.reshape(-1))
 
-    local_bits = jnp.sum(width).astype(jnp.int32)
+    local_bits = jnp.sum(width, dtype=jnp.int32)
     # One scalar per shard over ICI; exclusive scan -> global start bit.
     all_bits = jax.lax.all_gather(
         local_bits, (GOP_AXIS, TILE_AXIS), tiled=False
@@ -54,16 +54,23 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
         jnp.arange(all_bits.shape[0]) < rank, all_bits, 0
     ).sum().astype(jnp.int32)
     phase = (start % 8).astype(jnp.int32)
-    # Pack phase-aligned: a zero pseudo-codeword occupies the first `phase`
-    # bits so the buffer's bytes land on global byte boundaries.
-    code = jnp.concatenate([jnp.zeros((1,), jnp.uint32), code])
-    width = jnp.concatenate([phase[None], width])
-    packed, total_bits, _, overflow = bitpack.pack_bits(
-        code, width, max_bytes,
-        max_width=bitpack.max_codeword_bits(cfg.cube_size),
-        w_words=(bitpack.budget_w_words(256, cfg.pack_bits_per_value)
-                 if tight else None),
-    )
+    # Pack phase-aligned: the first `phase` bits are zeros so the buffer's
+    # bytes land on global byte boundaries (a lead offset in pack_values;
+    # a zero pseudo-codeword in the pack_bits fallback).
+    max_width = bitpack.max_codeword_bits(cfg.cube_size)
+    w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)
+               if tight else None)
+    if q.size % 256 == 0:
+        packed, total_bits, _, overflow = bitpack.pack_values(
+            q.reshape(-1), jnp.uint32(0), phase, max_bytes,
+            max_width=max_width, w_words=w_words,
+        )
+    else:
+        code = jnp.concatenate([jnp.zeros((1,), jnp.uint32), code])
+        width = jnp.concatenate([phase[None], width])
+        packed, total_bits, _, overflow = bitpack.pack_bits(
+            code, width, max_bytes, max_width=max_width, w_words=w_words,
+        )
     # Any shard's budget overflow is everyone's problem (the stream is one
     # bit-contiguous concatenation); replicate the flag for the host retry.
     any_overflow = jax.lax.psum(

@@ -398,3 +398,51 @@ def test_group_pack_pallas_matches_einsum(rng):
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("carry_bits", [0, 3, 7, 31])
+def test_pack_values_matches_pack_bits(rng, carry_bits):
+    """pack_values (lead-offset carry, in-kernel codewords) is byte-exact
+    vs pack_bits (pseudo-codeword carry) on whole-group batches."""
+    from dct3d_tpu.ops import bitpack
+
+    vals = rng.integers(-2000, 2000, 1536).astype(np.int32)
+    carry_code = int(rng.integers(0, 1 << carry_bits)) if carry_bits else 0
+    code, width = expgolomb.codewords_np(vals)
+    code = np.concatenate([[np.uint32(carry_code)], code])
+    width = np.concatenate([[np.int32(carry_bits)], width.astype(np.int32)])
+    out_bytes = (int(width.sum()) + 7) // 8 + 5
+    want, want_bits, want_tail, _ = jax.jit(
+        lambda c, w: bitpack.pack_bits(c, w, out_bytes)
+    )(code, width)
+    got, bits, tail, ovf = jax.jit(
+        lambda v: bitpack.pack_values(
+            v, jnp.uint32(carry_code), jnp.int32(carry_bits), out_bytes
+        )
+    )(vals)
+    assert int(bits) == int(want_bits)
+    assert int(tail) == int(want_tail)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_group_pack_values_pallas_matches_einsum(rng):
+    """The values-input Pallas kernel (interpret mode) derives codewords in
+    VMEM byte-exactly vs codewords() + the einsum pack."""
+    from dct3d_tpu.ops import bitpack
+    from dct3d_tpu.ops.group_pack import GB, group_pack_values_pallas
+
+    g_count, group, w = GB + 5, 256, 34
+    vals = rng.integers(-6, 7, (g_count, group)).astype(np.int32)
+    hot = rng.random((g_count, group)) < 0.02
+    vals[hot] = rng.integers(-5771, 5772, hot.sum())
+    phase = rng.integers(0, 32, g_count).astype(np.int32)
+    code, wid = expgolomb.codewords_np(vals.reshape(-1))
+    want = jax.jit(bitpack._group_pack_einsum, static_argnums=3)(
+        code.reshape(g_count, group), wid.astype(np.int32).reshape(g_count, group),
+        phase, w,
+    )
+    got = group_pack_values_pallas(
+        jnp.asarray(vals), jnp.asarray(phase), w, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -201,3 +201,33 @@ def test_cli_mesh_too_many_devices(tmp_path, capsys):
     rawvideo.write_video(f"{d}/src.raw", clip)
     assert cli.main(["encode", f"{d}/src.raw", f"{d}/x.bin", "64", "64",
                      "--mesh", "64x1"]) == 2
+
+
+def test_sharded_step_traces_with_pallas_pack(monkeypatch):
+    """Regression: on real TPUs the sharded encode step routes through the
+    Pallas group packer, whose pallas_call runs INSIDE shard_map — its
+    out_shape aval must carry `vma` or tracing dies (seen live on TPU,
+    invisible to the CPU mesh where the backend gate picks the einsum path).
+    eval_shape only traces, so forcing the gate on works without Mosaic."""
+    from dct3d_tpu.parallel.sharding import ShardedEncoder
+    from dct3d_tpu.ops import bitpack, group_pack
+
+    m = _mesh_or_skip(2, 2)
+    monkeypatch.setattr(bitpack, "_tpu_backend", lambda: True)
+    hits = []
+    real = group_pack.group_pack_values_pallas
+    monkeypatch.setattr(
+        group_pack, "group_pack_values_pallas",
+        lambda *a, **k: (hits.append(1), real(*a, **k))[1],
+    )
+    cfg = CodecConfig()
+    # 128x128 on a 2x2 mesh: 256 value-groups per shard, comfortably past
+    # the GB=128 gate so the Pallas path (not the einsum) is what traces.
+    enc = ShardedEncoder(128, 128, m, cfg)
+    step = enc._step_fn(max_bytes=65536)
+    frames = jax.ShapeDtypeStruct((16, 128, 128), np.uint8)
+    enc_t = jax.ShapeDtypeStruct(enc.ctx.enc_t.shape, enc.ctx.enc_t.dtype)
+    carry = jax.ShapeDtypeStruct((1,), np.int32)
+    out = jax.eval_shape(step, frames, enc_t, carry)
+    assert out[0].shape[0] == 4
+    assert hits, "Pallas values-packer was not traced (gate routed around it)"
