@@ -60,10 +60,10 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
                  tight=True):
     if cfg.transport_delta:
         # Frames arrived as wrapping temporal deltas (cheap-to-compress on
-        # the wire); reconstruct exactly with a mod-256 prefix sum.
-        frames = (
-            jnp.cumsum(frames.astype(jnp.int32), axis=0) % 256
-        ).astype(jnp.uint8)
+        # the wire); reconstruct exactly with a mod-256 prefix sum.  The
+        # scan stays in uint8 — wrapping adds ARE the mod — so no int32
+        # blow-up of the frame volume ever touches HBM.
+        frames = jax.lax.associative_scan(jnp.add, frames, axis=0)
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
     q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
@@ -223,17 +223,18 @@ class TransformContext:
     def max_packed_bytes(self, num_pixels: int) -> int:
         """Static bit-pack buffer size for a frame batch.
 
-        Sized by cfg.pack_bits_per_value (default 6 bits/coefficient, a ~5x
-        margin over typical 1-2 bit streams).  Worst-case codewords are 29
-        bits, so pathological content can overflow this buffer: the driver
-        detects it via total_bits and retries the batch against
-        max_packed_bytes_worst_case (the carry chain is overflow-proof, see
-        ops/bitpack.py).  A tight budget matters because level-2 assembly
-        cost scales with the static buffer size.  (The reference assumes
-        8 bits/coeff and would overrun beyond that: Encoder.java:95,
-        encoder.c:133.)
+        Sized by cfg.stream_budget_bits_per_value (default 3
+        bits/coefficient, a ~2.4x margin over typical 1-1.3 bit streams).
+        Worst-case codewords are 29 bits, so pathological content can
+        overflow this buffer: the driver detects it via total_bits and
+        retries the batch against max_packed_bytes_worst_case (the carry
+        chain is overflow-proof, see ops/bitpack.py).  A tight budget
+        matters because level-2 assembly cost scales with the static buffer
+        size — its row gathers cover the whole static buffer whether or not
+        the stream fills it.  (The reference assumes 8 bits/coeff and would
+        overrun beyond that: Encoder.java:95, encoder.c:133.)
         """
-        return (self.cfg.pack_bits_per_value * num_pixels) // 8 + 64
+        return (self.cfg.stream_budget_bits_per_value * num_pixels) // 8 + 64
 
     def max_packed_bytes_worst_case(self, num_pixels: int) -> int:
         """Cannot overflow: 32 bits/value >= the 29-bit codeword bound."""

@@ -43,10 +43,21 @@ class CodecConfig:
     #: one; N>0 = exactly N.  Parallel streams are still a single valid zlib
     #: stream (pigz-style full-flush blocks) that the reference decoder reads.
     deflate_workers: int = 0
-    #: Static device bit-pack buffer budget, bits per coefficient.  Typical
-    #: streams need 1-2; pathological batches that exceed it are retried
-    #: automatically with a worst-case buffer (see codec/transform.py).
+    #: Static per-GROUP bit-pack buffer budget, bits per coefficient (sets
+    #: the Pallas/einsum level-1 buffer width).  Typical streams need 1-2;
+    #: pathological batches that exceed it are retried automatically with a
+    #: worst-case buffer (see codec/transform.py).
     pack_bits_per_value: int = 6
+    #: Whole-STREAM packed-output buffer budget, bits per coefficient.
+    #: Level-2 placement cost (and the packed buffer itself) scales with
+    #: this static size, so it is kept tighter than the per-group budget:
+    #: whole-stream averages are stable (~1.2 bits/value on typical content,
+    #: ~3.3 on pure noise at quant 5 — measured, see PERFORMANCE.md).  None
+    #: derives the default: 3 when quant_strength >= 2, else
+    #: pack_bits_per_value (near-lossless streams genuinely run wide).
+    #: Overflow retries the batch with the worst-case buffer, same as
+    #: per-group overflow.
+    stream_bits_per_value: int | None = None
     #: Ship frames to the device as wrapping mod-256 temporal deltas and
     #: reconstruct on device (exact; bitstream unchanged).  Wins when the
     #: host<->device transport compresses (this environment's TPU tunnel
@@ -57,6 +68,13 @@ class CodecConfig:
     #: smaller values give a deadzone quantizer — an encoder-side-only
     #: rate-distortion knob (the bitstream stays reference-decodable).
     quant_bias: float = 0.5
+
+    @property
+    def stream_budget_bits_per_value(self) -> int:
+        """Resolved whole-stream buffer budget (see stream_bits_per_value)."""
+        if self.stream_bits_per_value is not None:
+            return self.stream_bits_per_value
+        return 3 if self.quant_strength >= 2 else self.pack_bits_per_value
 
     @property
     def gop_size(self) -> int:

@@ -163,7 +163,9 @@ class ShardedEncoder:
                 f"{self.height}x{self.width}"
             )
         shard_vals = self.cfg.gop_size * (h // n_tile) * w
-        max_bytes = self.cfg.pack_bits_per_value * shard_vals // 8 + 64
+        max_bytes = (
+            self.cfg.stream_budget_bits_per_value * shard_vals // 8 + 64
+        )
         step = self._step_fn(max_bytes)
         # Pipeline: the sink bit-phase carry chains ON DEVICE, so step k+1
         # dispatches while step k's buffers are still in flight; host
@@ -237,8 +239,8 @@ class ShardedEncoder:
             span = (phase + b + 7) // 8
             if span > packed.shape[1]:
                 raise OverflowError(
-                    "shard bitstream exceeded pack_bits_per_value budget; "
-                    "raise CodecConfig.pack_bits_per_value"
+                    "shard bitstream exceeded the stream buffer budget; "
+                    "raise CodecConfig.stream_bits_per_value"
                 )
             chunk = packed[k, :span]
             end = min(byte0 + span, nbytes)

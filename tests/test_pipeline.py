@@ -163,6 +163,22 @@ def test_pack_budget_overflow_retries(clip):
     assert encode_video(clip, tight) == encode_video(clip, lossless)
 
 
+def test_stream_budget_overflow_retries(clip):
+    """A stream that exceeds the whole-stream buffer budget (but not the
+    per-group budget) must transparently retry and stay byte-exact."""
+    assert (
+        encode_video(clip, CodecConfig(stream_bits_per_value=1))
+        == encode_video(clip, CodecConfig())
+    )
+
+
+def test_stream_budget_default_derivation():
+    assert CodecConfig().stream_budget_bits_per_value == 3
+    # Near-lossless streams genuinely run wide: fall back to the group budget.
+    assert CodecConfig(quant_strength=0).stream_budget_bits_per_value == 6
+    assert CodecConfig(stream_bits_per_value=5).stream_budget_bits_per_value == 5
+
+
 def test_extreme_coefficients_through_device_pack():
     """Flat-white video maximizes the DC coefficient (|c| ~ 255*sqrt(512)
     before quantization) — exercises the widest Exp-Golomb codewords and the
