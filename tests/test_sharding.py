@@ -231,3 +231,20 @@ def test_sharded_step_traces_with_pallas_pack(monkeypatch):
     out = jax.eval_shape(step, frames, enc_t, carry)
     assert out[0].shape[0] == 4
     assert hits, "Pallas values-packer was not traced (gate routed around it)"
+
+
+@pytest.mark.parametrize("tight_cfg", [
+    dict(quant_strength=0, pack_bits_per_value=2),   # per-group overflow
+    dict(stream_bits_per_value=1),                   # stream-buffer overflow
+])
+def test_sharded_overflow_retries_worst_case(tight_cfg):
+    """A shard blowing its budget must transparently retry with the
+    worst-case buffer and stay byte-identical to the single-device encoder
+    under the same config (the single-device driver has the same retry)."""
+    m = _mesh_or_skip(2, 2)
+    cfg = CodecConfig(**tight_cfg)
+    clip = synthetic_video(16, 64, 64, seed=41)
+    want = encode_video(clip, cfg)
+    enc = ShardedEncoder(64, 64, m, cfg)
+    got = enc.push(clip) + enc.finish()
+    assert got == want
