@@ -64,6 +64,15 @@ MAX_SPAN_BYTES = 6
 # groups span >= ROW_WORDS-1 whole words, i.e. group >= 256 at width >= 1).
 ROW_WORDS = 8
 
+# NEGATIVE RESULT — chunked tail skip: wrapping the level-2 row gathers in
+# per-chunk lax.cond branches (skip chunks wholly past the stream's last
+# word) measured WORSE, not better: 10.89 ms/GOP unchunked vs 11.54 (16
+# chunks) / 11.81 (4 chunks) for the full encode step at 1080p.  The
+# budget buffer's empty tail was never the cost: tail rows clamp their
+# gather base to row 0, so they hit the same cache line repeatedly and are
+# nearly free — the ~13 ns/row price is for RANDOM rows only.  The conds
+# added pure overhead.  (tools/proto_place_chunked note, 2026-08-17.)
+
 
 def _default_impl() -> str:
     """Level-2 implementation.  Always the XLA row-gather formulation: the
@@ -365,14 +374,15 @@ def _place(buf_groups, gbits, gstart, total_bits, out_bytes: int,
     base_a = smear((sw + ROW_WORDS - 1) // ROW_WORDS, base_g, neg)
     base_b = smear(sw // ROW_WORDS, base_g, neg)
     sw_b = smear(sw // ROW_WORDS, sw, 0)
+    total_words = (total_bits + 31) >> 5
 
     row_a = t8[jnp.clip(base_a + w0_glob, 0, t_max)]
     row_b = t8[jnp.clip(base_b + w0_glob, 0, t_max)]
     k = jnp.arange(ROW_WORDS, dtype=jnp.int32)[None, :]
     words = jnp.where(k >= (sw_b - w0_glob)[:, None], row_b, row_a)
     # Beyond-stream words read trailing buffer padding via the index clamp;
-    # zero them so the whole static buffer is deterministic.
-    total_words = (total_bits + 31) >> 5
+    # zero them so the whole static buffer is deterministic.  (Tail rows
+    # clamp to row 0 and are cache-hot — see the negative result above.)
     words = jnp.where((w0_glob[:, None] + k) < total_words, words, 0)
 
     shifts = jnp.array([24, 16, 8, 0], jnp.uint32)

@@ -426,6 +426,31 @@ def test_pack_values_matches_pack_bits(rng, carry_bits):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_pack_oversized_buffer_tail(rng):
+    """A budget-sized buffer much larger than the content: the all-beyond-
+    stream tail must come back deterministically zero (tail rows clamp
+    their gather base to row 0 — see the negative-result note in
+    ops/bitpack._place) and bytes identical to the NumPy oracle."""
+    vals = rng.integers(-40, 41, 2048).astype(np.int32)
+    code, width = expgolomb.codewords_np(vals)
+    content_bytes = (int(width.sum()) + 7) // 8
+    out_bytes = 8 * 64 * 4 * 7  # 7 chunks; content fills ~2
+    assert content_bytes < out_bytes // 3
+    ref, ref_bits = bitpack.pack_bits_np(code, width, out_bytes)
+    got, got_bits, _tail, ovf = jax.jit(
+        lambda c, w: bitpack.pack_bits(c, w, out_bytes)
+    )(code.astype(np.uint32), width.astype(np.int32))
+    assert int(got_bits) == ref_bits and not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    got2, bits2, _t2, ovf2 = jax.jit(
+        lambda v: bitpack.pack_values(
+            v, jnp.uint32(0), jnp.int32(0), out_bytes
+        )
+    )(vals)
+    assert int(bits2) == ref_bits and not bool(ovf2)
+    np.testing.assert_array_equal(np.asarray(got2), ref)
+
+
 def test_group_pack_values_pallas_matches_einsum(rng):
     """The values-input Pallas kernel (interpret mode) derives codewords in
     VMEM byte-exactly vs codewords() + the einsum pack."""
