@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CodecConfig
-from ..ops import bitpack, dct, expgolomb
+from ..ops import bitpack, dct, expgolomb, relayout
 from . import framing
 
 # float32 matmuls on the MXU need HIGHEST precision (3x bf16 passes) to keep
@@ -64,18 +64,33 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
         # scan stays in uint8 — wrapping adds ARE the mod — so no int32
         # blow-up of the frame volume ever touches HBM.
         frames = jax.lax.associative_scan(jnp.add, frames, axis=0)
-    # Keep the cube relayout in uint8: without a barrier XLA may fuse the
-    # f32 convert into the 6-axis transpose, running the relayout copy at
-    # 4 bytes/pixel.  The transpose (8-wide minor dims, tile-hostile) is
-    # the transform stage's whole cost — the HIGHEST matmul on pre-cubed
-    # input measures ~0 ms (tools/proto_transform_variants.py: base 2.00 /
-    # u8stage 1.77 / floor ~0 ms per 1080p GOP in isolation; einsum-folded
-    # and f32-staged reformulations measure WORSE, 3.9-4.3 ms.  In the full
-    # fused encode program the barrier measures neutral — kept because the
-    # isolated evidence says the u8 copy is the right form to pin).
-    cubes = jax.lax.optimization_barrier(
-        framing.frames_to_cubes(frames, cfg)
-    ).astype(enc_t.dtype)
+    t, h, w = frames.shape
+    if (relayout.supports(cfg, h, w) and t % 8 == 0
+            and bitpack._tpu_backend()):
+        # Pallas word-transpose relayout in a permuted column order, then
+        # an exact one-hot bf16 matmul restores cube order on the MXU
+        # (uint8 pixels are exact in bf16, one product per output) — the
+        # DCT matmul sees a BIT-IDENTICAL operand to frames_to_cubes, so
+        # float64-oracle parity is untouched.  0.48 + ~0.1 ms vs the
+        # 1.6-1.9 ms XLA 6-axis transpose (tools/proto_relayout_perm.py).
+        perm = relayout.frames_to_cubes_perm(frames)
+        cubes = jnp.dot(
+            perm.astype(jnp.bfloat16),
+            relayout.unscramble_matrix(),
+            preferred_element_type=jnp.float32,
+        ).astype(enc_t.dtype)
+    else:
+        # Keep the cube relayout in uint8: without a barrier XLA may fuse
+        # the f32 convert into the 6-axis transpose, running the relayout
+        # copy at 4 bytes/pixel.  The transpose (8-wide minor dims,
+        # tile-hostile) is the transform stage's whole cost — the HIGHEST
+        # matmul on pre-cubed input measures ~0 ms
+        # (tools/proto_transform_variants.py: base 2.00 / u8stage 1.77 /
+        # floor ~0 ms per 1080p GOP in isolation; einsum-folded and
+        # f32-staged reformulations measure WORSE, 3.9-4.3 ms).
+        cubes = jax.lax.optimization_barrier(
+            framing.frames_to_cubes(frames, cfg)
+        ).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
     q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
     w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)

@@ -286,12 +286,15 @@ def _tail_byte(code32, wid, gstart, total_bits):
 
 
 def _place(buf_groups, gbits, gstart, total_bits, out_bytes: int,
-           w_words: int, dense: bool = False):
+           w_words: int, dense: bool = False, lastw=None):
     """Level 2 (XLA): pre-merge + overlapping-window row gather.
 
     dense=True asserts every group is nonempty (pack_values: 256 codewords
     x >= 1 bit each), which replaces the g_count-element pre-merge boundary
     gather (near-serial, ~0.9 ms at 1080p) with a one-hot select + shift.
+    lastw (dense only): per-group last occupied word, already selected by
+    the Pallas l1 kernel (group_pack._pack_body emit_last); None falls back
+    to the in-XLA one-hot select (~0.7 ms at 1080p).
     """
     g_count = buf_groups.shape[0]
     sw = (gstart >> 5).astype(jnp.int32)
@@ -308,13 +311,15 @@ def _place(buf_groups, gbits, gstart, total_bits, out_bytes: int,
         # Predecessor is always g-1; its boundary word is its LAST occupied
         # word, selected one-hot over w_words (elementwise, no gather).
         endw = jnp.clip(((gstart & 31) + gbits - 1) >> 5, 0, w_words - 1)
-        lastw = jnp.sum(
-            jnp.where(
-                endw[:, None] == jnp.arange(w_words, dtype=jnp.int32)[None, :],
-                buf_groups, 0,
-            ),
-            axis=1, dtype=jnp.uint32,
-        )
+        if lastw is None:
+            lastw = jnp.sum(
+                jnp.where(
+                    endw[:, None]
+                    == jnp.arange(w_words, dtype=jnp.int32)[None, :],
+                    buf_groups, 0,
+                ),
+                axis=1, dtype=jnp.uint32,
+            )
         # It overlaps this group's word 0 only when the predecessor's end
         # word IS this group's start word (i.e. gstart[g] % 32 != 0).
         same_word = (
@@ -442,13 +447,16 @@ def pack_values(values, carry_code, carry_bits, out_bytes: int,
     )
 
     if (w_words <= 64 and g_count >= group_pack.GB and _tpu_backend()):
-        buf_groups = group_pack.group_pack_values_pallas(v2, phase, w_words)
+        buf_groups, lastw = group_pack.group_pack_values_pallas(
+            v2, phase, w_words, with_lastw=True
+        )
     else:
         code32, wid = expgolomb.codewords(values)
         buf_groups = _group_pack_einsum(
             code32.reshape(g_count, group),
             wid.reshape(g_count, group), phase, w_words,
         )
+        lastw = None
     # The carry's bits live at [0, carry_bits) of word 0 (group 0 starts at
     # bit carry_bits, so there is no overlap; shift clamp dodges the
     # undefined shift-by-32 when carry_bits == 0, which `where` masks).
@@ -464,8 +472,10 @@ def pack_values(values, carry_code, carry_bits, out_bytes: int,
         code32m, wid8[-g2:].astype(jnp.int32), gstart[-g2:], total_bits
     )
 
+    # The carry lead touches only word 0 of group 0; dense groups hold
+    # >= 256 bits so endw >= 7 and the kernel's lastw is unaffected by it.
     buf = _place(buf_groups, gbits, gstart, total_bits, out_bytes, w_words,
-                 dense=True)
+                 dense=True, lastw=lastw)
     return (buf, total_bits.astype(jnp.int32), tail_byte.astype(jnp.uint32),
             overflow)
 

@@ -42,8 +42,10 @@ def _cumsum_lanes(x):
     return x
 
 
-def _pack_body(code, wid, phase, out_ref, *, w_words: int):
-    loff = _cumsum_lanes(wid) - wid + phase
+def _pack_body(code, wid, phase, out_ref, *, w_words: int,
+               emit_last: bool = False):
+    inc = _cumsum_lanes(wid)
+    loff = inc - wid + phase
     word0 = loff >> 5
     start_bit = loff & 31
     over = start_bit + wid - 32  # bits spilling into the next word
@@ -66,6 +68,16 @@ def _pack_body(code, wid, phase, out_ref, *, w_words: int):
         jnp.sum(jnp.where(w == j, z, 0), axis=1, keepdims=True)
         for j in range(w_words)
     ]
+    if emit_last:
+        # The group's LAST occupied word (= _place's premerge boundary
+        # word), selected here where the words are already live instead of
+        # re-selecting over the (g, w_words) table in XLA (~0.7 ms/GOP).
+        # endw matches bitpack._geometry: (phase + gbits - 1) >> 5.
+        endw = jnp.clip((phase + inc[:, -1:] - 1) >> 5, 0, w_words - 1)
+        last = jnp.zeros_like(cols[0])
+        for j in range(w_words):
+            last = last + jnp.where(endw == j, cols[j], 0)
+        cols.append(last)
     out_ref[...] = pltpu.bitcast(jnp.concatenate(cols, axis=1), jnp.uint32)
 
 
@@ -74,7 +86,8 @@ def _kernel(code_ref, wid_ref, phase_ref, out_ref, *, w_words: int):
                phase_ref[...], out_ref, w_words=w_words)
 
 
-def _kernel_values(val_ref, phase_ref, out_ref, *, w_words: int):
+def _kernel_values(val_ref, phase_ref, out_ref, *, w_words: int,
+                   emit_last: bool = False):
     """Like _kernel but derives the Exp-Golomb codewords from raw int32
     coefficients in VMEM (no code/width arrays ever hit HBM).  bitlen via
     the float32 exponent (exact for code numbers < 2^24; ours are < 2^16)."""
@@ -84,7 +97,7 @@ def _kernel_values(val_ref, phase_ref, out_ref, *, w_words: int):
     expo = (pltpu.bitcast(code.astype(jnp.float32), jnp.int32) >> 23) & 0xFF
     wid = 2 * (expo - 126) - 1  # = 2*bitlen(code) - 1
     _pack_body(pltpu.bitcast(code, jnp.uint32), wid, phase_ref[...],
-               out_ref, w_words=w_words)
+               out_ref, w_words=w_words, emit_last=emit_last)
 
 
 def _call(kernel, inputs, in_block_shapes, gc: int, w_words: int,
@@ -106,15 +119,22 @@ def _call(kernel, inputs, in_block_shapes, gc: int, w_words: int,
     )(*inputs)
 
 
-@functools.partial(jax.jit, static_argnames=("w_words", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("w_words", "interpret", "with_lastw")
+)
 def group_pack_values_pallas(values, phase, w_words: int,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             with_lastw: bool = False):
     """(g, group) int32 coefficients -> (g, w_words) phase-aligned words.
 
     The codeword math runs inside the kernel, so only the raw values cross
     HBM.  The grid pad appends zero-VALUE groups (width-1 codewords, unlike
     pack_bits' zero-width pads) — harmless because padded group rows are
-    sliced off here and never enter the caller's geometry."""
+    sliced off here and never enter the caller's geometry.
+
+    with_lastw=True additionally returns each group's last occupied word
+    (the dense premerge boundary, see _pack_body) as a (g,) array:
+    returns (buf, lastw) instead of buf."""
     g_count, group = values.shape
     pad = (-g_count) % GB
     if pad:
@@ -122,12 +142,16 @@ def group_pack_values_pallas(values, phase, w_words: int,
             [values, jnp.zeros((pad, group), jnp.int32)]
         )
         phase = jnp.concatenate([phase, jnp.zeros((pad,), jnp.int32)])
+    out_cols = w_words + (1 if with_lastw else 0)
     out = _call(
-        functools.partial(_kernel_values, w_words=w_words),
+        functools.partial(_kernel_values, w_words=w_words,
+                          emit_last=with_lastw),
         (values, phase[:, None]),
         [(GB, group), (GB, 1)],
-        values.shape[0], w_words, interpret,
+        values.shape[0], out_cols, interpret,
     )
+    if with_lastw:
+        return out[:g_count, :w_words], out[:g_count, w_words]
     return out[:g_count]
 
 

@@ -471,3 +471,16 @@ def test_group_pack_values_pallas_matches_einsum(rng):
         jnp.asarray(vals), jnp.asarray(phase), w, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # with_lastw: the buffer is unchanged and the extra column equals the
+    # XLA one-hot select of each group's last occupied word (the dense
+    # premerge boundary _place would otherwise recompute).
+    buf2, lastw = group_pack_values_pallas(
+        jnp.asarray(vals), jnp.asarray(phase), w, interpret=True,
+        with_lastw=True,
+    )
+    np.testing.assert_array_equal(np.asarray(buf2), np.asarray(want))
+    gbits = wid.astype(np.int64).reshape(g_count, group).sum(axis=1)
+    endw = np.clip((phase + gbits - 1) >> 5, 0, w - 1)
+    want_last = np.asarray(want)[np.arange(g_count), endw]
+    np.testing.assert_array_equal(np.asarray(lastw), want_last)

@@ -1,0 +1,49 @@
+"""The Pallas permuted relayout + exact MXU unscramble vs frames_to_cubes.
+
+The encode transform's TPU fast path (transform._encode_core) relies on
+perm @ P being BIT-identical to the XLA cube transpose; these pin that in
+interpret mode on CPU (the kernel itself compiles only for TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dct3d_tpu.codec import framing
+from dct3d_tpu.config import CodecConfig
+from dct3d_tpu.ops import relayout
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("t,h,w", [(8, 32, 64), (16, 24, 40)])
+def test_perm_relayout_matches_frames_to_cubes(rng, t, h, w):
+    cfg = CodecConfig()
+    assert relayout.supports(cfg, h, w)
+    frames = rng.integers(0, 256, (t, h, w), dtype=np.uint8)
+    ref = np.asarray(framing.frames_to_cubes(jnp.asarray(frames), cfg))
+
+    perm = relayout.frames_to_cubes_perm(jnp.asarray(frames), interpret=True)
+    # sigma-permuted columns: perm[:, sigma[c]] == cube byte c
+    np.testing.assert_array_equal(
+        np.asarray(perm)[:, relayout.sigma()], ref
+    )
+    # the one-hot bf16 unscramble restores exact order bit-for-bit
+    cubes = jnp.dot(
+        jnp.asarray(perm).astype(jnp.bfloat16),
+        relayout.unscramble_matrix(),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cubes), ref.astype(np.float32)
+    )
+
+
+def test_supports_gates_geometry():
+    cfg = CodecConfig()
+    assert relayout.supports(cfg, 1080, 1920)
+    assert not relayout.supports(cfg, 1080, 1924)  # width % 8 != 0
+    small = CodecConfig(block_d=4, block_h=4, block_w=4)
+    assert not relayout.supports(small, 32, 32)
