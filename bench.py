@@ -77,12 +77,15 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
                       transport_delta=True)  # speed profile
     ctx = TransformContext(cfg)
 
+    gop_bit_ends: list[int] = []
+
     def run_encode() -> bytes:
         enc = StreamingEncoder(w, h, cfg, ctx)
         chunks = []
         for i in range(0, t, cfg.gop_size):
             chunks.append(enc.push(frames[i : i + cfg.gop_size]))
         chunks.append(enc.finish())
+        gop_bit_ends[:] = enc.gop_bit_ends
         return b"".join(chunks)
 
     data = run_encode()  # warmup (compile)
@@ -177,12 +180,24 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         pass
     entropy_fps = t / (time.perf_counter() - t0)
 
+    # Same stage with the seekable index (encode --index): no serial scan,
+    # all cores decode — the production host-entropy figure.
+    positions = [0] + gop_bit_ends[: n_gops - 1]
+    t0 = time.perf_counter()
+    for _ in entropy.parallel_chunks(
+        np.frombuffer(payload, np.uint8), cpg, n_gops,
+        entropy.decode_values_planar4, positions=positions,
+    ):
+        pass
+    entropy_indexed_fps = t / (time.perf_counter() - t0)
+
     return {
         "encode_fps": enc_fps,
         "decode_fps": dec_fps,
         "compute_fps": compute_fps,
         "decode_compute_fps": decode_compute_fps,
         "decode_entropy_fps": entropy_fps,
+        "decode_entropy_indexed_fps": entropy_indexed_fps,
         "bpp": metrics.bits_per_pixel(len(data), w, h, t),
         "psnr_db": metrics.psnr(frames, video),
         "bytes": len(data),
@@ -207,6 +222,9 @@ def main() -> int:
             "compute_fps": round(r["compute_fps"], 2),
             "decode_compute_fps": round(r["decode_compute_fps"], 2),
             "decode_entropy_fps": round(r["decode_entropy_fps"], 2),
+            "decode_entropy_indexed_fps": round(
+                r["decode_entropy_indexed_fps"], 2
+            ),
             # Like-for-like vs the CPU baseline when transport is excluded:
             # this tunnel moves host<->device bytes at ~45 MB/s (PCIe-class
             # hosts are 200-2000x that), so end-to-end fps here is wire-bound.

@@ -98,6 +98,13 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "README.md:22-27), and carried as 3 members of one container",
     )
     p.add_argument(
+        "--index", action="store_true",
+        help="encode: wrap the stream in a D3MH container with a seekable "
+        "per-GOP bit index member — decode then needs no frame count and "
+        "its host entropy stage scales with cores (no serial stream scan); "
+        "the stream member itself stays byte-identical",
+    )
+    p.add_argument(
         "--checkpoint-every", type=int, default=0, metavar="GOPS",
         help="encode: write a resumable member container (D3MH) with durable "
         "progress every N GOPs; re-running the same command resumes",
@@ -229,7 +236,7 @@ def cmd_encode(args) -> int:
     if args.rgb:
         from .codec.rgb_codec import encode_rgb_video
 
-        for flag in ("checkpoint_every", "profile_dir", "stats"):
+        for flag in ("checkpoint_every", "profile_dir", "stats", "index"):
             if getattr(args, flag, None):
                 print(f"warning: --{flag.replace('_', '-')} is not yet "
                       "supported with --rgb and is ignored", file=sys.stderr)
@@ -262,6 +269,10 @@ def cmd_encode(args) -> int:
         )
         return 2
     if args.checkpoint_every:
+        if args.index:
+            print("warning: --index is ignored with --checkpoint-every "
+                  "(checkpoint members already decode in parallel)",
+                  file=sys.stderr)
         from .codec.checkpoint import CheckpointingEncoder
 
         t0 = time.perf_counter()
@@ -305,9 +316,25 @@ def cmd_encode(args) -> int:
     t0 = time.perf_counter()
     written = 0
     with profile_to(args.profile_dir), open(args.output, "wb") as out:
+        if args.index:
+            # Container framing: placeholder member header now, payload
+            # length patched after streaming, index member appended last.
+            import struct
+
+            from .parallel.multihost import (
+                MEMBER_MAGIC, MEMBER_TEMPORAL, make_index_member,
+            )
+
+            out.write(MEMBER_MAGIC
+                      + struct.pack("<IQ", (MEMBER_TEMPORAL << 24) | frames, 0))
         for batch in _frame_batches(args, video, width, height, align, frames):
             written += out.write(enc.push(batch))
         written += out.write(enc.finish())
+        if args.index:
+            out.write(make_index_member(enc.gop_bit_ends))
+            out.seek(8)
+            out.write(struct.pack("<Q", written))
+            written = out.seek(0, os.SEEK_END)
     dt = time.perf_counter() - t0
     print(
         f"encoded {frames} frames {width}x{height} -> {written} bytes "
@@ -382,7 +409,9 @@ def cmd_decode(args) -> int:
         # Route by the container's member type tags, not the --rgb flag:
         # tagged containers self-describe (ADVICE r1); the flag only decides
         # legacy all-zero-tag 3-member containers.
-        from .parallel.multihost import container_kind, split_members
+        from .parallel.multihost import (
+            MEMBER_INDEX, container_kind, split_members,
+        )
 
         members = split_members(data)
         kind = container_kind(members)
@@ -390,10 +419,11 @@ def cmd_decode(args) -> int:
             print(f"unrecognized member type tags "
                   f"{[m[2] for m in members]}", file=sys.stderr)
             return 2
-        as_rgb = kind == "rgb" or (args.rgb and len(members) == 3)
-        if args.rgb and kind == "temporal" and len(members) != 3:
+        n_streams = sum(1 for m in members if m[2] != MEMBER_INDEX)
+        as_rgb = kind == "rgb" or (args.rgb and n_streams == 3)
+        if args.rgb and kind == "temporal" and n_streams != 3:
             print("--rgb requested but this container holds "
-                  f"{len(members)} temporal member(s)", file=sys.stderr)
+                  f"{n_streams} temporal member(s)", file=sys.stderr)
             return 2
         if as_rgb:
             from .codec.rgb_codec import decode_rgb_video
@@ -453,13 +483,18 @@ def cmd_info(args) -> int:
     if data[:4] == b"D3MH":
         from .parallel.multihost import container_kind, split_members
 
+        from .parallel.multihost import MEMBER_INDEX, parse_index
+
         members = split_members(data)
-        type_names = {0: "temporal", 1: "red", 2: "green", 3: "blue"}
+        type_names = {0: "temporal", 1: "red", 2: "green", 3: "blue",
+                      4: "index"}
         out["format"] = "d3mh-container"
         out["kind"] = container_kind(members)
         out["members"] = [
             {"frames": frames, "bytes": len(payload),
-             "type": type_names.get(mtype, mtype)}
+             "type": type_names.get(mtype, mtype),
+             **({"gops": len(parse_index(payload))}
+                if mtype == MEMBER_INDEX else {})}
             for frames, payload, mtype in members
         ]
         out["frames"] = (

@@ -158,6 +158,7 @@ def decode_video(
     ctx: TransformContext | None = None,
     gops_per_batch: int = 4,
     entropy_workers: int | None = None,
+    positions: list[int] | None = None,
 ) -> np.ndarray:
     """One-call decode of a complete bitstream -> (T, H, W) uint8.
 
@@ -169,6 +170,10 @@ def decode_video(
     concurrently (the C decoder releases the GIL) while the device inverse
     transform + async D2H of earlier GOPs are in flight.  The reference's
     refill loop (decoder.c:207-236) is single-threaded and synchronous.
+
+    ``positions`` (per-GOP start bit offsets, from a container index member)
+    removes the serial scan — workers jump straight to their GOP, so the
+    entropy stage scales with cores instead of capping at scan speed.
     """
     import zlib
 
@@ -194,7 +199,7 @@ def decode_video(
         try:
             for g0, (plane, ei, ev, _pos) in enumerate(entropy.parallel_chunks(
                 payload, cpg, n_gops, entropy.decode_values_planar4,
-                entropy_workers,
+                entropy_workers, positions=positions,
             )):
                 frames_dev = _dispatch_planar4(
                     (plane, ei, ev), ctx, cfg, height, width

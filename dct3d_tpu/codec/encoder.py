@@ -78,6 +78,10 @@ class StreamingEncoder:
         self._carry = None  # (code, bits) device scalars chaining GOPs
         #: per-stage wall time / bytes (SURVEY.md §5 observability)
         self.timer = StageTimer()
+        #: absolute bit position after each GOP — the seekable stream index
+        #: (docs/FORMAT.md "index member"); complete once finish() returns.
+        self.gop_bit_ends: list[int] = []
+        self._abs_end = 0
 
     # -- internal ------------------------------------------------------------
 
@@ -91,6 +95,12 @@ class StreamingEncoder:
         """
         with self.timer.stage("device_wait"):
             total_bits = int(gop.total_bits)
+        # Per-batch total_bits includes the carried partial byte's bits, so
+        # the absolute end chains as whole-bytes-so-far + batch bits.  The
+        # drainer runs one GOP at a time in stream order, so appending here
+        # yields the in-order index.
+        self._abs_end = ((self._abs_end >> 3) << 3) + total_bits
+        self.gop_bit_ends.append(self._abs_end)
         nbytes = total_bits // 8 + 1
         if nbytes > gop.packed.shape[0] or bool(gop.overflow):
             gop = encode_step(

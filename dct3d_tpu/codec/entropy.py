@@ -126,7 +126,8 @@ def scan_values(data: bytes | np.ndarray, n: int, bitpos: int = 0) -> int | None
 
 
 def parallel_chunks(payload, values_per_chunk: int, n_chunks: int,
-                    decode_fn, workers: int | None = None):
+                    decode_fn, workers: int | None = None,
+                    positions: list[int] | None = None):
     """Entropy-decode consecutive fixed-size chunks GOP-parallel, in order.
 
     The caller thread runs eg_scan ahead (boundaries are ~3x cheaper than
@@ -136,12 +137,25 @@ def parallel_chunks(payload, values_per_chunk: int, n_chunks: int,
     Requires the native library (callers keep a serial fallback); raises
     EOFError if the stream ends early.  Shared by decode_video, the
     sharded decoder, and the bench.
+
+    ``positions`` (optional, len n_chunks): known chunk START bit offsets —
+    from a stream index member (docs/FORMAT.md) — which removes the serial
+    scan entirely: the scanner thread's ~1.5 ns/value walk is otherwise the
+    decode throughput ceiling once enough workers exist, because the scan
+    cannot be parallelized within one headerless stream.
     """
     import os as _os
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
     workers = workers or max(1, min(n_chunks, (_os.cpu_count() or 2) - 1))
-    positions = [0]
+    if positions is not None:
+        if len(positions) < n_chunks:
+            raise ValueError(
+                f"index has {len(positions)} positions, need {n_chunks}"
+            )
+        positions = list(positions[:n_chunks])
+    else:
+        positions = [0]
     futs: dict = {}
     with _TPE(workers) as pool:
         def ensure(k: int) -> None:

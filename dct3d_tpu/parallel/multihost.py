@@ -71,6 +71,13 @@ MEMBER_MAGIC = b"D3MH"
 # instead of trusting a CLI flag.
 MEMBER_TEMPORAL = 0
 MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE = 1, 2, 3
+#: Seekable index for the PRECEDING stream member: per-GOP absolute bit end
+#: positions within that member's inflated Exp-Golomb payload.  Lets the
+#: parallel entropy decoder jump straight to any GOP instead of serially
+#: eg_scan-ning the headerless stream (the scan is the decode throughput
+#: ceiling once enough worker cores exist).  Decoders that don't know the
+#: type skip it like any unknown member.
+MEMBER_INDEX = 4
 _MAX_MEMBER_FRAMES = (1 << 24) - 1
 
 
@@ -103,9 +110,42 @@ def split_members(data: bytes) -> list[tuple[int, bytes, int]]:
     return out
 
 
+def make_index_member(gop_bit_ends: list[int]) -> bytes:
+    """Frame an index member (see MEMBER_INDEX): uint32 LE GOP count, then
+    one uint64 LE absolute bit end position per GOP."""
+    import struct
+
+    return _member(
+        struct.pack("<I", len(gop_bit_ends))
+        + struct.pack(f"<{len(gop_bit_ends)}Q", *gop_bit_ends),
+        0, MEMBER_INDEX,
+    )
+
+
+def parse_index(payload: bytes) -> list[int]:
+    """Inverse of make_index_member."""
+    import struct
+
+    (n,) = struct.unpack_from("<I", payload, 0)
+    return list(struct.unpack_from(f"<{n}Q", payload, 4))
+
+
+def gop_positions(index_ends: list[int], n_gops: int,
+                  gop_size: int, member_frames: int) -> list[int] | None:
+    """GOP START bit offsets from an index member's end positions, or None
+    if the index doesn't cover the member's GOP count (decoders then fall
+    back to the serial scan rather than trusting a stale index)."""
+    if member_frames and len(index_ends) != member_frames // gop_size:
+        return None
+    if len(index_ends) < n_gops:
+        return None
+    return [0] + index_ends[: n_gops - 1]
+
+
 def container_kind(members: list[tuple[int, bytes, int]]) -> str:
-    """'rgb' | 'temporal' | 'unknown' from the member type tags."""
-    types = [m[2] for m in members]
+    """'rgb' | 'temporal' | 'unknown' from the member type tags (index
+    members describe their predecessor and don't affect the kind)."""
+    types = [m[2] for m in members if m[2] != MEMBER_INDEX]
     if types == [MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE]:
         return "rgb"
     if all(t == MEMBER_TEMPORAL for t in types):
@@ -215,17 +255,31 @@ def decode_multihost_container(
             "this container carries RGB channel members; decode it with "
             "codec.rgb_codec.decode_rgb_video (CLI: decode --rgb)"
         )
-    ctx = TransformContext(cfg)  # shared constant matrices
-    if len(members) == 1:
-        frames, member, _ = members[0]
-        return decode_video(member, width, height, frames, cfg, ctx)
-    with ThreadPoolExecutor(
-        workers or min(len(members), os.cpu_count() or 2)
-    ) as pool:
-        parts = list(
-            pool.map(
-                lambda m: decode_video(m[1], width, height, m[0], cfg, ctx),
-                members,
+    # Attach each index member to the stream member it describes (the one
+    # preceding it); streams without one decode via the serial-scan path.
+    streams: list[tuple[int, bytes, list[int] | None]] = []
+    for frames, payload, mtype in members:
+        if mtype == MEMBER_INDEX and streams:
+            f, p, _ = streams[-1]
+            streams[-1] = (f, p, parse_index(payload))
+        elif mtype == MEMBER_TEMPORAL:
+            streams.append((frames, payload, None))
+
+    def _one(m: tuple[int, bytes, list[int] | None]) -> np.ndarray:
+        frames, payload, ends = m
+        positions = None
+        if ends is not None:
+            positions = gop_positions(
+                ends, frames // cfg.gop_size, cfg.gop_size, frames
             )
-        )
+        return decode_video(payload, width, height, frames, cfg, ctx,
+                            positions=positions)
+
+    ctx = TransformContext(cfg)  # shared constant matrices
+    if len(streams) == 1:
+        return _one(streams[0])
+    with ThreadPoolExecutor(
+        workers or min(len(streams), os.cpu_count() or 2)
+    ) as pool:
+        parts = list(pool.map(_one, streams))
     return np.concatenate(parts)

@@ -124,6 +124,10 @@ class ShardedEncoder:
         self._mesh_shape = (n_gop, n_tile)
         self._sharding = NamedSharding(mesh, P(GOP_AXIS, TILE_AXIS, None))
         self._jitted: dict[int, object] = {}
+        #: absolute bit position after each GOP (seekable index, same
+        #: contract as StreamingEncoder.gop_bit_ends); complete after push.
+        self.gop_bit_ends: list[int] = []
+        self._abs_end = 0
 
     def _step_fn(self, max_bytes: int, tight: bool = True):
         key = (max_bytes, tight)
@@ -219,6 +223,18 @@ class ShardedEncoder:
         """Byte-splice phase-aligned shard buffers into the global stream."""
         carry_bits = self.sink.carry_bits
         total_bits = int(carry_bits + bits.astype(np.int64).sum())
+        # Seekable index: shard k = (gop g, tile t) in rank order, so GOP g
+        # starts at shard g*n_tile's offset.  starts[] already include the
+        # sink's carry phase, exactly like total_bits — add the whole bytes
+        # emitted so far to get absolute stream positions.
+        base = (self._abs_end >> 3) << 3
+        n_tile = self._mesh_shape[1]
+        self.gop_bit_ends.extend(
+            base + int(starts[g * n_tile])
+            for g in range(1, self._mesh_shape[0])
+        )
+        self.gop_bit_ends.append(base + total_bits)
+        self._abs_end = base + total_bits
         if total_bits >= 1 << 31:
             # Device-side offsets (start, all-bits scan) are int32; one step
             # must stay under 2^31 bits (~256 MB of entropy bits).  Large gop

@@ -1,0 +1,165 @@
+"""Seekable per-GOP bit index (docs/FORMAT.md "index member").
+
+The headerless reference stream forces a serial eg_scan before parallel
+entropy decode; the index removes it.  Pinned here:
+  * the encoder's gop_bit_ends equal the scan-derived GOP boundaries,
+  * parallel_chunks with positions is bit-identical to the scanning path,
+  * the sharded encoder's index matches the single-device one,
+  * the CLI container roundtrip (encode --index -> info -> decode with no
+    frame count) reproduces the plain decode exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pytest
+
+from dct3d_tpu.codec import entropy
+from dct3d_tpu.codec.decoder import decode_video
+from dct3d_tpu.codec.encoder import StreamingEncoder
+from dct3d_tpu.config import CodecConfig
+from dct3d_tpu.parallel import multihost
+
+from conftest import synthetic_video
+
+
+def _encode_with_index(video, cfg):
+    t, h, w = video.shape
+    enc = StreamingEncoder(w, h, cfg)
+    chunks = [enc.push(video[i : i + cfg.gop_size])
+              for i in range(0, t, cfg.gop_size)]
+    chunks.append(enc.finish())
+    return b"".join(chunks), enc.gop_bit_ends
+
+
+def test_gop_bit_ends_match_scan():
+    cfg = CodecConfig()
+    video = synthetic_video(24, 32, 40)
+    data, ends = _encode_with_index(video, cfg)
+    assert len(ends) == 3
+    payload = zlib.decompress(data)
+    cpg = 32 * 40 * cfg.gop_size
+    pos = 0
+    for e in ends:
+        pos = entropy.scan_values(payload, cpg, pos)
+        if pos is None:
+            pytest.skip("native library unavailable")
+        assert pos == e
+
+
+def test_parallel_chunks_positions_match_scanned():
+    cfg = CodecConfig()
+    video = synthetic_video(32, 24, 32, seed=3)
+    data, ends = _encode_with_index(video, cfg)
+    payload = np.frombuffer(zlib.decompress(data), np.uint8)
+    cpg = 24 * 32 * cfg.gop_size
+    n = len(ends)
+    if entropy.scan_values(payload, 1, 0) is None:
+        pytest.skip("native library unavailable")
+    scanned = list(entropy.parallel_chunks(
+        payload, cpg, n, entropy.decode_values))
+    positions = multihost.gop_positions(ends, n, cfg.gop_size, 32)
+    assert positions is not None
+    indexed = list(entropy.parallel_chunks(
+        payload, cpg, n, entropy.decode_values, positions=positions))
+    for (va, pa), (vb, pb) in zip(scanned, indexed):
+        np.testing.assert_array_equal(va, vb)
+        assert pa == pb
+
+
+def test_parallel_chunks_short_index_rejected():
+    with pytest.raises(ValueError):
+        list(entropy.parallel_chunks(
+            np.zeros(8, np.uint8), 4, 3, entropy.decode_values,
+            positions=[0, 10],
+        ))
+
+
+def test_gop_positions_guards():
+    # Stale index (wrong GOP count for the member) -> None, not garbage.
+    assert multihost.gop_positions([10, 20], 3, 8, 24) is None
+    assert multihost.gop_positions([10, 20, 30], 3, 8, 24) == [0, 10, 20]
+
+
+def test_sharded_index_matches_single_device():
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+    from dct3d_tpu.parallel.sharding import ShardedEncoder
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = CodecConfig()
+    video = synthetic_video(32, 32, 40, seed=5)
+    _, ends_single = _encode_with_index(video, cfg)
+    m = mesh_lib.make_mesh(gop=2, tile=2, devices=jax.devices()[:4])
+    enc = ShardedEncoder(40, 32, m, cfg)
+    enc.push(video)
+    enc.finish()
+    assert enc.gop_bit_ends == ends_single
+
+
+def test_index_member_roundtrip():
+    ends = [5, 123456789, 2**40]
+    member = multihost.make_index_member(ends)
+    parsed = multihost.split_members(member)
+    assert parsed[0][2] == multihost.MEMBER_INDEX
+    assert multihost.parse_index(parsed[0][1]) == ends
+    # An index member among temporal members keeps the container temporal.
+    stream = multihost._member(b"x", 8)
+    kind = multihost.container_kind(multihost.split_members(stream + member))
+    assert kind == "temporal"
+
+
+def test_container_decode_uses_index(monkeypatch):
+    cfg = CodecConfig()
+    video = synthetic_video(24, 32, 40, seed=7)
+    data, ends = _encode_with_index(video, cfg)
+    plain = decode_video(data, 40, 32, 24, cfg)
+    container = (multihost._member(data, 24)
+                 + multihost.make_index_member(ends))
+    # Prove the index path is taken: scanning must not be needed.
+    monkeypatch.setattr(
+        entropy, "scan_values",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scanned")),
+    )
+    out = multihost.decode_multihost_container(container, 40, 32, cfg)
+    np.testing.assert_array_equal(out, plain)
+
+
+def test_cli_index_roundtrip(tmp_path):
+    from dct3d_tpu.cli import main
+
+    src = tmp_path / "src.raw"
+    enc = tmp_path / "enc.d3v"
+    dec = tmp_path / "dec.raw"
+    video = synthetic_video(24, 32, 40, seed=9)
+    src.write_bytes(video.tobytes())
+    assert main(["encode", str(src), str(enc), "40", "32", "--index"]) == 0
+    # info reports the index member with its GOP count.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["info", str(enc)]) == 0
+    info = json.loads(buf.getvalue())
+    assert info["kind"] == "temporal"
+    types = [m["type"] for m in info["members"]]
+    assert types == ["temporal", "index"]
+    assert info["members"][1]["gops"] == 3
+    # decode with NO frame count (self-describing container).
+    assert main(["decode", str(enc), str(dec), "40", "32"]) == 0
+    got = np.frombuffer(dec.read_bytes(), np.uint8).reshape(24, 32, 40)
+    ref = decode_video(
+        zlib_stream_of(enc.read_bytes()), 40, 32, 24, CodecConfig()
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def zlib_stream_of(container: bytes) -> bytes:
+    """First temporal member's payload of a D3MH container."""
+    return multihost.split_members(container)[0][1]
