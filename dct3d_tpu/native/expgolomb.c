@@ -60,6 +60,60 @@ EG_EXPORT int eg_encode(const int32_t *values, size_t n, uint8_t *out,
     return 0;
 }
 
+/* ------------------------------------------------------------------ */
+/* 12-bit window batch tables: one lookup decodes/skips EVERY complete */
+/* codeword in the next 12 stream bits (typical streams run 1-2.5      */
+/* bits/codeword, so ~5-8 codewords per hit vs one clz round each).    */
+/* The decode table stops early at values outside the int4 plane range */
+/* [-8, 7] (they ride the exception list via the scalar path) and at   */
+/* codewords that don't fit the window; count==0 means "scalar one".   */
+/* ------------------------------------------------------------------ */
+typedef struct {
+    uint64_t nibbles; /* value j of the window at bits [4j, 4j+4) */
+    uint8_t count;    /* complete in-range codewords (<= 12) */
+    uint8_t bits;     /* stream bits they consume (<= 12) */
+    uint8_t pad[6];
+} EgTab;
+
+static EgTab g_tab[4096];
+static uint8_t g_scan_bits[4096], g_scan_cnt[4096];
+
+__attribute__((constructor)) static void eg_build_tables(void) {
+    for (int key = 0; key < 4096; key++) {
+        /* bit j of the window (MSB-first) = (key >> (11-j)) & 1 */
+        int pos = 0, k = 0;
+        uint64_t nib = 0;
+        while (pos < 12 && k < 12) {
+            int z = 0;
+            while (pos + z < 12 && !((key >> (11 - (pos + z))) & 1)) z++;
+            if (pos + z >= 12 || pos + 2 * z + 1 > 12) break;
+            uint32_t code = 0;
+            for (int b = 0; b <= z; b++)
+                code = (code << 1) | ((key >> (11 - (pos + z + b))) & 1u);
+            uint32_t m = code - 1;
+            int v = (m & 1) ? (int)((m + 1) >> 1) : -(int)(m >> 1);
+            if (v < -8 || v > 7) break;
+            nib |= ((uint64_t)(v & 0xF)) << (4 * k);
+            k++;
+            pos += 2 * z + 1;
+        }
+        g_tab[key].nibbles = nib;
+        g_tab[key].count = (uint8_t)k;
+        g_tab[key].bits = (uint8_t)pos;
+        /* scan variant: same walk without the value restriction */
+        int spos = 0, sk = 0;
+        while (spos < 12) {
+            int z = 0;
+            while (spos + z < 12 && !((key >> (11 - (spos + z))) & 1)) z++;
+            if (spos + z >= 12 || spos + 2 * z + 1 > 12) break;
+            sk++;
+            spos += 2 * z + 1;
+        }
+        g_scan_bits[key] = (uint8_t)spos;
+        g_scan_cnt[key] = (uint8_t)sk;
+    }
+}
+
 /* Big-endian 64-bit window load (for the fast decode path). */
 static inline uint64_t load_be64(const uint8_t *p) {
     uint64_t v;
@@ -243,41 +297,35 @@ EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
     size_t nexc = 0;
     size_t i = 0;
     while (i < n) {
-        /* fast path: drain many codewords per 64-bit window load */
+        /* fast path: one 12-bit table hit per ~5-8 codewords.  Each hit
+         * merges up to 12 nibbles with ONE unaligned 8-byte store
+         * (little-endian hosts; nibble j of the entry lands at plane
+         * nibble i+j).  The store's zeroed tail bytes are plane bytes of
+         * values not yet decoded, which later iterations (re)write — and
+         * the i + 16 <= n guard keeps it inside plane[n/2]. */
         size_t byte = (size_t)(pos >> 3);
-        if (byte + 8 <= cap_bytes) {
+        if (byte + 8 <= cap_bytes && i + 16 <= n) {
             uint64_t w = load_be64(data + byte) << (pos & 7);
             int avail = 64 - (int)(pos & 7);
             int used = 0;
-            while (i < n) {
-                uint64_t ww = w << used;
-                if (ww == 0) break;
-                int lz = __builtin_clzll(ww);
-                int width = 2 * lz + 1;
-                if (used + width > avail) break;
-                uint64_t code = ww >> (64 - width);
-                used += width;
-                uint64_t m = code - 1;
-                int64_t v = (m & 1) ? (int64_t)((m + 1) >> 1)
-                                    : -(int64_t)(m >> 1);
-                uint8_t nib = (uint8_t)(v & 0xF);
-                if (i & 1)
-                    plane[i >> 1] |= (uint8_t)(nib << 4);
-                else
-                    plane[i >> 1] = nib;
-                if (v < -8 || v > 7) {
-                    if (nexc >= exc_cap) { *bitpos = start; return -2; }
-                    exc_idx[nexc] = (int32_t)i;
-                    exc_val[nexc] = (int32_t)v;
-                    nexc++;
-                }
-                i++;
+            while (used + 12 <= avail && i + 16 <= n) {
+                EgTab e = g_tab[(w << used) >> 52];
+                if (!e.count) break;
+                size_t o = i >> 1;
+                int par = (int)(i & 1);
+                uint64_t v = e.nibbles << (4 * par);
+                if (par) v |= (uint64_t)(plane[o] & 0x0F);
+                memcpy(plane + o, &v, 8);
+                used += e.bits;
+                i += e.count;
             }
             if (used > 0) {
                 pos += (uint64_t)used;
                 continue;
             }
         }
+        /* scalar: window tail, long zero run, out-of-nibble value
+         * (-> exception list), or the last <16 values */
         int32_t one;
         uint64_t p2 = pos;
         if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
@@ -321,6 +369,15 @@ EG_EXPORT uint64_t eg_scan(const uint8_t *data, uint64_t nbits_avail,
             uint64_t w = load_be64(data + byte) << (pos & 7);
             int avail = 64 - (int)(pos & 7);
             int used = 0;
+            /* 12-bit table hits skip ~5-8 codewords each; per-codeword clz
+             * only for the window tail / the last <12 values. */
+            while (used + 12 <= avail) {
+                unsigned key = (unsigned)((w << used) >> 52);
+                unsigned cnt = g_scan_cnt[key];
+                if (!cnt || i + cnt > n) break;
+                used += g_scan_bits[key];
+                i += cnt;
+            }
             while (i < n) {
                 uint64_t ww = w << used;
                 if (ww == 0) break; /* zero run continues past the window */

@@ -484,3 +484,60 @@ def test_group_pack_values_pallas_matches_einsum(rng):
     endw = np.clip((phase + gbits - 1) >> 5, 0, w - 1)
     want_last = np.asarray(want)[np.arange(g_count), endw]
     np.testing.assert_array_equal(np.asarray(lastw), want_last)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_planar4_table_path_fuzz(seed):
+    """Fuzz the 12-bit-table batch decode (native/expgolomb.c g_tab) against
+    the scalar eg_decode witness: random value mixes (in-nibble runs, wide
+    exception values, width-1 zero runs), sizes straddling the <16-value
+    scalar tail guard, and nonzero start bit phases."""
+    from dct3d_tpu.codec import entropy
+
+    rng = np.random.default_rng(seed)
+    for n in (2, 14, 16, 18, 34, 1000, 4096, 65_538):
+        mix = rng.integers(0, 3)
+        if mix == 0:
+            vals = rng.integers(-8, 8, n)
+        elif mix == 1:
+            vals = np.where(
+                rng.random(n) < 0.05,
+                rng.integers(-60_000, 60_000, n),
+                rng.integers(-3, 4, n),
+            )
+        else:
+            vals = np.zeros(n, np.int64)  # width-1 codewords back to back
+            vals[rng.integers(0, n, max(1, n // 7))] = 7000
+        vals = vals.astype(np.int32)
+        bitpos = int(rng.integers(0, 8))
+        payload, nbits = entropy.encode_values(vals, bitpos)
+        want, want_pos = entropy.decode_values(payload, n, bitpos)
+        plane, ei, ev, pos = entropy.decode_values_planar4(
+            payload, n, bitpos
+        )
+        assert pos == want_pos == nbits
+        lo = (plane & 0xF).astype(np.int32)
+        hi = ((plane >> 4) & 0xF).astype(np.int32)
+        rec = np.stack([(lo ^ 8) - 8, (hi ^ 8) - 8], axis=-1).reshape(-1)[:n]
+        rec[ei] = ev
+        np.testing.assert_array_equal(rec, want)
+
+
+def test_scan_table_path_long_runs(rng):
+    """eg_scan's table fast path across width-1 runs, wide codewords, and
+    every start phase agrees with the decoder's positions."""
+    from dct3d_tpu.codec import entropy
+
+    vals = np.concatenate([
+        np.zeros(5000, np.int32),               # 1-bit codewords
+        rng.integers(-2, 3, 5000),
+        rng.integers(-120_000, 120_000, 300),   # >12-bit codewords
+    ]).astype(np.int32)
+    rng.shuffle(vals)
+    for bitpos in range(8):
+        payload, nbits = entropy.encode_values(vals, bitpos)
+        pos_s, pos_d = bitpos, bitpos
+        for chunk in (1, 11, 12, 13, 500, vals.size - 537):
+            pos_s = entropy.scan_values(payload, chunk, pos_s)
+            _, pos_d = entropy.decode_values(payload, chunk, pos_d)
+            assert pos_s == pos_d
