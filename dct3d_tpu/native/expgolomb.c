@@ -164,6 +164,28 @@ EG_EXPORT int eg_decode(const uint8_t *data, uint64_t nbits_avail,
     uint64_t start = pos;
     size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
     for (size_t i = 0; i < n; i++) {
+        /* batch fast path: decode every complete in-nibble codeword of
+         * the next 12 bits per table hit (same table as planar4) */
+        while (i + 12 <= n) {
+            size_t byte = (size_t)(pos >> 3);
+            if (byte + 8 > cap_bytes) break;
+            uint64_t w = load_be64(data + byte) << (pos & 7);
+            int avail = 64 - (int)(pos & 7);
+            int used = 0;
+            while (used + 12 <= avail && i + 12 <= n) {
+                EgTab e = g_tab[(w << used) >> 52];
+                if (!e.count) break;
+                uint64_t nib = e.nibbles;
+                for (int j = 0; j < e.count; j++)
+                    out[i + j] =
+                        (int32_t)(((int)((nib >> (4 * j)) & 0xF) ^ 8) - 8);
+                used += e.bits;
+                i += e.count;
+            }
+            if (!used) break;
+            pos += (uint64_t)used;
+        }
+        if (i >= n) break;
         int ok;
         int64_t v = decode_fast(data, cap_bytes, nbits_avail, &pos, &ok);
         if (ok) {

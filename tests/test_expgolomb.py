@@ -512,6 +512,9 @@ def test_planar4_table_path_fuzz(seed):
         bitpos = int(rng.integers(0, 8))
         payload, nbits = entropy.encode_values(vals, bitpos)
         want, want_pos = entropy.decode_values(payload, n, bitpos)
+        # decode_values is itself table-driven now — pin it to the ground
+        # truth so the two table paths can't agree on a shared bug.
+        np.testing.assert_array_equal(want, vals)
         plane, ei, ev, pos = entropy.decode_values_planar4(
             payload, n, bitpos
         )
