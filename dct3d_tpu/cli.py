@@ -236,7 +236,7 @@ def cmd_encode(args) -> int:
     if args.rgb:
         from .codec.rgb_codec import encode_rgb_video
 
-        for flag in ("checkpoint_every", "profile_dir", "stats", "index"):
+        for flag in ("checkpoint_every", "profile_dir", "stats"):
             if getattr(args, flag, None):
                 print(f"warning: --{flag.replace('_', '-')} is not yet "
                       "supported with --rgb and is ignored", file=sys.stderr)
@@ -245,7 +245,7 @@ def cmd_encode(args) -> int:
                 args.input, width, height, args.frames, channels=3
             )
         t0 = time.perf_counter()
-        data = encode_rgb_video(video, cfg)
+        data = encode_rgb_video(video, cfg, index=args.index)
         dt = time.perf_counter() - t0
         with open(args.output, "wb") as f:
             f.write(data)

@@ -24,12 +24,18 @@ def encode_rgb_video(
     frames: np.ndarray,
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
+    index: bool = False,
 ) -> bytes:
     """(T, H, W, 3) uint8 interleaved RGB -> D3MH container (3 members,
-    tagged MEMBER_RED/GREEN/BLUE so decode auto-routes without a flag)."""
+    tagged MEMBER_RED/GREEN/BLUE so decode auto-routes without a flag).
+
+    index=True follows each channel member with its seekable per-GOP bit
+    index member (docs/FORMAT.md), enabling scan-free GOP-parallel entropy
+    decode per channel."""
     from ..parallel.multihost import (
-        MEMBER_BLUE, MEMBER_GREEN, MEMBER_RED, _member,
+        MEMBER_BLUE, MEMBER_GREEN, MEMBER_RED, _member, make_index_member,
     )
+    from .encoder import StreamingEncoder
 
     cfg = cfg or CodecConfig()
     if frames.ndim != 4 or frames.shape[-1] != 3:
@@ -38,7 +44,13 @@ def encode_rgb_video(
     out = []
     for c, mtype in enumerate((MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE)):
         plane = np.ascontiguousarray(frames[:t, :, :, c])
-        out.append(_member(encode_video(plane, cfg, ctx), t, mtype))
+        if index:
+            enc = StreamingEncoder(plane.shape[2], plane.shape[1], cfg, ctx)
+            data = enc.push(plane) + enc.finish()
+            out.append(_member(data, t, mtype))
+            out.append(make_index_member(enc.gop_bit_ends))
+        else:
+            out.append(_member(encode_video(plane, cfg, ctx), t, mtype))
     return b"".join(out)
 
 
@@ -50,12 +62,23 @@ def decode_rgb_video(
     ctx: TransformContext | None = None,
 ) -> np.ndarray:
     """D3MH container (3 members) -> (T, H, W, 3) uint8 interleaved RGB."""
-    from ..parallel.multihost import container_kind, split_members
+    from ..parallel.multihost import (
+        MEMBER_INDEX, container_kind, gop_positions, parse_index,
+        split_members,
+    )
 
     cfg = cfg or CodecConfig()
     members = split_members(data)
-    if len(members) != 3:
-        raise ValueError(f"expected 3 channel members, found {len(members)}")
+    # Attach index members (type 4) to the channel member each describes.
+    channels: list[tuple[int, bytes, list[int] | None]] = []
+    for frames, payload, mtype in members:
+        if mtype == MEMBER_INDEX and channels:
+            f, p, _ = channels[-1]
+            channels[-1] = (f, p, parse_index(payload))
+        elif mtype != MEMBER_INDEX:
+            channels.append((frames, payload, None))
+    if len(channels) != 3:
+        raise ValueError(f"expected 3 channel members, found {len(channels)}")
     kind = container_kind(members)
     # kind == 'temporal' (all-zero tags): legacy (round-1) RGB container
     # predating type tags — caller asked for RGB and it has exactly 3
@@ -66,7 +89,12 @@ def decode_rgb_video(
             "not an RGB container"
         )
     planes = [
-        decode_video(payload, width, height, frames, cfg, ctx)
-        for frames, payload, _ in members
+        decode_video(
+            payload, width, height, frames, cfg, ctx,
+            positions=None if ends is None else gop_positions(
+                ends, frames // cfg.gop_size, cfg.gop_size, frames
+            ),
+        )
+        for frames, payload, ends in channels
     ]
     return np.stack(planes, axis=-1)

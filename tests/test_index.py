@@ -163,3 +163,25 @@ def test_cli_index_roundtrip(tmp_path):
 def zlib_stream_of(container: bytes) -> bytes:
     """First temporal member's payload of a D3MH container."""
     return multihost.split_members(container)[0][1]
+
+
+def test_rgb_index_roundtrip(monkeypatch):
+    from dct3d_tpu.codec.rgb_codec import decode_rgb_video, encode_rgb_video
+
+    cfg = CodecConfig()
+    rgb = np.stack(
+        [synthetic_video(16, 24, 32, seed=s) for s in (1, 2, 3)], axis=-1
+    )
+    plain = encode_rgb_video(rgb, cfg)
+    indexed = encode_rgb_video(rgb, cfg, index=True)
+    members = multihost.split_members(indexed)
+    assert [m[2] for m in members] == [1, 4, 2, 4, 3, 4]
+    assert multihost.container_kind(members) == "rgb"
+    want = decode_rgb_video(plain, 32, 24, cfg)
+    # Indexed decode must not scan.
+    monkeypatch.setattr(
+        entropy, "scan_values",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scanned")),
+    )
+    got = decode_rgb_video(indexed, 32, 24, cfg)
+    np.testing.assert_array_equal(got, want)
