@@ -429,6 +429,30 @@ def cmd_decode(args) -> int:
             from .codec.rgb_codec import decode_rgb_video
 
             video = decode_rgb_video(data, width, height, cfg)
+        elif args.mesh and n_streams == 1:
+            # Single-stream container on a device mesh: feed the member to
+            # the sharded decoder, with its index positions if present.
+            from .parallel.multihost import (
+                MEMBER_TEMPORAL, gop_positions, parse_index,
+            )
+            from .parallel.sharding import ShardedDecoder
+
+            mesh = _make_cli_mesh(args.mesh)
+            if mesh is None:
+                return 2
+            frames, payload, _ = next(
+                m for m in members if m[2] == MEMBER_TEMPORAL
+            )
+            positions = None
+            for f, p, mtype in members:
+                if mtype == MEMBER_INDEX:
+                    positions = gop_positions(
+                        parse_index(p), frames // cfg.gop_size,
+                        cfg.gop_size, frames,
+                    )
+            video = ShardedDecoder(width, height, mesh, cfg).decode(
+                payload, frames, positions=positions
+            )
         else:
             from .parallel.multihost import decode_multihost_container
 

@@ -351,7 +351,11 @@ class ShardedDecoder:
             n_gop, 1, n_tile, rows_per_tile * cols, cube
         ).transpose(0, 2, 1, 3, 4).reshape(n_gop, n_tile, -1, cube)
 
-    def decode(self, data: bytes, frames: int) -> np.ndarray:
+    def decode(self, data: bytes, frames: int,
+               positions: list[int] | None = None) -> np.ndarray:
+        """positions: per-GOP start bit offsets from an index member
+        (docs/FORMAT.md); every mesh-step then starts at a known offset and
+        the host entropy stage needs no serial scan."""
         import collections
         import zlib
 
@@ -361,6 +365,9 @@ class ShardedDecoder:
         step_t = self.cfg.gop_size * n_gop
         t = frames - frames % step_t
         n_steps = t // step_t
+        step_positions = None
+        if positions is not None and len(positions) >= n_steps * n_gop:
+            step_positions = positions[::n_gop][:n_steps]
         cps = self.width * self.height * step_t  # coefficients per step
         out = np.empty((t, self.height, self.width), np.uint8)
         sharding = NamedSharding(self.mesh, P(GOP_AXIS, TILE_AXIS, None, None))
@@ -385,7 +392,7 @@ class ShardedDecoder:
             if n_steps > 1 and native.load() is not None:
                 for s, (vals, _pos) in enumerate(entropy.parallel_chunks(
                     payload, cps, n_steps, entropy.decode_values,
-                    self.entropy_workers,
+                    self.entropy_workers, positions=step_positions,
                 )):
                     dispatch(s, vals)
             else:

@@ -185,3 +185,29 @@ def test_rgb_index_roundtrip(monkeypatch):
     )
     got = decode_rgb_video(indexed, 32, 24, cfg)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cli_mesh_decode_indexed_container(tmp_path, monkeypatch):
+    """decode --mesh on an indexed single-stream container routes through
+    the ShardedDecoder with the index positions (no serial scan)."""
+    import jax
+
+    from dct3d_tpu.cli import main
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    src = tmp_path / "src.raw"
+    enc = tmp_path / "enc.d3v"
+    dec = tmp_path / "dec.raw"
+    deq = tmp_path / "deq.raw"
+    video = synthetic_video(32, 32, 40, seed=11)
+    src.write_bytes(video.tobytes())
+    assert main(["encode", str(src), str(enc), "40", "32", "--index"]) == 0
+    assert main(["decode", str(enc), str(dec), "40", "32"]) == 0
+    monkeypatch.setattr(
+        entropy, "scan_values",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scanned")),
+    )
+    assert main(["decode", str(enc), str(deq), "40", "32",
+                 "--mesh", "2x2"]) == 0
+    assert dec.read_bytes() == deq.read_bytes()
