@@ -269,16 +269,12 @@ def cmd_encode(args) -> int:
         )
         return 2
     if args.checkpoint_every:
-        if args.index:
-            print("warning: --index is ignored with --checkpoint-every "
-                  "(checkpoint members already decode in parallel)",
-                  file=sys.stderr)
         from .codec.checkpoint import CheckpointingEncoder
 
         t0 = time.perf_counter()
         with profile_to(args.profile_dir), CheckpointingEncoder(
             args.output, width, height, cfg,
-            checkpoint_gops=args.checkpoint_every,
+            checkpoint_gops=args.checkpoint_every, index=args.index,
         ) as cenc:
             skip = cenc.frames_done
             if skip:

@@ -63,6 +63,7 @@ class CheckpointingEncoder:
         cfg: CodecConfig | None = None,
         ctx: TransformContext | None = None,
         checkpoint_gops: int = 8,
+        index: bool = False,
     ) -> None:
         self.cfg = cfg or CodecConfig()
         self.path = path
@@ -70,6 +71,10 @@ class CheckpointingEncoder:
         self.height = height
         self.ctx = ctx or TransformContext(self.cfg)
         self.checkpoint_gops = checkpoint_gops
+        #: follow each member with its seekable per-GOP index member
+        #: (docs/FORMAT.md) for scan-free GOP-parallel decode; a torn index
+        #: member truncates away on resume, leaving its stream member valid.
+        self.index = index
         self.frames_done, safe_bytes = resume_info(path)
         # The headerless member format can't self-describe codec parameters;
         # a sidecar pins them so a resume with different flags fails loudly
@@ -102,11 +107,13 @@ class CheckpointingEncoder:
     def _flush_member(self) -> None:
         if self._enc is None:
             return
-        from ..parallel.multihost import _member
+        from ..parallel.multihost import _member, make_index_member
 
         self._member_chunks.append(self._enc.finish())
         payload = b"".join(self._member_chunks)
         self._f.write(_member(payload, self._member_frames))
+        if self.index:
+            self._f.write(make_index_member(self._enc.gop_bit_ends))
         self._f.flush()
         os.fsync(self._f.fileno())
         self.frames_done += self._member_frames

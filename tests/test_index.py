@@ -211,3 +211,35 @@ def test_cli_mesh_decode_indexed_container(tmp_path, monkeypatch):
     assert main(["decode", str(enc), str(deq), "40", "32",
                  "--mesh", "2x2"]) == 0
     assert dec.read_bytes() == deq.read_bytes()
+
+
+def test_checkpoint_index_members(tmp_path, monkeypatch):
+    """--checkpoint-every + --index: every member carries its index; resume
+    keeps the pairing and the container decodes scan-free."""
+    from dct3d_tpu.codec.checkpoint import CheckpointingEncoder
+
+    cfg = CodecConfig()
+    video = synthetic_video(32, 24, 32, seed=13)
+    path = str(tmp_path / "ckpt.d3v")
+    with CheckpointingEncoder(path, 32, 24, cfg, checkpoint_gops=2,
+                              index=True) as enc:
+        enc.push(video[:16])
+    with CheckpointingEncoder(path, 32, 24, cfg, checkpoint_gops=2,
+                              index=True) as enc:
+        assert enc.frames_done == 16
+        enc.push(video[16:])
+    data = open(path, "rb").read()
+    members = multihost.split_members(data)
+    assert [m[2] for m in members] == [0, 4, 0, 4]
+    assert all(
+        len(multihost.parse_index(p)) == 2
+        for _, p, t in members if t == multihost.MEMBER_INDEX
+    )
+    want = decode_video(members[0][1], 32, 24, 16, cfg)
+    monkeypatch.setattr(
+        entropy, "scan_values",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scanned")),
+    )
+    got = multihost.decode_multihost_container(data, 32, 24, cfg)
+    np.testing.assert_array_equal(got[:16], want)
+    assert got.shape == (32, 24, 32)
