@@ -182,7 +182,9 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
 
     # Same stage with the seekable index (encode --index): no serial scan,
     # all cores decode — the production host-entropy figure.
-    positions = [0] + gop_bit_ends[: n_gops - 1]
+    from dct3d_tpu.parallel.multihost import gop_positions
+
+    positions = gop_positions(gop_bit_ends, n_gops, cfg.gop_size, t)
     t0 = time.perf_counter()
     for _ in entropy.parallel_chunks(
         np.frombuffer(payload, np.uint8), cpg, n_gops,

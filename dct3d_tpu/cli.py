@@ -425,34 +425,53 @@ def cmd_decode(args) -> int:
             from .codec.rgb_codec import decode_rgb_video
 
             video = decode_rgb_video(data, width, height, cfg)
-        elif args.mesh and n_streams == 1:
-            # Single-stream container on a device mesh: feed the member to
-            # the sharded decoder, with its index positions if present.
-            from .parallel.multihost import (
-                MEMBER_TEMPORAL, gop_positions, parse_index,
-            )
-            from .parallel.sharding import ShardedDecoder
-
-            mesh = _make_cli_mesh(args.mesh)
-            if mesh is None:
-                return 2
-            frames, payload, _ = next(
-                m for m in members if m[2] == MEMBER_TEMPORAL
-            )
-            positions = None
-            for f, p, mtype in members:
-                if mtype == MEMBER_INDEX:
-                    positions = gop_positions(
-                        parse_index(p), frames // cfg.gop_size,
-                        cfg.gop_size, frames,
-                    )
-            video = ShardedDecoder(width, height, mesh, cfg).decode(
-                payload, frames, positions=positions
-            )
         else:
-            from .parallel.multihost import decode_multihost_container
+            video = None
+            if args.mesh and n_streams > 1:
+                print("note: --mesh applies only to single-stream "
+                      "containers; decoding members host-parallel instead",
+                      file=sys.stderr)
+            elif args.mesh:
+                # Single-stream container on a device mesh: feed the member
+                # to the sharded decoder, with its index positions if
+                # present — unless the frame count doesn't fill whole mesh
+                # steps (the sharded decoder truncates; fall back rather
+                # than silently dropping tail GOPs).
+                from .parallel.multihost import (
+                    MEMBER_TEMPORAL, gop_positions, parse_index,
+                )
+                from .parallel.sharding import ShardedDecoder
 
-            video = decode_multihost_container(data, width, height, cfg)
+                mesh = _make_cli_mesh(args.mesh)
+                if mesh is None:
+                    return 2
+                frames, payload, _ = next(
+                    m for m in members if m[2] == MEMBER_TEMPORAL
+                )
+                if frames % (cfg.gop_size * mesh.shape["gop"]):
+                    print(
+                        f"note: {frames} frames don't fill whole "
+                        f"{cfg.gop_size * mesh.shape['gop']}-frame mesh "
+                        "steps; decoding single-device instead",
+                        file=sys.stderr,
+                    )
+                else:
+                    positions = None
+                    for f, p, mtype in members:
+                        if mtype == MEMBER_INDEX:
+                            ends = parse_index(p)
+                            if ends is not None:
+                                positions = gop_positions(
+                                    ends, frames // cfg.gop_size,
+                                    cfg.gop_size, frames,
+                                )
+                    video = ShardedDecoder(width, height, mesh, cfg).decode(
+                        payload, frames, positions=positions
+                    )
+            if video is None:
+                from .parallel.multihost import decode_multihost_container
+
+                video = decode_multihost_container(data, width, height, cfg)
         if args.frames is not None:
             video = video[: args.frames]
     elif args.mesh:
@@ -501,20 +520,24 @@ def cmd_info(args) -> int:
         data = f.read()
     out: dict = {"bytes": len(data)}
     if data[:4] == b"D3MH":
-        from .parallel.multihost import container_kind, split_members
-
-        from .parallel.multihost import MEMBER_INDEX, parse_index
+        from .parallel.multihost import (
+            MEMBER_INDEX, container_kind, parse_index, split_members,
+        )
 
         members = split_members(data)
         type_names = {0: "temporal", 1: "red", 2: "green", 3: "blue",
                       4: "index"}
+
+        def _index_info(payload):
+            ends = parse_index(payload)
+            return {"gops": len(ends)} if ends is not None else {"torn": True}
+
         out["format"] = "d3mh-container"
         out["kind"] = container_kind(members)
         out["members"] = [
             {"frames": frames, "bytes": len(payload),
              "type": type_names.get(mtype, mtype),
-             **({"gops": len(parse_index(payload))}
-                if mtype == MEMBER_INDEX else {})}
+             **(_index_info(payload) if mtype == MEMBER_INDEX else {})}
             for frames, payload, mtype in members
         ]
         out["frames"] = (

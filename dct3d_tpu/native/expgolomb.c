@@ -165,10 +165,12 @@ EG_EXPORT int eg_decode(const uint8_t *data, uint64_t nbits_avail,
     size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
     for (size_t i = 0; i < n; i++) {
         /* batch fast path: decode every complete in-nibble codeword of
-         * the next 12 bits per table hit (same table as planar4) */
+         * the next 12 bits per table hit (same table as planar4).  Whole
+         * bytes only (nbits_avail >> 3), so a trailing partial byte's
+         * padding bits can never be consumed as codewords. */
         while (i + 12 <= n) {
             size_t byte = (size_t)(pos >> 3);
-            if (byte + 8 > cap_bytes) break;
+            if (byte + 8 > (size_t)(nbits_avail >> 3)) break;
             uint64_t w = load_be64(data + byte) << (pos & 7);
             int avail = 64 - (int)(pos & 7);
             int used = 0;
@@ -325,6 +327,10 @@ EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
          * nibble i+j).  The store's zeroed tail bytes are plane bytes of
          * values not yet decoded, which later iterations (re)write — and
          * the i + 16 <= n guard keeps it inside plane[n/2]. */
+#if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+        /* the uint64 nibble store below lays entry nibble j at plane
+         * nibble i+j only on little-endian hosts; big-endian builds take
+         * the (endian-safe) scalar path instead */
         size_t byte = (size_t)(pos >> 3);
         if (byte + 8 <= cap_bytes && i + 16 <= n) {
             uint64_t w = load_be64(data + byte) << (pos & 7);
@@ -346,6 +352,7 @@ EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
                 continue;
             }
         }
+#endif
         /* scalar: window tail, long zero run, out-of-nibble value
          * (-> exception list), or the last <16 values */
         int32_t one;

@@ -122,11 +122,17 @@ def make_index_member(gop_bit_ends: list[int]) -> bytes:
     )
 
 
-def parse_index(payload: bytes) -> list[int]:
-    """Inverse of make_index_member."""
+def parse_index(payload: bytes) -> list[int] | None:
+    """Inverse of make_index_member; None for a torn/short payload (e.g. a
+    crash mid-checkpoint) so callers fall back to the serial scan instead
+    of refusing to decode a file whose stream members are valid."""
     import struct
 
+    if len(payload) < 4:
+        return None
     (n,) = struct.unpack_from("<I", payload, 0)
+    if len(payload) < 4 + 8 * n:
+        return None
     return list(struct.unpack_from(f"<{n}Q", payload, 4))
 
 
@@ -264,6 +270,12 @@ def decode_multihost_container(
             streams[-1] = (f, p, parse_index(payload))
         elif mtype == MEMBER_TEMPORAL:
             streams.append((frames, payload, None))
+
+    if not streams:
+        raise ValueError(
+            f"container has no decodable stream members "
+            f"(member type tags: {[m[2] for m in members]})"
+        )
 
     def _one(m: tuple[int, bytes, list[int] | None]) -> np.ndarray:
         frames, payload, ends = m

@@ -243,3 +243,46 @@ def test_checkpoint_index_members(tmp_path, monkeypatch):
     got = multihost.decode_multihost_container(data, 32, 24, cfg)
     np.testing.assert_array_equal(got[:16], want)
     assert got.shape == (32, 24, 32)
+
+
+def test_torn_index_member_falls_back(tmp_path):
+    """A crash mid-index-write leaves a torn index member: decode must fall
+    back to the scanning path (stream members are valid), not crash."""
+    cfg = CodecConfig()
+    video = synthetic_video(16, 24, 32, seed=17)
+    data, ends = _encode_with_index(video, cfg)
+    whole = multihost._member(data, 16) + multihost.make_index_member(ends)
+    torn = whole[:-7]  # cut inside the index payload
+    assert multihost.parse_index(
+        multihost.split_members(torn)[-1][1]
+    ) is None
+    want = decode_video(data, 32, 24, 16, cfg)
+    got = multihost.decode_multihost_container(torn, 32, 24, cfg)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_container_without_streams_rejected():
+    idx_only = multihost.make_index_member([1, 2])
+    with pytest.raises(ValueError, match="no decodable stream members"):
+        multihost.decode_multihost_container(idx_only, 8, 8)
+
+
+def test_cli_mesh_decode_tail_gops_fall_back(tmp_path, capsys):
+    """decode --mesh on a container whose frame count doesn't fill whole
+    mesh steps must decode ALL frames (single-device fallback), not drop
+    the tail."""
+    import jax
+
+    from dct3d_tpu.cli import main
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    src = tmp_path / "src.raw"
+    enc = tmp_path / "enc.d3v"
+    dec = tmp_path / "dec.raw"
+    video = synthetic_video(24, 32, 40, seed=19)  # 3 GOPs, mesh step = 2
+    src.write_bytes(video.tobytes())
+    assert main(["encode", str(src), str(enc), "40", "32", "--index"]) == 0
+    assert main(["decode", str(enc), str(dec), "40", "32",
+                 "--mesh", "2x2"]) == 0
+    assert len(dec.read_bytes()) == 24 * 32 * 40
