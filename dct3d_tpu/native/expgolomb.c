@@ -252,12 +252,25 @@ EG_EXPORT int eg_decode_planar(const uint8_t *data, uint64_t nbits_avail,
     size_t nexc = 0;
     size_t i = 0;
     while (i < n) {
-        /* fast path: drain many codewords per 64-bit window load */
+        /* fast path: batch-decode the 12-bit window's complete in-nibble
+         * codewords per table hit (values in [-8,7] are also in int8, so
+         * they never hit the exception list), then drain wider-but-int8
+         * codewords with the per-codeword clz loop */
         size_t byte = (size_t)(pos >> 3);
         if (byte + 8 <= cap_bytes) {
             uint64_t w = load_be64(data + byte) << (pos & 7);
             int avail = 64 - (int)(pos & 7);
             int used = 0;
+            while (used + 12 <= avail && i + 12 <= n) {
+                EgTab e = g_tab[(w << used) >> 52];
+                if (!e.count) break;
+                uint64_t nib = e.nibbles;
+                for (int j = 0; j < e.count; j++)
+                    plane[i + j] =
+                        (int8_t)(((int)((nib >> (4 * j)) & 0xF) ^ 8) - 8);
+                used += e.bits;
+                i += e.count;
+            }
             while (i < n) {
                 uint64_t ww = w << used;
                 if (ww == 0) break;

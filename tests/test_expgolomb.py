@@ -524,6 +524,11 @@ def test_planar4_table_path_fuzz(seed):
         rec = np.stack([(lo ^ 8) - 8, (hi ^ 8) - 8], axis=-1).reshape(-1)[:n]
         rec[ei] = ev
         np.testing.assert_array_equal(rec, want)
+        p8, ei8, ev8, pos8 = entropy.decode_values_planar(payload, n, bitpos)
+        assert pos8 == nbits
+        rec8 = p8.astype(np.int32)
+        rec8[ei8] = ev8
+        np.testing.assert_array_equal(rec8, want)
 
 
 def test_scan_table_path_long_runs(rng):
