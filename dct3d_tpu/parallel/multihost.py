@@ -195,6 +195,7 @@ def encode_multihost(
     total_frames: int,
     mesh,
     cfg: CodecConfig | None = None,
+    index: bool = False,
 ) -> bytes | None:
     """Encode a video whose frames are distributed across host processes.
 
@@ -208,7 +209,7 @@ def encode_multihost(
     Exp-Golomb carry state — the container is the deliberate extension point
     over the (single-process) reference format.
     """
-    from ..codec.encoder import encode_video
+    from ..codec.encoder import StreamingEncoder
     from .sharding import ShardedEncoder
 
     cfg = cfg or CodecConfig()
@@ -223,13 +224,17 @@ def encode_multihost(
         ]
         chunks.append(enc.finish())
         members += _member(b"".join(chunks), t_main)
+        if index:
+            members += make_index_member(enc.gop_bit_ends)
     if t_all > t_main:
         # Tail GOPs that don't fill the gop mesh axis: their own member,
         # encoded on this host's default device (a host span is balanced to
         # one GOP, so the tail is at most mesh.gop - 1 GOPs).
-        members += _member(
-            encode_video(local_frames[t_main:t_all], cfg), t_all - t_main
-        )
+        tenc = StreamingEncoder(width, height, cfg)
+        tail = (tenc.push(local_frames[t_main:t_all]) + tenc.finish())
+        members += _member(tail, t_all - t_main)
+        if index:
+            members += make_index_member(tenc.gop_bit_ends)
     return gather_ordered_bytes(members)
 
 

@@ -286,3 +286,28 @@ def test_cli_mesh_decode_tail_gops_fall_back(tmp_path, capsys):
     assert main(["decode", str(enc), str(dec), "40", "32",
                  "--mesh", "2x2"]) == 0
     assert len(dec.read_bytes()) == 24 * 32 * 40
+
+
+def test_multihost_encode_index(monkeypatch):
+    """encode_multihost(index=True): main + tail members each carry their
+    index, and container decode is scan-free and equal to the plain form."""
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = CodecConfig()
+    m = mesh_lib.make_mesh(gop=2, tile=1, devices=jax.devices()[:2])
+    video = synthetic_video(24, 24, 32, seed=23)  # 3 GOPs: 2 main + 1 tail
+    plain = multihost.encode_multihost(video, 32, 24, 24, m, cfg)
+    indexed = multihost.encode_multihost(video, 32, 24, 24, m, cfg,
+                                         index=True)
+    assert [x[2] for x in multihost.split_members(indexed)] == [0, 4, 0, 4]
+    want = multihost.decode_multihost_container(plain, 32, 24, cfg)
+    monkeypatch.setattr(
+        entropy, "scan_values",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scanned")),
+    )
+    got = multihost.decode_multihost_container(indexed, 32, 24, cfg)
+    np.testing.assert_array_equal(got, want)
