@@ -98,6 +98,15 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "README.md:22-27), and carried as 3 members of one container",
     )
     p.add_argument(
+        "--turbo", action="store_true",
+        help="encode: turbo (planar) profile — DEFLATE-only entropy, no "
+        "Exp-Golomb: the wire carries the nibble-plane device transport "
+        "per GOP (D3MH type-5 members). ~3%% more bytes, identical pixels; "
+        "the encode step drops its whole bit-pack stage and decode's host "
+        "work is pure inflate. Extension profile: the reference decoder "
+        "cannot read it (decode auto-detects; see docs/FORMAT.md)",
+    )
+    p.add_argument(
         "--index", action="store_true",
         help="encode: wrap the stream in a D3MH container with a seekable "
         "per-GOP bit index member — decode then needs no frame count and "
@@ -268,6 +277,36 @@ def cmd_encode(args) -> int:
             "Encoder.java:39-40)", file=sys.stderr,
         )
         return 2
+    if args.turbo:
+        for flag, why in (
+            ("rgb", "color turbo is not built yet"),
+            ("checkpoint_every", "turbo members are already per-GOP"),
+            ("index", "turbo members are already per-GOP seekable"),
+            ("mesh", "turbo is single-device for now"),
+            ("parity", "turbo is an extension profile, never byte-parity"),
+        ):
+            if getattr(args, flag, None):
+                print(f"--turbo cannot combine with --{flag.replace('_', '-')}"
+                      f" ({why})", file=sys.stderr)
+                return 2
+        from .codec.turbo import TurboEncoder
+
+        enc = TurboEncoder(width, height, cfg)
+        t0 = time.perf_counter()
+        written = 0
+        with profile_to(args.profile_dir), open(args.output, "wb") as out:
+            for batch in _frame_batches(args, video, width, height,
+                                        cfg.gop_size, frames):
+                written += out.write(enc.push(batch))
+            written += out.write(enc.finish())
+        dt = time.perf_counter() - t0
+        print(
+            f"encoded {frames} frames {width}x{height} -> {written} bytes "
+            f"(turbo, "
+            f"{metrics.bits_per_pixel(written, width, height, frames):.3f} "
+            f"bpp) in {dt:.2f}s ({frames / dt:.1f} fps)"
+        )
+        return 0
     if args.checkpoint_every:
         from .codec.checkpoint import CheckpointingEncoder
 
@@ -410,6 +449,13 @@ def cmd_decode(args) -> int:
         )
 
         members = split_members(data)
+        from .codec.turbo import decode_turbo_container, is_turbo_container
+
+        if is_turbo_container(members):
+            video = decode_turbo_container(data, width, height, cfg)
+            if args.frames is not None:
+                video = video[: args.frames]
+            return _write_decoded(args, video, width, height, t0)
         kind = container_kind(members)
         if kind == "unknown":
             print(f"unrecognized member type tags "
@@ -488,6 +534,13 @@ def cmd_decode(args) -> int:
             data, width, height, args.frames, cfg,
             gops_per_batch=args.gops_per_batch,
         )
+    return _write_decoded(args, video, width, height, t0)
+
+
+def _write_decoded(args, video, width, height, t0) -> int:
+    """Shared tail of cmd_decode: crop, write (.y4m or raw), report."""
+    from .io import rawvideo
+
     dt = time.perf_counter() - t0
     if args.crop:
         from .io.pad import crop_frames
@@ -524,16 +577,19 @@ def cmd_info(args) -> int:
             MEMBER_INDEX, container_kind, parse_index, split_members,
         )
 
+        from .codec.turbo import is_turbo_container
+
         members = split_members(data)
         type_names = {0: "temporal", 1: "red", 2: "green", 3: "blue",
-                      4: "index"}
+                      4: "index", 5: "turbo"}
 
         def _index_info(payload):
             ends = parse_index(payload)
             return {"gops": len(ends)} if ends is not None else {"torn": True}
 
         out["format"] = "d3mh-container"
-        out["kind"] = container_kind(members)
+        out["kind"] = ("turbo" if is_turbo_container(members)
+                       else container_kind(members))
         out["members"] = [
             {"frames": frames, "bytes": len(payload),
              "type": type_names.get(mtype, mtype),

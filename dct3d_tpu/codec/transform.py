@@ -56,8 +56,10 @@ class EncodedGOP(NamedTuple):
     # total_bits and the carry scalars stay exact either way)
 
 
-def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
-                 tight=True):
+def _frames_to_q(frames, enc_t, cfg):
+    """Transform front half shared by every encode profile: (T, H, W) uint8
+    (raw or transport-delta) -> (num_cubes, cube) int32 quantized zigzag
+    coefficients, bit-identical to the float64 oracle's."""
     if cfg.transport_delta:
         # Frames arrived as wrapping temporal deltas (cheap-to-compress on
         # the wire); reconstruct exactly with a mod-256 prefix sum.  The
@@ -92,7 +94,12 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
             framing.frames_to_cubes(frames, cfg)
         ).astype(enc_t.dtype)
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
-    q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
+    return _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
+
+
+def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
+                 tight=True):
+    q = _frames_to_q(frames, enc_t, cfg)
     w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)
                if tight else None)
     max_width = bitpack.max_codeword_bits(cfg.cube_size)

@@ -1,0 +1,238 @@
+"""Turbo (planar) profile: DEFLATE-only entropy, no Exp-Golomb anywhere.
+
+The reference's entropy stack (Exp-Golomb + zlib) is inherently bit-serial
+on the host side; the repo's device bit-packer makes ENCODE parallel, but
+host decode still walks codewords.  The turbo profile is the TPU-native
+alternative: the wire carries exactly the codec's device transport format —
+a packed-nibble plane of quantized zigzag coefficients plus a sparse
+exception list — DEFLATE-compressed per GOP.  Consequences:
+
+  * encode: the device step is transform + nibble pack + MXU exception
+    compaction (ops/exceptions.py) — the whole Exp-Golomb bit-pack stage
+    (~60% of the reference-profile step) disappears;
+  * decode: the host does nothing but inflate (GOP-parallel across
+    members); planes feed decode_step_planar4 directly;
+  * pixels are IDENTICAL to the reference profile (same quantized
+    integers, same inverse transform) — only the container differs;
+  * rate: ~3% more bytes than Exp-Golomb+zlib at quant 5 on the bench
+    content (0.3225 vs 0.3123 bpp, tools/ab_turbo_rate note) — DEFLATE
+    eats most of the nibble plane's redundancy.
+
+Wire format (docs/FORMAT.md): one D3MH member (type 5) per GOP; payload =
+three length-prefixed zlib streams (nibble plane, exception-index deltas
+int32, exception values int16).
+
+The reference cannot read this container — it is an explicit extension
+profile (`encode --turbo`), not the default.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import struct
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecConfig
+from ..ops import exceptions
+from ..parallel.multihost import MEMBER_INDEX, _member, split_members
+from .transform import TransformContext, _frames_to_q
+from .decoder import _dispatch_planar4, _undelta
+
+MEMBER_TURBO = 5
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slots"))
+def encode_step_turbo(frames, enc_t, *, cfg, slots):
+    """(T, H, W) uint8 -> (nibble plane, exception tables).
+
+    plane: (n/2,) uint8, two zigzag coefficients per byte (low nibble =
+    even index) — byte-identical to the decode transport format.
+    """
+    q = _frames_to_q(frames, enc_t, cfg)
+    v2 = q.reshape(-1, 2)
+    plane = ((v2[:, 0] & 0xF) | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
+    lidx, vals, counts, overflow = exceptions.compact_exceptions(
+        q.reshape(-1), slots=slots
+    )
+    return plane, lidx, vals, counts, overflow
+
+
+def _member_payload(plane: np.ndarray, idx: np.ndarray, val: np.ndarray,
+                    level: int) -> bytes:
+    """Three length-prefixed zlib streams; exception indices as deltas
+    (sorted ascending, so deltas are small and compress ~7x better)."""
+    didx = np.diff(idx, prepend=np.int64(0)).astype(np.int32)
+    parts = [
+        zlib.compress(plane.tobytes(), level),
+        zlib.compress(didx.tobytes(), level),
+        zlib.compress(val.astype(np.int16).tobytes(), level),
+    ]
+    head = struct.pack("<III", *(len(p) for p in parts))
+    return head + b"".join(parts)
+
+
+def _parse_payload(payload: bytes):
+    a, b, c = struct.unpack_from("<III", payload, 0)
+    o = 12
+    plane = np.frombuffer(zlib.decompress(payload[o : o + a]), np.uint8)
+    didx = np.frombuffer(zlib.decompress(payload[o + a : o + a + b]),
+                         np.int32)
+    val = np.frombuffer(
+        zlib.decompress(payload[o + a + b : o + a + b + c]), np.int16
+    )
+    return plane, np.cumsum(didx.astype(np.int64)), val.astype(np.int32)
+
+
+class TurboEncoder:
+    """Push frames, get turbo container bytes (one type-5 member per GOP).
+
+    Same pipelining shape as StreamingEncoder: per-GOP device dispatch, a
+    drainer thread overlapping D2H + DEFLATE with compute, and a
+    slots-budget overflow retry (exception-dense groups re-encode with the
+    cannot-overflow table shape).
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        cfg: CodecConfig | None = None,
+        ctx: TransformContext | None = None,
+        slots: int = exceptions.DEFAULT_SLOTS,
+        max_inflight: int = 3,
+    ) -> None:
+        self.cfg = cfg or CodecConfig()
+        self.cfg.validate_geometry(width, height)
+        self.width = width
+        self.height = height
+        self.ctx = ctx or TransformContext(self.cfg)
+        self.slots = slots
+        self.frames_encoded = 0
+        self.max_inflight = max_inflight
+        self._drainer = ThreadPoolExecutor(max_workers=1)
+        self._out: collections.deque = collections.deque()
+
+    def _drain_gop(self, frames_dev, t) -> bytes:
+        plane, lidx, vals, counts, overflow = encode_step_turbo(
+            frames_dev, self.ctx.enc_t, cfg=self.cfg, slots=self.slots
+        )
+        if bool(overflow):
+            plane, lidx, vals, counts, _ = encode_step_turbo(
+                frames_dev, self.ctx.enc_t, cfg=self.cfg, slots=256
+            )
+        idx, val = exceptions.expand_exceptions_np(
+            np.asarray(lidx), np.asarray(vals), np.asarray(counts)
+        )
+        payload = _member_payload(
+            np.asarray(plane), idx, val, self.cfg.zlib_level
+        )
+        return _member(payload, t, MEMBER_TURBO)
+
+    def push(self, frames: np.ndarray) -> bytes:
+        t = frames.shape[0]
+        if t % self.cfg.gop_size:
+            raise ValueError(
+                f"batch of {t} frames is not a multiple of GOP "
+                f"{self.cfg.gop_size}"
+            )
+        if frames.shape[1:] != (self.height, self.width):
+            raise ValueError("frame geometry mismatch")
+        gop = self.cfg.gop_size
+        for i in range(0, t, gop):
+            batch = frames[i : i + gop]
+            if self.cfg.transport_delta:
+                delta = np.empty_like(batch)
+                delta[0] = batch[0]
+                np.subtract(batch[1:], batch[:-1], out=delta[1:])
+                batch = delta
+            frames_dev = jnp.asarray(batch)
+            self._out.append(
+                self._drainer.submit(self._drain_gop, frames_dev, gop)
+            )
+            if len(self._out) > self.max_inflight:
+                self._out[0].result()
+        self.frames_encoded += t
+        out = []
+        while self._out and self._out[0].done():
+            out.append(self._out.popleft().result())
+        return b"".join(out)
+
+    def finish(self) -> bytes:
+        out = []
+        while self._out:
+            out.append(self._out.popleft().result())
+        self._drainer.shutdown(wait=True)
+        return b"".join(out)
+
+
+def encode_turbo_video(
+    frames: np.ndarray,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> bytes:
+    cfg = cfg or CodecConfig()
+    t = frames.shape[0] - frames.shape[0] % cfg.gop_size
+    enc = TurboEncoder(frames.shape[2], frames.shape[1], cfg, ctx)
+    data = enc.push(frames[:t])
+    return data + enc.finish()
+
+
+def is_turbo_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
+    types = {m[2] for m in members}
+    return MEMBER_TURBO in types and types <= {MEMBER_TURBO, MEMBER_INDEX}
+
+
+def decode_turbo_container(
+    data: bytes,
+    width: int,
+    height: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+    inflate_workers: int | None = None,
+) -> np.ndarray:
+    """Turbo container -> (T, H, W) uint8; pixels identical to the
+    reference profile's decode of the same source.
+
+    The host entropy stage is pure inflate, GOP-parallel on a pool; device
+    inverse transforms overlap via the same async window as decode_video.
+    """
+    import os
+
+    cfg = cfg or CodecConfig()
+    ctx = ctx or TransformContext(cfg)
+    members = [m for m in split_members(data) if m[2] == MEMBER_TURBO]
+    if not members:
+        raise ValueError("not a turbo container (no type-5 members)")
+    fpg = cfg.gop_size
+    out = np.empty(
+        (sum(m[0] for m in members), height, width), np.uint8
+    )
+    pending: collections.deque = collections.deque()
+
+    def drain_one() -> None:
+        a0, t, fd = pending.popleft()
+        out[a0 : a0 + t] = _undelta(np.asarray(fd), cfg)
+
+    with ThreadPoolExecutor(
+        inflate_workers or max(1, min(len(members), (os.cpu_count() or 2)))
+    ) as pool:
+        a0 = 0
+        for (t, _, _), planar in zip(
+            members, pool.map(lambda m: _parse_payload(m[1]), members)
+        ):
+            fd = _dispatch_planar4(planar, ctx, cfg, height, width)
+            fd.copy_to_host_async()
+            pending.append((a0, t, fd))
+            a0 += t
+            if len(pending) >= 3:
+                drain_one()
+        while pending:
+            drain_one()
+    return out

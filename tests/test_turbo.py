@@ -1,0 +1,140 @@
+"""Turbo (planar) profile tests (docs/FORMAT.md type-5 members).
+
+Pins: the MXU exception compaction against a numpy witness (including the
+slots-overflow retry shape), pixel-identity with the reference profile,
+rate sanity, CLI roundtrip + info routing, and transport-delta
+transparency.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from dct3d_tpu.codec import turbo
+from dct3d_tpu.codec.decoder import decode_video
+from dct3d_tpu.codec.encoder import encode_video
+from dct3d_tpu.config import CodecConfig
+from dct3d_tpu.ops import exceptions
+from dct3d_tpu.parallel import multihost
+
+from conftest import synthetic_video
+
+
+def _np_exceptions(values: np.ndarray):
+    idx = np.flatnonzero((values < -8) | (values > 7)).astype(np.int64)
+    return idx, values[idx].astype(np.int32)
+
+
+@pytest.mark.parametrize("slots", [4, 16, 256])
+def test_compact_exceptions_matches_numpy(rng, slots):
+    import jax.numpy as jnp
+
+    vals = np.where(
+        rng.random(4096) < 0.01,
+        rng.integers(-5771, 5772, 4096),
+        rng.integers(-8, 8, 4096),
+    ).astype(np.int32)
+    lidx, v, counts, ovf = exceptions.compact_exceptions(
+        jnp.asarray(vals), slots=slots
+    )
+    per_group = ((vals.reshape(-1, 256) < -8)
+                 | (vals.reshape(-1, 256) > 7)).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(counts), per_group)
+    assert bool(ovf) == bool((per_group > slots).any())
+    if not bool(ovf):
+        idx, val = exceptions.expand_exceptions_np(
+            np.asarray(lidx), np.asarray(v), np.asarray(counts)
+        )
+        widx, wval = _np_exceptions(vals)
+        np.testing.assert_array_equal(idx, widx)
+        np.testing.assert_array_equal(val, wval)
+
+
+def test_compact_exceptions_worst_case_dense(rng):
+    import jax.numpy as jnp
+
+    vals = rng.integers(-5771, 5772, 2048).astype(np.int32)  # ~all except.
+    lidx, v, counts, ovf = exceptions.compact_exceptions(
+        jnp.asarray(vals), slots=256
+    )
+    assert not bool(ovf)
+    idx, val = exceptions.expand_exceptions_np(
+        np.asarray(lidx), np.asarray(v), np.asarray(counts)
+    )
+    widx, wval = _np_exceptions(vals)
+    np.testing.assert_array_equal(idx, widx)
+    np.testing.assert_array_equal(val, wval)
+
+
+def test_turbo_pixels_identical_to_reference():
+    cfg = CodecConfig()
+    video = synthetic_video(16, 32, 40, seed=31)
+    ref = decode_video(encode_video(video, cfg), 40, 32, 16, cfg)
+    data = turbo.encode_turbo_video(video, cfg)
+    got = turbo.decode_turbo_container(data, 40, 32, cfg)
+    np.testing.assert_array_equal(got, ref)
+    members = multihost.split_members(data)
+    assert [m[2] for m in members] == [turbo.MEMBER_TURBO] * 2
+    assert turbo.is_turbo_container(members)
+
+
+def test_turbo_slots_overflow_retry():
+    cfg = CodecConfig(quant_strength=0)  # near-lossless: dense exceptions
+    video = synthetic_video(8, 16, 16, seed=33)
+    ref = decode_video(encode_video(video, cfg), 16, 16, 8, cfg)
+    enc = turbo.TurboEncoder(16, 16, cfg, slots=2)  # force the retry path
+    data = enc.push(video) + enc.finish()
+    got = turbo.decode_turbo_container(data, 16, 16, cfg)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_turbo_transport_delta_transparent():
+    cfg = CodecConfig(transport_delta=True)
+    video = synthetic_video(16, 24, 32, seed=35)
+    plain = turbo.decode_turbo_container(
+        turbo.encode_turbo_video(video, CodecConfig()), 32, 24,
+        CodecConfig(),
+    )
+    delta = turbo.decode_turbo_container(
+        turbo.encode_turbo_video(video, cfg), 32, 24, cfg
+    )
+    np.testing.assert_array_equal(plain, delta)
+
+
+def test_turbo_rate_near_reference():
+    cfg = CodecConfig()
+    video = synthetic_video(16, 64, 64, seed=37)
+    ref = encode_video(video, cfg)
+    data = turbo.encode_turbo_video(video, cfg)
+    assert len(data) < 1.35 * len(ref), (len(data), len(ref))
+
+
+def test_cli_turbo_roundtrip(tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from dct3d_tpu.cli import main
+
+    src = tmp_path / "src.raw"
+    enc = tmp_path / "enc.d3t"
+    dec = tmp_path / "dec.raw"
+    video = synthetic_video(16, 32, 40, seed=39)
+    src.write_bytes(video.tobytes())
+    assert main(["encode", str(src), str(enc), "40", "32", "--turbo"]) == 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["info", str(enc)]) == 0
+    info = json.loads(buf.getvalue())
+    assert info["kind"] == "turbo"
+    assert [m["type"] for m in info["members"]] == ["turbo", "turbo"]
+    assert main(["decode", str(enc), str(dec), "40", "32"]) == 0
+    want = decode_video(encode_video(video, CodecConfig()), 40, 32, 16,
+                        CodecConfig())
+    got = np.frombuffer(dec.read_bytes(), np.uint8).reshape(16, 32, 40)
+    np.testing.assert_array_equal(got, want)
+    # incompatible flag combos are rejected
+    assert main(["encode", str(src), str(enc), "40", "32", "--turbo",
+                 "--parity"]) == 2
