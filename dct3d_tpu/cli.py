@@ -27,6 +27,13 @@ from . import metrics
 
 
 def _cfg_from_args(args) -> CodecConfig:
+    level = args.zlib_level
+    if level is None:
+        # Reference parity wants Z_BEST_COMPRESSION (encoder.c:139); the
+        # turbo profile deflates ~6x more bytes (the raw nibble plane), and
+        # level 9 there costs 1.4 s/GOP at 1080p for ~5% rate — default it
+        # to 6 (PERFORMANCE.md measurement).
+        level = 6 if getattr(args, "turbo", False) else 9
     return CodecConfig(
         block_w=args.block,
         block_h=args.block,
@@ -34,7 +41,7 @@ def _cfg_from_args(args) -> CodecConfig:
         quant_strength=args.quant,
         quant_bias=getattr(args, "quant_bias", 0.5),
         transport_delta=getattr(args, "transport_delta", False),
-        zlib_level=args.zlib_level,
+        zlib_level=level,
         deflate_workers=0 if getattr(args, "parity", False) else args.deflate_workers,
     )
 
@@ -65,8 +72,10 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "reference-decodable)",
     )
     p.add_argument(
-        "--zlib-level", type=int, default=9,
-        help="DEFLATE level (9 = reference C encoder; lower = faster)",
+        "--zlib-level", type=int, default=None,
+        help="DEFLATE level (default 9 = reference C encoder; the turbo "
+        "profile defaults to 6 — it deflates the raw nibble plane, where "
+        "9 costs ~6x the time for ~5%% rate)",
     )
     p.add_argument(
         "--gops-per-batch", type=int, default=4,

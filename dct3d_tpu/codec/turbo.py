@@ -106,8 +106,10 @@ class TurboEncoder:
         cfg: CodecConfig | None = None,
         ctx: TransformContext | None = None,
         slots: int = exceptions.DEFAULT_SLOTS,
-        max_inflight: int = 3,
+        max_inflight: int = 6,
     ) -> None:
+        import os
+
         self.cfg = cfg or CodecConfig()
         self.cfg.validate_geometry(width, height)
         self.width = width
@@ -116,7 +118,14 @@ class TurboEncoder:
         self.slots = slots
         self.frames_encoded = 0
         self.max_inflight = max_inflight
-        self._drainer = ThreadPoolExecutor(max_workers=1)
+        # Unlike the reference stream's single zlib state, turbo members are
+        # independent — the drain stage (D2H + DEFLATE) fans out across
+        # cores.  deflate_workers keeps its CLI semantics (0 -> serial,
+        # -1 -> all cores but one, N -> N); output order is preserved by
+        # the futures deque regardless of completion order.
+        dw = self.cfg.deflate_workers
+        workers = ((os.cpu_count() or 2) - 1) if dw < 0 else dw
+        self._drainer = ThreadPoolExecutor(max_workers=max(1, workers))
         self._out: collections.deque = collections.deque()
 
     def _drain_gop(self, frames_dev, t) -> bytes:
