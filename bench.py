@@ -132,6 +132,27 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     t2, t10 = chain(2), chain(10)
     compute_fps = 8 * cfg.gop_size / (t10 - t2)  # slope: relay latency out
 
+    # Turbo (planar) profile: compute slope of its encode step (no bit-pack
+    # stage) + its rate.  Uses the same device-resident input chain trick.
+    from dct3d_tpu.codec.turbo import TurboEncoder, encode_step_turbo
+    from dct3d_tpu.ops.exceptions import DEFAULT_SLOTS
+
+    def tchain(steps: int) -> float:
+        r = None
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = encode_step_turbo(fj, ctx.enc_t, cfg=cfg,
+                                  slots=DEFAULT_SLOTS)
+        jax.device_get(r[3][:1])
+        return time.perf_counter() - t0
+
+    tchain(1)
+    tt2, tt10 = tchain(2), tchain(10)
+    turbo_compute_fps = 8 * cfg.gop_size / (tt10 - tt2)
+    tenc = TurboEncoder(w, h, cfg)
+    turbo_data = tenc.push(frames) + tenc.finish()
+    turbo_bpp = metrics.bits_per_pixel(len(turbo_data), w, h, t)
+
     # Decode ships smooth reconstructed frames; raw bytes compress better on
     # the wire than their deltas, so transport_delta stays encode-side only.
     import dataclasses
@@ -200,6 +221,8 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         "decode_compute_fps": decode_compute_fps,
         "decode_entropy_fps": entropy_fps,
         "decode_entropy_indexed_fps": entropy_indexed_fps,
+        "turbo_compute_fps": turbo_compute_fps,
+        "turbo_bpp": turbo_bpp,
         "bpp": metrics.bits_per_pixel(len(data), w, h, t),
         "psnr_db": metrics.psnr(frames, video),
         "bytes": len(data),
@@ -227,6 +250,8 @@ def main() -> int:
             "decode_entropy_indexed_fps": round(
                 r["decode_entropy_indexed_fps"], 2
             ),
+            "turbo_compute_fps": round(r["turbo_compute_fps"], 2),
+            "turbo_bpp": round(r["turbo_bpp"], 4),
             # Like-for-like vs the CPU baseline when transport is excluded:
             # this tunnel moves host<->device bytes at ~45 MB/s (PCIe-class
             # hosts are 200-2000x that), so end-to-end fps here is wire-bound.
