@@ -291,21 +291,36 @@ def cmd_encode(args) -> int:
             ("rgb", "color turbo is not built yet"),
             ("checkpoint_every", "turbo members are already per-GOP"),
             ("index", "turbo members are already per-GOP seekable"),
-            ("mesh", "turbo is single-device for now"),
             ("parity", "turbo is an extension profile, never byte-parity"),
         ):
             if getattr(args, flag, None):
                 print(f"--turbo cannot combine with --{flag.replace('_', '-')}"
                       f" ({why})", file=sys.stderr)
                 return 2
-        from .codec.turbo import TurboEncoder
+        from .codec.turbo import TurboEncoder, TurboShardedEncoder
 
-        enc = TurboEncoder(width, height, cfg)
+        align = cfg.gop_size
+        if args.mesh:
+            mesh = _make_cli_mesh(args.mesh)
+            if mesh is None:
+                return 2
+            align = cfg.gop_size * mesh.shape["gop"]
+            old, frames = frames, frames - frames % align
+            if frames == 0:
+                print(f"input shorter than one {align}-frame mesh step",
+                      file=sys.stderr)
+                return 2
+            if frames != old:
+                print(f"note: truncating to {frames} frames "
+                      f"(mesh step {align})", file=sys.stderr)
+            enc = TurboShardedEncoder(width, height, mesh, cfg)
+        else:
+            enc = TurboEncoder(width, height, cfg)
         t0 = time.perf_counter()
         written = 0
         with profile_to(args.profile_dir), open(args.output, "wb") as out:
             for batch in _frame_batches(args, video, width, height,
-                                        cfg.gop_size, frames):
+                                        align, frames):
                 written += out.write(enc.push(batch))
             written += out.write(enc.finish())
         dt = time.perf_counter() - t0

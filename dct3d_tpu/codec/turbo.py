@@ -193,6 +193,127 @@ def encode_turbo_video(
     return data + enc.finish()
 
 
+class TurboShardedEncoder:
+    """Turbo encode over a (gop, tile) device mesh; output byte-identical
+    to the single-device TurboEncoder.
+
+    Far simpler than the reference profile's sharded packer: turbo has no
+    bit phases — shard rank order IS global value order (GOP-major, then
+    block-row tiles), so the gathered plane slices per GOP directly, and
+    the gathered (group, slot) exception tables are already globally
+    ordered (groups are value-order contiguous).  No cross-shard
+    collectives at all except the overflow psum.
+    """
+
+    def __init__(self, width, height, mesh, cfg=None, ctx=None,
+                 slots: int = exceptions.DEFAULT_SLOTS):
+        import os
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        from ..parallel.mesh import GOP_AXIS, TILE_AXIS
+
+        self.cfg = cfg or CodecConfig()
+        self.cfg.validate_geometry(width, height)
+        self.width = width
+        self.height = height
+        self.mesh = mesh
+        self.ctx = ctx or TransformContext(self.cfg)
+        self.slots = slots
+        n_gop, n_tile = mesh.shape[GOP_AXIS], mesh.shape[TILE_AXIS]
+        if height % (self.cfg.block_h * n_tile):
+            raise ValueError(
+                f"height {height} must split into {n_tile} tiles of whole "
+                f"{self.cfg.block_h}-pixel block rows"
+            )
+        self._mesh_shape = (n_gop, n_tile)
+        self._sharding = NamedSharding(mesh, P(GOP_AXIS, TILE_AXIS, None))
+        cfg_ = self.cfg
+
+        def _shard(frames, enc_t, *, slots):
+            import jax as _jax
+
+            q = _frames_to_q(frames, enc_t, cfg_)
+            v2 = q.reshape(-1, 2)
+            plane = ((v2[:, 0] & 0xF)
+                     | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
+            lidx, vals, counts, ovf = exceptions.compact_exceptions(
+                q.reshape(-1), slots=slots
+            )
+            any_ovf = _jax.lax.psum(
+                ovf.astype(jnp.int32), (GOP_AXIS, TILE_AXIS)
+            ) > 0
+            return plane[None], lidx[None], vals[None], counts[None], \
+                any_ovf[None]
+
+        def build(slots):
+            fn = shard_map(
+                functools.partial(_shard, slots=slots),
+                mesh=mesh,
+                in_specs=(P(GOP_AXIS, TILE_AXIS, None), P()),
+                out_specs=(P((GOP_AXIS, TILE_AXIS)),) * 4 + (P(),),
+            )
+            return jax.jit(fn)
+
+        self._build = build
+        self._step = {slots: build(slots)}
+        dw = self.cfg.deflate_workers
+        workers = ((os.cpu_count() or 2) - 1) if dw < 0 else dw
+        self._pool = ThreadPoolExecutor(max_workers=max(1, workers))
+        self.frames_encoded = 0
+
+    def push(self, frames: np.ndarray) -> bytes:
+        n_gop, n_tile = self._mesh_shape
+        step_t = self.cfg.gop_size * n_gop
+        t, h, w = frames.shape
+        if t % step_t or (h, w) != (self.height, self.width):
+            raise ValueError(
+                f"push expects T % {step_t} == 0 and geometry "
+                f"{self.height}x{self.width}"
+            )
+        out = []
+        for i in range(0, t, step_t):
+            fd = jax.device_put(frames[i : i + step_t], self._sharding)
+            plane, lidx, vals, counts, ovf = self._step[self.slots](
+                fd, self.ctx.enc_t
+            )
+            if bool(np.asarray(ovf)):
+                worst = self._step.setdefault(256, self._build(256))
+                plane, lidx, vals, counts, _ = worst(fd, self.ctx.enc_t)
+            # Gathered arrays are in global value order; slice per GOP and
+            # emit members identical to the single-device encoder's.
+            plane_h = np.asarray(jax.device_get(plane)).reshape(-1)
+            idx, val = exceptions.expand_exceptions_np(
+                np.asarray(lidx).reshape(-1, np.asarray(lidx).shape[-1]),
+                np.asarray(vals).reshape(-1, np.asarray(vals).shape[-1]),
+                np.asarray(counts).reshape(-1),
+            )
+            npg = self.width * self.height * self.cfg.gop_size
+            level = self.cfg.zlib_level
+            futs = []
+            for g in range(n_gop):
+                lo, hi = np.searchsorted(idx, [g * npg, (g + 1) * npg])
+                futs.append(self._pool.submit(
+                    _member_payload,
+                    plane_h[g * npg // 2 : (g + 1) * npg // 2],
+                    idx[lo:hi] - g * npg, val[lo:hi], level,
+                ))
+            out.extend(
+                _member(f.result(), self.cfg.gop_size, MEMBER_TURBO)
+                for f in futs
+            )
+            self.frames_encoded += step_t
+        return b"".join(out)
+
+    def finish(self) -> bytes:
+        self._pool.shutdown(wait=True)
+        return b""
+
+
 def is_turbo_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
     types = {m[2] for m in members}
     return MEMBER_TURBO in types and types <= {MEMBER_TURBO, MEMBER_INDEX}

@@ -138,3 +138,53 @@ def test_cli_turbo_roundtrip(tmp_path):
     # incompatible flag combos are rejected
     assert main(["encode", str(src), str(enc), "40", "32", "--turbo",
                  "--parity"]) == 2
+
+
+def test_turbo_sharded_matches_single_device():
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = CodecConfig()
+    video = synthetic_video(32, 32, 40, seed=41)
+    single = turbo.encode_turbo_video(video, cfg)
+    m = mesh_lib.make_mesh(gop=2, tile=2, devices=jax.devices()[:4])
+    enc = turbo.TurboShardedEncoder(40, 32, m, cfg)
+    sharded = enc.push(video) + enc.finish()
+    assert sharded == single
+
+
+def test_turbo_sharded_overflow_retry():
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = CodecConfig(quant_strength=0)  # dense exceptions
+    video = synthetic_video(16, 16, 16, seed=43)
+    single = turbo.encode_turbo_video(video, cfg)
+    m = mesh_lib.make_mesh(gop=2, tile=1, devices=jax.devices()[:2])
+    enc = turbo.TurboShardedEncoder(16, 16, m, cfg, slots=2)
+    sharded = enc.push(video) + enc.finish()
+    assert sharded == single
+
+
+def test_cli_turbo_mesh(tmp_path):
+    import jax
+
+    from dct3d_tpu.cli import main
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    src = tmp_path / "src.raw"
+    e1 = tmp_path / "a.d3t"
+    e2 = tmp_path / "b.d3t"
+    video = synthetic_video(16, 32, 40, seed=45)
+    src.write_bytes(video.tobytes())
+    assert main(["encode", str(src), str(e1), "40", "32", "--turbo"]) == 0
+    assert main(["encode", str(src), str(e2), "40", "32", "--turbo",
+                 "--mesh", "2x1"]) == 0
+    assert e1.read_bytes() == e2.read_bytes()
