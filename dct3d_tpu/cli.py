@@ -263,7 +263,12 @@ def cmd_encode(args) -> int:
                 args.input, width, height, args.frames, channels=3
             )
         t0 = time.perf_counter()
-        data = encode_rgb_video(video, cfg, index=args.index)
+        if args.turbo:
+            from .codec.turbo import encode_turbo_rgb_video
+
+            data = encode_turbo_rgb_video(video, cfg)
+        else:
+            data = encode_rgb_video(video, cfg, index=args.index)
         dt = time.perf_counter() - t0
         with open(args.output, "wb") as f:
             f.write(data)
@@ -288,7 +293,6 @@ def cmd_encode(args) -> int:
         return 2
     if args.turbo:
         for flag, why in (
-            ("rgb", "color turbo is not built yet"),
             ("checkpoint_every", "turbo members are already per-GOP"),
             ("index", "turbo members are already per-GOP seekable"),
             ("parity", "turbo is an extension profile, never byte-parity"),
@@ -473,10 +477,18 @@ def cmd_decode(args) -> int:
         )
 
         members = split_members(data)
-        from .codec.turbo import decode_turbo_container, is_turbo_container
+        from .codec.turbo import (
+            decode_turbo_container, decode_turbo_rgb_video,
+            is_turbo_container, is_turbo_rgb_container,
+        )
 
         if is_turbo_container(members):
             video = decode_turbo_container(data, width, height, cfg)
+            if args.frames is not None:
+                video = video[: args.frames]
+            return _write_decoded(args, video, width, height, t0)
+        if is_turbo_rgb_container(members):
+            video = decode_turbo_rgb_video(data, width, height, cfg)
             if args.frames is not None:
                 video = video[: args.frames]
             return _write_decoded(args, video, width, height, t0)
@@ -601,28 +613,35 @@ def cmd_info(args) -> int:
             MEMBER_INDEX, container_kind, parse_index, split_members,
         )
 
-        from .codec.turbo import is_turbo_container
+        from .codec.turbo import is_turbo_container, is_turbo_rgb_container
 
         members = split_members(data)
         type_names = {0: "temporal", 1: "red", 2: "green", 3: "blue",
-                      4: "index", 5: "turbo"}
+                      4: "index", 5: "turbo", 6: "turbo-red",
+                      7: "turbo-green", 8: "turbo-blue"}
 
         def _index_info(payload):
             ends = parse_index(payload)
             return {"gops": len(ends)} if ends is not None else {"torn": True}
 
         out["format"] = "d3mh-container"
-        out["kind"] = ("turbo" if is_turbo_container(members)
-                       else container_kind(members))
+        out["kind"] = (
+            "turbo" if is_turbo_container(members)
+            else "turbo-rgb" if is_turbo_rgb_container(members)
+            else container_kind(members)
+        )
         out["members"] = [
             {"frames": frames, "bytes": len(payload),
              "type": type_names.get(mtype, mtype),
              **(_index_info(payload) if mtype == MEMBER_INDEX else {})}
             for frames, payload, mtype in members
         ]
-        out["frames"] = (
-            members[0][0] if out["kind"] == "rgb" else sum(m[0] for m in members)
-        )
+        if out["kind"] == "rgb":
+            out["frames"] = members[0][0]
+        elif out["kind"] == "turbo-rgb":
+            out["frames"] = sum(m[0] for m in members if m[2] == 6)
+        else:
+            out["frames"] = sum(m[0] for m in members)
         meta_path = args.input + ".meta"
         if os.path.exists(meta_path):
             out["meta"] = json.load(open(meta_path))

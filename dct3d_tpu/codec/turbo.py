@@ -46,6 +46,8 @@ from .transform import TransformContext, _frames_to_q
 from .decoder import _dispatch_planar4, _undelta
 
 MEMBER_TURBO = 5
+#: turbo RGB channel members (red, green, blue), one per GOP per channel
+MEMBER_TURBO_RGB = (6, 7, 8)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "slots"))
@@ -107,9 +109,11 @@ class TurboEncoder:
         ctx: TransformContext | None = None,
         slots: int = exceptions.DEFAULT_SLOTS,
         max_inflight: int = 6,
+        member_type: int = MEMBER_TURBO,
     ) -> None:
         import os
 
+        self.member_type = member_type
         self.cfg = cfg or CodecConfig()
         self.cfg.validate_geometry(width, height)
         self.width = width
@@ -142,7 +146,7 @@ class TurboEncoder:
         payload = _member_payload(
             np.asarray(plane), idx, val, self.cfg.zlib_level
         )
-        return _member(payload, t, MEMBER_TURBO)
+        return _member(payload, t, self.member_type)
 
     def push(self, frames: np.ndarray) -> bytes:
         t = frames.shape[0]
@@ -319,6 +323,51 @@ def is_turbo_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
     return MEMBER_TURBO in types and types <= {MEMBER_TURBO, MEMBER_INDEX}
 
 
+def is_turbo_rgb_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
+    types = {m[2] for m in members}
+    return bool(types & set(MEMBER_TURBO_RGB)) and \
+        types <= set(MEMBER_TURBO_RGB)
+
+
+def encode_turbo_rgb_video(
+    frames: np.ndarray,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> bytes:
+    """(T, H, W, 3) interleaved RGB -> turbo container: per channel, one
+    type-6/7/8 member per GOP (channel-major member order, like the
+    reference-profile RGB container)."""
+    cfg = cfg or CodecConfig()
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("expected (T, H, W, 3) interleaved RGB")
+    ctx = ctx or TransformContext(cfg)
+    t = frames.shape[0] - frames.shape[0] % cfg.gop_size
+    out = []
+    for c, mtype in enumerate(MEMBER_TURBO_RGB):
+        enc = TurboEncoder(frames.shape[2], frames.shape[1], cfg, ctx,
+                           member_type=mtype)
+        plane = np.ascontiguousarray(frames[:t, :, :, c])
+        out.append(enc.push(plane) + enc.finish())
+    return b"".join(out)
+
+
+def decode_turbo_rgb_video(
+    data: bytes,
+    width: int,
+    height: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> np.ndarray:
+    cfg = cfg or CodecConfig()
+    ctx = ctx or TransformContext(cfg)
+    planes = [
+        decode_turbo_container(data, width, height, cfg, ctx,
+                               member_type=mtype)
+        for mtype in MEMBER_TURBO_RGB
+    ]
+    return np.stack(planes, axis=-1)
+
+
 def decode_turbo_container(
     data: bytes,
     width: int,
@@ -326,6 +375,7 @@ def decode_turbo_container(
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
     inflate_workers: int | None = None,
+    member_type: int = MEMBER_TURBO,
 ) -> np.ndarray:
     """Turbo container -> (T, H, W) uint8; pixels identical to the
     reference profile's decode of the same source.
@@ -337,9 +387,11 @@ def decode_turbo_container(
 
     cfg = cfg or CodecConfig()
     ctx = ctx or TransformContext(cfg)
-    members = [m for m in split_members(data) if m[2] == MEMBER_TURBO]
+    members = [m for m in split_members(data) if m[2] == member_type]
     if not members:
-        raise ValueError("not a turbo container (no type-5 members)")
+        raise ValueError(
+            f"not a turbo container (no type-{member_type} members)"
+        )
     fpg = cfg.gop_size
     out = np.empty(
         (sum(m[0] for m in members), height, width), np.uint8

@@ -188,3 +188,31 @@ def test_cli_turbo_mesh(tmp_path):
     assert main(["encode", str(src), str(e2), "40", "32", "--turbo",
                  "--mesh", "2x1"]) == 0
     assert e1.read_bytes() == e2.read_bytes()
+
+
+def test_turbo_rgb_roundtrip(tmp_path):
+    from dct3d_tpu.codec.rgb_codec import decode_rgb_video, encode_rgb_video
+    from dct3d_tpu.cli import main
+
+    cfg = CodecConfig()
+    rgb = np.stack(
+        [synthetic_video(16, 24, 32, seed=s) for s in (51, 52, 53)], axis=-1
+    )
+    want = decode_rgb_video(encode_rgb_video(rgb, cfg), 32, 24, cfg)
+    data = turbo.encode_turbo_rgb_video(rgb, cfg)
+    assert [m[2] for m in multihost.split_members(data)] == \
+        [6, 6, 7, 7, 8, 8]
+    got = turbo.decode_turbo_rgb_video(data, 32, 24, cfg)
+    np.testing.assert_array_equal(got, want)
+    # CLI: encode --rgb --turbo, decode with NO flags (auto-routed)
+    src = tmp_path / "src.rgb"
+    enc = tmp_path / "enc.d3t"
+    dec = tmp_path / "dec.rgb"
+    src.write_bytes(rgb.tobytes())
+    assert main(["encode", str(src), str(enc), "32", "24", "--rgb",
+                 "--turbo"]) == 0
+    assert main(["decode", str(enc), str(dec), "32", "24"]) == 0
+    np.testing.assert_array_equal(
+        np.frombuffer(dec.read_bytes(), np.uint8).reshape(16, 24, 32, 3),
+        want,
+    )
