@@ -293,7 +293,6 @@ def cmd_encode(args) -> int:
         return 2
     if args.turbo:
         for flag, why in (
-            ("checkpoint_every", "turbo members are already per-GOP"),
             ("index", "turbo members are already per-GOP seekable"),
             ("parity", "turbo is an extension profile, never byte-parity"),
         ):
@@ -301,6 +300,32 @@ def cmd_encode(args) -> int:
                 print(f"--turbo cannot combine with --{flag.replace('_', '-')}"
                       f" ({why})", file=sys.stderr)
                 return 2
+        if args.checkpoint_every:
+            if args.mesh:
+                print("--turbo --checkpoint-every cannot combine with "
+                      "--mesh yet", file=sys.stderr)
+                return 2
+            from .codec.checkpoint import CheckpointingEncoder
+
+            t0 = time.perf_counter()
+            with profile_to(args.profile_dir), CheckpointingEncoder(
+                args.output, width, height, cfg,
+                checkpoint_gops=args.checkpoint_every, turbo=True,
+            ) as cenc:
+                skip = cenc.frames_done
+                if skip:
+                    print(f"resuming at frame {skip}")
+                for batch in _frame_batches(args, video, width, height,
+                                            cfg.gop_size, frames,
+                                            start=skip):
+                    cenc.push(batch)
+            dt = time.perf_counter() - t0
+            written = os.path.getsize(args.output)
+            print(
+                f"encoded {frames} frames -> {written} bytes "
+                f"(turbo container) in {dt:.2f}s"
+            )
+            return 0
         from .codec.turbo import TurboEncoder, TurboShardedEncoder
 
         align = cfg.gop_size

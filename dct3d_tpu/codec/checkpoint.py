@@ -64,6 +64,7 @@ class CheckpointingEncoder:
         ctx: TransformContext | None = None,
         checkpoint_gops: int = 8,
         index: bool = False,
+        turbo: bool = False,
     ) -> None:
         self.cfg = cfg or CodecConfig()
         self.path = path
@@ -75,6 +76,10 @@ class CheckpointingEncoder:
         #: (docs/FORMAT.md) for scan-free GOP-parallel decode; a torn index
         #: member truncates away on resume, leaving its stream member valid.
         self.index = index
+        #: turbo profile: members come out of TurboEncoder one per GOP
+        #: (already independently decodable); checkpointing reduces to
+        #: fsyncing every checkpoint_gops members.
+        self.turbo = turbo
         self.frames_done, safe_bytes = resume_info(path)
         # The headerless member format can't self-describe codec parameters;
         # a sidecar pins them so a resume with different flags fails loudly
@@ -84,6 +89,8 @@ class CheckpointingEncoder:
             "width": width,
             "height": height,
         }
+        if turbo:
+            meta["profile"] = "turbo"
         meta_path = path + ".meta"
         if self.frames_done and os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -103,6 +110,8 @@ class CheckpointingEncoder:
         self._enc: StreamingEncoder | None = None
         self._member_frames = 0
         self._member_chunks: list[bytes] = []
+        self._turbo_enc = None
+        self._since_sync = 0
 
     def _flush_member(self) -> None:
         if self._enc is None:
@@ -121,9 +130,30 @@ class CheckpointingEncoder:
         self._member_frames = 0
         self._member_chunks = []
 
+    def _sync(self) -> None:
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self._since_sync = 0
+
+    def _push_turbo(self, frames: np.ndarray) -> None:
+        from .turbo import TurboEncoder
+
+        if self._turbo_enc is None:
+            self._turbo_enc = TurboEncoder(
+                self.width, self.height, self.cfg, self.ctx
+            )
+        gop = self.cfg.gop_size
+        self._f.write(self._turbo_enc.push(frames))
+        self.frames_done += frames.shape[0]
+        self._since_sync += frames.shape[0] // gop
+        if self._since_sync >= self.checkpoint_gops:
+            self._sync()
+
     def push(self, frames: np.ndarray) -> None:
         """Encode a (T, H, W) uint8 batch (T a GOP multiple).  The caller
         feeds frames starting at ``frames_done`` after a resume."""
+        if self.turbo:
+            return self._push_turbo(frames)
         gop = self.cfg.gop_size
         for i in range(0, frames.shape[0], gop):
             if self._enc is None:
@@ -136,7 +166,12 @@ class CheckpointingEncoder:
                 self._flush_member()
 
     def close(self) -> None:
-        self._flush_member()
+        if self.turbo:
+            if self._turbo_enc is not None:
+                self._f.write(self._turbo_enc.finish())
+            self._sync()
+        else:
+            self._flush_member()
         self._f.close()
 
     def __enter__(self) -> "CheckpointingEncoder":

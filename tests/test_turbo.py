@@ -216,3 +216,52 @@ def test_turbo_rgb_roundtrip(tmp_path):
         np.frombuffer(dec.read_bytes(), np.uint8).reshape(16, 24, 32, 3),
         want,
     )
+
+
+def test_turbo_checkpoint_resume(tmp_path):
+    from dct3d_tpu.codec.checkpoint import CheckpointingEncoder
+
+    cfg = CodecConfig()
+    video = synthetic_video(32, 24, 32, seed=61)
+    path = str(tmp_path / "ckpt.d3t")
+    with CheckpointingEncoder(path, 32, 24, cfg, checkpoint_gops=1,
+                              turbo=True) as enc:
+        enc.push(video[:16])
+    # torn tail: cut into the last member, resume must drop it
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:-5])
+    with CheckpointingEncoder(path, 32, 24, cfg, checkpoint_gops=1,
+                              turbo=True) as enc:
+        assert enc.frames_done == 8
+        enc.push(video[8:])
+    whole = open(path, "rb").read()
+    assert [m[2] for m in multihost.split_members(whole)] == [5] * 4
+    got = turbo.decode_turbo_container(whole, 32, 24, cfg)
+    np.testing.assert_array_equal(
+        got, turbo.decode_turbo_container(
+            turbo.encode_turbo_video(video, cfg), 32, 24, cfg)
+    )
+    # resuming with a non-turbo encoder must fail loudly (profile pinned)
+    with pytest.raises(ValueError, match="resume parameters differ"):
+        CheckpointingEncoder(path, 32, 24, cfg, checkpoint_gops=1)
+
+
+def test_cli_turbo_checkpoint(tmp_path):
+    from dct3d_tpu.cli import main
+
+    src = tmp_path / "src.raw"
+    enc = tmp_path / "c.d3t"
+    dec = tmp_path / "dec.raw"
+    video = synthetic_video(24, 32, 40, seed=63)
+    src.write_bytes(video.tobytes())
+    assert main(["encode", str(src), str(enc), "40", "32", "--turbo",
+                 "--checkpoint-every", "2"]) == 0
+    # decode with NO geometry flags: the .meta sidecar pins them
+    assert main(["decode", str(enc), str(dec)]) == 0
+    want = turbo.decode_turbo_container(
+        turbo.encode_turbo_video(video, CodecConfig()), 40, 32,
+        CodecConfig(),
+    )
+    np.testing.assert_array_equal(
+        np.frombuffer(dec.read_bytes(), np.uint8).reshape(24, 32, 40), want
+    )
