@@ -1,0 +1,93 @@
+"""One-process CLI verification matrix on the real TPU.
+
+Drives every encode/decode surface end to end (base, parity, pad/crop,
+index, turbo, turbo-rgb, checkpoint resume) and asserts the cross-profile
+invariants.  One process so the relay's per-program first-execution cost
+is paid once per program, not once per step.
+
+Run: python tools/tpu_verify_cli.py  (~5-10 min through the relay)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from dct3d_tpu.cli import main
+
+
+def info(path: str) -> dict:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["info", path]) == 0
+    return json.loads(buf.getvalue())
+
+
+def run() -> None:
+    W = tempfile.mkdtemp()
+    rd = lambda p: open(p, "rb").read()  # noqa: E731
+
+    main(["devices"])
+    main(["capture", f"{W}/src.raw", "320", "240", "32", "--kind", "blocks"])
+
+    # base + parity + psnr + render
+    main(["encode", f"{W}/src.raw", f"{W}/enc.bin", "320", "240"])
+    main(["decode", f"{W}/enc.bin", f"{W}/dec.raw", "320", "240", "32"])
+    main(["psnr", f"{W}/src.raw", f"{W}/dec.raw", "320", "240"])
+    main(["render", f"{W}/dec.raw", "320", "240", "--png-prefix", f"{W}/o"])
+    main(["encode", f"{W}/src.raw", f"{W}/enc_p.bin", "320", "240",
+          "--parity"])
+    main(["decode", f"{W}/enc_p.bin", f"{W}/dec_p.raw", "320", "240", "32"])
+    assert rd(f"{W}/dec_p.raw") == rd(f"{W}/dec.raw")
+
+    # seekable index container: no frame count needed, identical pixels
+    main(["encode", f"{W}/src.raw", f"{W}/enc_i.d3v", "320", "240",
+          "--index"])
+    ii = info(f"{W}/enc_i.d3v")
+    assert [m["type"] for m in ii["members"]] == ["temporal", "index"], ii
+    assert ii["members"][1]["gops"] == 4
+    main(["decode", f"{W}/enc_i.d3v", f"{W}/dec_i.raw", "320", "240"])
+    assert rd(f"{W}/dec_i.raw") == rd(f"{W}/dec.raw")
+
+    # turbo: identical pixels, auto-detected decode
+    main(["encode", f"{W}/src.raw", f"{W}/enc_t.d3t", "320", "240",
+          "--turbo"])
+    ti = info(f"{W}/enc_t.d3t")
+    assert ti["kind"] == "turbo" and ti["frames"] == 32, ti
+    main(["decode", f"{W}/enc_t.d3t", f"{W}/dec_t.raw", "320", "240"])
+    assert rd(f"{W}/dec_t.raw") == rd(f"{W}/dec.raw")
+
+    # turbo checkpoint resume + no-flag decode
+    main(["encode", f"{W}/src.raw", f"{W}/ck.d3t", "320", "240", "16",
+          "--turbo", "--checkpoint-every", "2"])
+    main(["encode", f"{W}/src.raw", f"{W}/ck.d3t", "320", "240", "--turbo",
+          "--checkpoint-every", "2"])
+    main(["decode", f"{W}/ck.d3t", f"{W}/dec_ck.raw"])
+    assert rd(f"{W}/dec_ck.raw") == rd(f"{W}/dec.raw")
+
+    # RGB: reference-profile container and turbo-rgb, flagless decode
+    main(["capture", f"{W}/c.rgb", "64", "64", "16", "--rgb"])
+    main(["encode", f"{W}/c.rgb", f"{W}/c.d3v", "64", "64", "--rgb"])
+    main(["decode", f"{W}/c.d3v", f"{W}/c_dec.rgb", "64", "64"])
+    main(["encode", f"{W}/c.rgb", f"{W}/ct.d3t", "64", "64", "--rgb",
+          "--turbo"])
+    assert info(f"{W}/ct.d3t")["kind"] == "turbo-rgb"
+    main(["decode", f"{W}/ct.d3t", f"{W}/ct_dec.rgb", "64", "64"])
+    assert rd(f"{W}/ct_dec.rgb") == rd(f"{W}/c_dec.rgb")
+
+    # odd geometry pad/crop
+    main(["capture", f"{W}/odd.raw", "60", "45", "8", "--kind", "blocks"])
+    main(["encode", f"{W}/odd.raw", f"{W}/odd.bin", "60", "45", "--pad"])
+    main(["decode", f"{W}/odd.bin", f"{W}/odd_dec.raw", "64", "48", "8",
+          "--crop", "60x45"])
+
+    print("tpu_verify_cli: ALL STEPS OK", flush=True)
+
+
+if __name__ == "__main__":
+    run()
