@@ -225,6 +225,17 @@ def cmd_encode(args) -> int:
         print("--mesh cannot combine with --rgb/--checkpoint-every yet",
               file=sys.stderr)
         return 2
+    if args.turbo:
+        # Checked up front so every input branch (--rgb included) rejects
+        # the same combinations instead of silently dropping a flag.
+        for flag, why in (
+            ("index", "turbo members are already per-GOP seekable"),
+            ("parity", "turbo is an extension profile, never byte-parity"),
+        ):
+            if getattr(args, flag, None):
+                print(f"--turbo cannot combine with --{flag.replace('_', '-')}"
+                      f" ({why})", file=sys.stderr)
+                return 2
     if args.mesh and getattr(args, "transport_delta", False):
         print("warning: --transport-delta is a single-device upload "
               "optimization; the sharded path ships raw frames (output "
@@ -292,14 +303,6 @@ def cmd_encode(args) -> int:
         )
         return 2
     if args.turbo:
-        for flag, why in (
-            ("index", "turbo members are already per-GOP seekable"),
-            ("parity", "turbo is an extension profile, never byte-parity"),
-        ):
-            if getattr(args, flag, None):
-                print(f"--turbo cannot combine with --{flag.replace('_', '-')}"
-                      f" ({why})", file=sys.stderr)
-                return 2
         if args.checkpoint_every:
             if args.mesh:
                 print("--turbo --checkpoint-every cannot combine with "
@@ -508,6 +511,10 @@ def cmd_decode(args) -> int:
         )
 
         if is_turbo_container(members):
+            if args.mesh:
+                print("note: --mesh does not apply to turbo containers "
+                      "(decode is already GOP-parallel); decoding "
+                      "single-device", file=sys.stderr)
             video = decode_turbo_container(data, width, height, cfg)
             if args.frames is not None:
                 video = video[: args.frames]

@@ -147,6 +147,9 @@ class CheckpointingEncoder:
         self.frames_done += frames.shape[0]
         self._since_sync += frames.shape[0] // gop
         if self._since_sync >= self.checkpoint_gops:
+            # Force in-flight members out before fsync, else the durability
+            # bound silently grows by the encoder's pipeline depth.
+            self._f.write(self._turbo_enc.drain())
             self._sync()
 
     def push(self, frames: np.ndarray) -> None:

@@ -50,6 +50,18 @@ MEMBER_TURBO = 5
 MEMBER_TURBO_RGB = (6, 7, 8)
 
 
+def _plane_and_tables(q, slots: int):
+    """Shared back half of every turbo encode path: coefficients ->
+    (nibble plane, exception tables).  One body so the single-device and
+    sharded encoders cannot drift apart (their byte-identity is pinned)."""
+    v2 = q.reshape(-1, 2)
+    plane = ((v2[:, 0] & 0xF) | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
+    lidx, vals, counts, overflow = exceptions.compact_exceptions(
+        q.reshape(-1), slots=slots
+    )
+    return plane, lidx, vals, counts, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "slots"))
 def encode_step_turbo(frames, enc_t, *, cfg, slots):
     """(T, H, W) uint8 -> (nibble plane, exception tables).
@@ -57,13 +69,7 @@ def encode_step_turbo(frames, enc_t, *, cfg, slots):
     plane: (n/2,) uint8, two zigzag coefficients per byte (low nibble =
     even index) — byte-identical to the decode transport format.
     """
-    q = _frames_to_q(frames, enc_t, cfg)
-    v2 = q.reshape(-1, 2)
-    plane = ((v2[:, 0] & 0xF) | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
-    lidx, vals, counts, overflow = exceptions.compact_exceptions(
-        q.reshape(-1), slots=slots
-    )
-    return plane, lidx, vals, counts, overflow
+    return _plane_and_tables(_frames_to_q(frames, enc_t, cfg), slots)
 
 
 def _member_payload(plane: np.ndarray, idx: np.ndarray, val: np.ndarray,
@@ -111,7 +117,7 @@ class TurboEncoder:
         max_inflight: int = 6,
         member_type: int = MEMBER_TURBO,
     ) -> None:
-        import os
+        from .entropy import resolve_workers
 
         self.member_type = member_type
         self.cfg = cfg or CodecConfig()
@@ -124,12 +130,11 @@ class TurboEncoder:
         self.max_inflight = max_inflight
         # Unlike the reference stream's single zlib state, turbo members are
         # independent — the drain stage (D2H + DEFLATE) fans out across
-        # cores.  deflate_workers keeps its CLI semantics (0 -> serial,
-        # -1 -> all cores but one, N -> N); output order is preserved by
-        # the futures deque regardless of completion order.
-        dw = self.cfg.deflate_workers
-        workers = ((os.cpu_count() or 2) - 1) if dw < 0 else dw
-        self._drainer = ThreadPoolExecutor(max_workers=max(1, workers))
+        # cores; output order is preserved by the futures deque regardless
+        # of completion order.
+        self._drainer = ThreadPoolExecutor(
+            max_workers=resolve_workers(self.cfg.deflate_workers)
+        )
         self._out: collections.deque = collections.deque()
 
     def _drain_gop(self, frames_dev, t) -> bytes:
@@ -177,12 +182,19 @@ class TurboEncoder:
             out.append(self._out.popleft().result())
         return b"".join(out)
 
-    def finish(self) -> bytes:
+    def drain(self) -> bytes:
+        """Block for every in-flight member and return its bytes (the
+        checkpointing encoder calls this before fsync so its durability
+        bound is real, not max_inflight members behind)."""
         out = []
         while self._out:
             out.append(self._out.popleft().result())
-        self._drainer.shutdown(wait=True)
         return b"".join(out)
+
+    def finish(self) -> bytes:
+        out = self.drain()
+        self._drainer.shutdown(wait=True)
+        return out
 
 
 def encode_turbo_video(
@@ -211,8 +223,6 @@ class TurboShardedEncoder:
 
     def __init__(self, width, height, mesh, cfg=None, ctx=None,
                  slots: int = exceptions.DEFAULT_SLOTS):
-        import os
-
         from jax.sharding import NamedSharding, PartitionSpec as P
         try:
             from jax import shard_map
@@ -236,17 +246,19 @@ class TurboShardedEncoder:
             )
         self._mesh_shape = (n_gop, n_tile)
         self._sharding = NamedSharding(mesh, P(GOP_AXIS, TILE_AXIS, None))
-        cfg_ = self.cfg
+        # push() ships RAW frames to the shards (like the reference-profile
+        # ShardedEncoder; the CLI notes that --transport-delta is a
+        # single-device upload optimization), so the shard body must not
+        # run _frames_to_q's un-delta scan.
+        import dataclasses as _dc
+
+        cfg_ = _dc.replace(self.cfg, transport_delta=False)
 
         def _shard(frames, enc_t, *, slots):
             import jax as _jax
 
-            q = _frames_to_q(frames, enc_t, cfg_)
-            v2 = q.reshape(-1, 2)
-            plane = ((v2[:, 0] & 0xF)
-                     | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
-            lidx, vals, counts, ovf = exceptions.compact_exceptions(
-                q.reshape(-1), slots=slots
+            plane, lidx, vals, counts, ovf = _plane_and_tables(
+                _frames_to_q(frames, enc_t, cfg_), slots
             )
             any_ovf = _jax.lax.psum(
                 ovf.astype(jnp.int32), (GOP_AXIS, TILE_AXIS)
@@ -263,11 +275,13 @@ class TurboShardedEncoder:
             )
             return jax.jit(fn)
 
+        from .entropy import resolve_workers
+
         self._build = build
         self._step = {slots: build(slots)}
-        dw = self.cfg.deflate_workers
-        workers = ((os.cpu_count() or 2) - 1) if dw < 0 else dw
-        self._pool = ThreadPoolExecutor(max_workers=max(1, workers))
+        self._pool = ThreadPoolExecutor(
+            max_workers=resolve_workers(self.cfg.deflate_workers)
+        )
         self.frames_encoded = 0
 
     def push(self, frames: np.ndarray) -> bytes:
@@ -358,13 +372,22 @@ def decode_turbo_rgb_video(
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
 ) -> np.ndarray:
+    """One split, one inflate pool shared by all three channels."""
+    import os
+
     cfg = cfg or CodecConfig()
     ctx = ctx or TransformContext(cfg)
-    planes = [
-        decode_turbo_container(data, width, height, cfg, ctx,
-                               member_type=mtype)
-        for mtype in MEMBER_TURBO_RGB
-    ]
+    members = split_members(data)
+    by_type = {
+        t: [m for m in members if m[2] == t] for t in MEMBER_TURBO_RGB
+    }
+    if not all(by_type.values()):
+        raise ValueError("not a turbo-rgb container (missing channels)")
+    with ThreadPoolExecutor(max(1, (os.cpu_count() or 2))) as pool:
+        planes = [
+            _decode_members(by_type[t], pool, width, height, cfg, ctx)
+            for t in MEMBER_TURBO_RGB
+        ]
     return np.stack(planes, axis=-1)
 
 
@@ -392,7 +415,14 @@ def decode_turbo_container(
         raise ValueError(
             f"not a turbo container (no type-{member_type} members)"
         )
-    fpg = cfg.gop_size
+    with ThreadPoolExecutor(
+        inflate_workers or max(1, min(len(members), (os.cpu_count() or 2)))
+    ) as pool:
+        return _decode_members(members, pool, width, height, cfg, ctx)
+
+
+def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
+    """Inflate members on `pool`, dispatch inverse transforms, assemble."""
     out = np.empty(
         (sum(m[0] for m in members), height, width), np.uint8
     )
@@ -402,19 +432,16 @@ def decode_turbo_container(
         a0, t, fd = pending.popleft()
         out[a0 : a0 + t] = _undelta(np.asarray(fd), cfg)
 
-    with ThreadPoolExecutor(
-        inflate_workers or max(1, min(len(members), (os.cpu_count() or 2)))
-    ) as pool:
-        a0 = 0
-        for (t, _, _), planar in zip(
-            members, pool.map(lambda m: _parse_payload(m[1]), members)
-        ):
-            fd = _dispatch_planar4(planar, ctx, cfg, height, width)
-            fd.copy_to_host_async()
-            pending.append((a0, t, fd))
-            a0 += t
-            if len(pending) >= 3:
-                drain_one()
-        while pending:
+    a0 = 0
+    for (t, _, _), planar in zip(
+        members, pool.map(lambda m: _parse_payload(m[1]), members)
+    ):
+        fd = _dispatch_planar4(planar, ctx, cfg, height, width)
+        fd.copy_to_host_async()
+        pending.append((a0, t, fd))
+        a0 += t
+        if len(pending) >= 3:
             drain_one()
+    while pending:
+        drain_one()
     return out

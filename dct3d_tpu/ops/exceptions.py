@@ -41,7 +41,14 @@ def compact_exceptions(values, group: int = 256,
         that group; retry with slots=group).
     """
     n = values.shape[0]
-    assert n % group == 0, "compact_exceptions needs whole groups"
+    pad = (-n) % group
+    if pad:
+        # Zero-pad to whole groups (zeros are in-nibble, never exceptions,
+        # so padded groups contribute nothing and global indices stay < n).
+        # Small block-4 geometries legitimately hit this (w*h*gop % 256).
+        values = jnp.concatenate(
+            [values, jnp.zeros((pad,), values.dtype)]
+        )
     v2 = values.reshape(-1, group)
     mask = (v2 < -8) | (v2 > 7)
     rank = jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)

@@ -265,3 +265,48 @@ def test_cli_turbo_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.frombuffer(dec.read_bytes(), np.uint8).reshape(24, 32, 40), want
     )
+
+
+def test_turbo_sharded_transport_delta_identical():
+    """Regression (code review): the sharded turbo encoder ships raw
+    frames, so cfg.transport_delta must not change its output."""
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = CodecConfig(transport_delta=True)
+    video = synthetic_video(16, 24, 32, seed=71)
+    single = turbo.encode_turbo_video(video, cfg)
+    m = mesh_lib.make_mesh(gop=2, tile=1, devices=jax.devices()[:2])
+    enc = turbo.TurboShardedEncoder(32, 24, m, cfg)
+    sharded = enc.push(video) + enc.finish()
+    assert sharded == single
+
+
+def test_turbo_block4_odd_group_count():
+    """Regression: block-4 geometries where w*h*gop % 256 != 0 must encode
+    (zero-pad inside the exception compaction), matching the reference
+    profile's pixels."""
+    cfg = CodecConfig(block_w=4, block_h=4, block_d=4)
+    video = synthetic_video(8, 36, 36, seed=73)
+    ref = decode_video(encode_video(video, cfg), 36, 36, 8, cfg)
+    data = turbo.encode_turbo_video(video, cfg)
+    got = turbo.decode_turbo_container(data, 36, 36, cfg)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_cli_rgb_turbo_rejects_index_and_parity(tmp_path):
+    from dct3d_tpu.cli import main
+
+    src = tmp_path / "src.rgb"
+    rgb = np.stack(
+        [synthetic_video(8, 16, 16, seed=s) for s in (81, 82, 83)], axis=-1
+    )
+    src.write_bytes(rgb.tobytes())
+    out = str(tmp_path / "o.d3t")
+    assert main(["encode", str(src), out, "16", "16", "--rgb", "--turbo",
+                 "--index"]) == 2
+    assert main(["encode", str(src), out, "16", "16", "--rgb", "--turbo",
+                 "--parity"]) == 2
