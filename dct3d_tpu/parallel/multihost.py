@@ -196,6 +196,7 @@ def encode_multihost(
     mesh,
     cfg: CodecConfig | None = None,
     index: bool = False,
+    turbo: bool = False,
 ) -> bytes | None:
     """Encode a video whose frames are distributed across host processes.
 
@@ -216,6 +217,22 @@ def encode_multihost(
     step = cfg.gop_size * mesh.shape["gop"]
     t_all = local_frames.shape[0] - local_frames.shape[0] % cfg.gop_size
     t_main = t_all - t_all % step
+    if turbo:
+        # Turbo encoders emit complete per-GOP members already; the global
+        # container is just the in-order concatenation across hosts.
+        from ..codec.turbo import TurboEncoder, TurboShardedEncoder
+
+        members = b""
+        if t_main:
+            tse = TurboShardedEncoder(width, height, mesh, cfg)
+            members += b"".join(
+                tse.push(local_frames[i : i + step])
+                for i in range(0, t_main, step)
+            ) + tse.finish()
+        if t_all > t_main:
+            te = TurboEncoder(width, height, cfg)
+            members += te.push(local_frames[t_main:t_all]) + te.finish()
+        return gather_ordered_bytes(members)
     members = b""
     if t_main:
         enc = ShardedEncoder(width, height, mesh, cfg)

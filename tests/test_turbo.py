@@ -310,3 +310,22 @@ def test_cli_rgb_turbo_rejects_index_and_parity(tmp_path):
                  "--index"]) == 2
     assert main(["encode", str(src), out, "16", "16", "--rgb", "--turbo",
                  "--parity"]) == 2
+
+
+def test_multihost_turbo_single_process_equals_single_device():
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = CodecConfig()
+    video = synthetic_video(24, 24, 32, seed=91)  # 2 mesh GOPs + 1 tail
+    m = mesh_lib.make_mesh(gop=2, tile=1, devices=jax.devices()[:2])
+    data = multihost.encode_multihost(video, 32, 24, 24, m, cfg, turbo=True)
+    assert data == turbo.encode_turbo_video(video, cfg)
+    got = turbo.decode_turbo_container(data, 32, 24, cfg)
+    np.testing.assert_array_equal(
+        got, turbo.decode_turbo_container(
+            turbo.encode_turbo_video(video, cfg), 32, 24, cfg)
+    )
