@@ -807,6 +807,13 @@ def cmd_sweep(args) -> int:
                 "encode_fps": round(tt / enc_s, 2),
                 "decode_fps": round(tt / dec_s, 2),
             }
+            if args.turbo:
+                from .codec.turbo import encode_turbo_video
+
+                tdata = encode_turbo_video(video[:tt], cfg)
+                row["turbo_bpp"] = round(
+                    metrics.bits_per_pixel(len(tdata), w, h, tt), 4
+                )
             rows.append(row)
             print(json.dumps(row), flush=True)
     if args.output:
@@ -895,6 +902,11 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--zlib-level", type=int, default=9)
     pw.add_argument("--deflate-workers", type=int, default=-1)
     pw.add_argument("--output", default=None, help="write JSON table here")
+    pw.add_argument(
+        "--turbo", action="store_true",
+        help="also report the turbo profile's bpp at each point "
+        "(pixels are identical, so PSNR is shared)",
+    )
     pw.set_defaults(fn=cmd_sweep)
 
     pq = sub.add_parser("psnr", help="PSNR between two raw grayscale videos")
