@@ -413,9 +413,15 @@ def cmd_encode(args) -> int:
             import struct
 
             from .parallel.multihost import (
-                MEMBER_MAGIC, MEMBER_TEMPORAL, make_index_member,
+                _MAX_MEMBER_FRAMES, MEMBER_MAGIC, MEMBER_TEMPORAL,
+                make_index_member,
             )
 
+            if frames > _MAX_MEMBER_FRAMES:
+                print(f"--index: {frames} frames exceed one member's "
+                      f"2^24-1 limit; use --checkpoint-every instead",
+                      file=sys.stderr)
+                return 2
             out.write(MEMBER_MAGIC
                       + struct.pack("<IQ", (MEMBER_TEMPORAL << 24) | frames, 0))
         for batch in _frame_batches(args, video, width, height, align, frames):
