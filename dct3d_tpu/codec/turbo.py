@@ -15,8 +15,9 @@ exception list — DEFLATE-compressed per GOP.  Consequences:
   * pixels are IDENTICAL to the reference profile (same quantized
     integers, same inverse transform) — only the container differs;
   * rate: ~3% more bytes than Exp-Golomb+zlib at quant 5 on the bench
-    content (0.3225 vs 0.3123 bpp, tools/ab_turbo_rate note) — DEFLATE
-    eats most of the nibble plane's redundancy.
+    content (0.3225 vs 0.3123 bpp; measurements in PERFORMANCE.md) —
+    DEFLATE eats most of the nibble plane's redundancy.  The gap widens
+    at low quant (wider coefficients; `sweep --turbo` reports both).
 
 Wire format (docs/FORMAT.md): one D3MH member (type 5) per GOP; payload =
 three length-prefixed zlib streams (nibble plane, exception-index deltas
