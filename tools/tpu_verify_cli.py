@@ -80,6 +80,17 @@ def run() -> None:
     main(["decode", f"{W}/ct.d3t", f"{W}/ct_dec.rgb", "64", "64"])
     assert rd(f"{W}/ct_dec.rgb") == rd(f"{W}/c_dec.rgb")
 
+    # turbo worst-case retry (quant 0 -> dense exceptions -> argsort path)
+    main(["capture", f"{W}/n.raw", "64", "48", "8", "--kind", "blocks"])
+    main(["encode", f"{W}/n.raw", f"{W}/n.d3t", "64", "48", "--turbo",
+          "--quant", "0"])
+    main(["encode", f"{W}/n.raw", f"{W}/n.bin", "64", "48", "--quant", "0"])
+    main(["decode", f"{W}/n.d3t", f"{W}/n_t.raw", "64", "48",
+          "--quant", "0"])
+    main(["decode", f"{W}/n.bin", f"{W}/n_r.raw", "64", "48", "8",
+          "--quant", "0"])
+    assert rd(f"{W}/n_t.raw") == rd(f"{W}/n_r.raw")
+
     # odd geometry pad/crop
     main(["capture", f"{W}/odd.raw", "60", "45", "8", "--kind", "blocks"])
     main(["encode", f"{W}/odd.raw", f"{W}/odd.bin", "60", "45", "--pad"])
