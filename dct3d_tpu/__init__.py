@@ -11,6 +11,7 @@ over GOP/tile meshes.
 
 from .config import CodecConfig, DEFAULT_CONFIG
 from .codec.encoder import StreamingEncoder, encode_stream, encode_video
+from .codec.auto import decode_auto
 from .codec.decoder import StreamingDecoder, decode_stream, decode_video
 from .codec.checkpoint import CheckpointingEncoder
 from .codec.rgb_codec import decode_rgb_video, encode_rgb_video
@@ -30,6 +31,7 @@ __all__ = [
     "TransformContext",
     "encode_video",
     "decode_video",
+    "decode_auto",
     "encode_rgb_video",
     "decode_rgb_video",
     "encode_stream",

@@ -329,3 +329,30 @@ def test_multihost_turbo_single_process_equals_single_device():
         got, turbo.decode_turbo_container(
             turbo.encode_turbo_video(video, cfg), 32, 24, cfg)
     )
+
+
+def test_decode_auto_routes_every_form(tmp_path):
+    from dct3d_tpu import decode_auto
+    from dct3d_tpu.codec.rgb_codec import encode_rgb_video
+
+    cfg = CodecConfig()
+    video = synthetic_video(16, 24, 32, seed=95)
+    raw = encode_video(video, cfg)
+    want = decode_video(raw, 32, 24, 16, cfg)
+    np.testing.assert_array_equal(decode_auto(raw, 32, 24, 16), want)
+    with pytest.raises(ValueError, match="headerless"):
+        decode_auto(raw, 32, 24)
+    indexed = multihost._member(raw, 16)
+    np.testing.assert_array_equal(decode_auto(indexed, 32, 24), want)
+    np.testing.assert_array_equal(
+        decode_auto(turbo.encode_turbo_video(video, cfg), 32, 24), want
+    )
+    np.testing.assert_array_equal(
+        decode_auto(turbo.encode_turbo_video(video, cfg), 32, 24, 8),
+        want[:8],
+    )
+    rgb = np.stack([video, video[::-1], video], axis=-1)
+    wrgb = decode_auto(encode_rgb_video(rgb, cfg), 32, 24)
+    np.testing.assert_array_equal(
+        decode_auto(turbo.encode_turbo_rgb_video(rgb, cfg), 32, 24), wrgb
+    )
