@@ -12,6 +12,7 @@ over GOP/tile meshes.
 from .config import CodecConfig, DEFAULT_CONFIG
 from .codec.encoder import StreamingEncoder, encode_stream, encode_video
 from .codec.auto import decode_auto
+from .codec.turbo import decode_turbo_container, encode_turbo_video
 from .codec.decoder import StreamingDecoder, decode_stream, decode_video
 from .codec.checkpoint import CheckpointingEncoder
 from .codec.rgb_codec import decode_rgb_video, encode_rgb_video
@@ -32,6 +33,8 @@ __all__ = [
     "encode_video",
     "decode_video",
     "decode_auto",
+    "encode_turbo_video",
+    "decode_turbo_container",
     "encode_rgb_video",
     "decode_rgb_video",
     "encode_stream",
