@@ -143,7 +143,7 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         for _ in range(steps):
             r = encode_step_turbo(fj, ctx.enc_t, cfg=cfg,
                                   slots=DEFAULT_SLOTS)
-        jax.device_get(r[3][:1])
+        jax.device_get(r[-2][:1])  # counts: forces the whole step
         return time.perf_counter() - t0
 
     tchain(1)

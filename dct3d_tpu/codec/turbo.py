@@ -53,50 +53,92 @@ MEMBER_TURBO_RGB = (6, 7, 8)
 
 def _plane_and_tables(q, slots: int):
     """Shared back half of every turbo encode path: coefficients ->
-    (nibble plane, exception tables).  One body so the single-device and
-    sharded encoders cannot drift apart (their byte-identity is pinned)."""
+    (nibble plane, dense DC, exception tables).  One body so the
+    single-device and sharded encoders cannot drift apart (their
+    byte-identity is pinned).
+
+    The DC coefficient (zigzag index 0; divisor max(1, q*0) = 1) is
+    out-of-nibble for essentially every cube, so it ships as a dense int16
+    stream instead of flooding the exception tables."""
+    cube = q.shape[-1]
     v2 = q.reshape(-1, 2)
     plane = ((v2[:, 0] & 0xF) | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
+    dc = q.reshape(-1, cube)[:, 0].astype(jnp.int16)
     lidx, vals, counts, overflow = exceptions.compact_exceptions(
-        q.reshape(-1), slots=slots
+        q.reshape(-1), slots=slots, dc_stride=cube
     )
-    return plane, lidx, vals, counts, overflow
+    return plane, dc, lidx, vals, counts, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "slots"))
 def encode_step_turbo(frames, enc_t, *, cfg, slots):
-    """(T, H, W) uint8 -> (nibble plane, exception tables).
+    """(T, H, W) uint8 -> (nibble plane, dense DC, exception tables).
 
     plane: (n/2,) uint8, two zigzag coefficients per byte (low nibble =
-    even index) — byte-identical to the decode transport format.
+    even index) — the decode transport layout; the WIRE stores its
+    coefficient-pair-major transpose (see _member_payload).
     """
     return _plane_and_tables(_frames_to_q(frames, enc_t, cfg), slots)
 
 
-def _member_payload(plane: np.ndarray, idx: np.ndarray, val: np.ndarray,
-                    level: int) -> bytes:
-    """Three length-prefixed zlib streams; exception indices as deltas
-    (sorted ascending, so deltas are small and compress ~7x better)."""
-    didx = np.diff(idx, prepend=np.int64(0)).astype(np.int32)
+def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
+                    val: np.ndarray, level: int, cube: int) -> bytes:
+    """Member payload: four length-prefixed zlib streams.
+
+    The nibble plane is stored COEFFICIENT-pair-major — byte [jj, c] packs
+    coefficients (2jj, 2jj+1) of cube c — i.e. the transpose of the device
+    transport's (cubes, cube/2) byte grid.  Same-frequency coefficients
+    share statistics, so DEFLATE compresses this layout ~1.6x better than
+    cube-major (0.22 vs 0.34 bpp at z6 on the 1080p bench clip; see
+    PERFORMANCE.md), which puts turbo BELOW the reference profile's rate.
+    Exception indices are stored in the same coefficient-major order as
+    sorted deltas (exceptions cluster by frequency, so deltas are small).
+    """
+    cubes = plane.size * 2 // cube
+    wire_plane = np.ascontiguousarray(plane.reshape(cubes, cube // 2).T)
+    j = (idx % cube).astype(np.int64)
+    c = idx // cube
+    i2 = ((j >> 1) * cubes + c) * 2 + (j & 1)
+    order = np.argsort(i2, kind="stable")
+    i2 = i2[order]
+    didx = np.diff(i2, prepend=np.int64(0)).astype(np.int32)
     parts = [
-        zlib.compress(plane.tobytes(), level),
+        zlib.compress(wire_plane.tobytes(), level),
+        zlib.compress(np.asarray(dc, np.int16).tobytes(), level),
         zlib.compress(didx.tobytes(), level),
-        zlib.compress(val.astype(np.int16).tobytes(), level),
+        zlib.compress(np.asarray(val)[order].astype(np.int16).tobytes(),
+                      level),
     ]
-    head = struct.pack("<III", *(len(p) for p in parts))
+    head = struct.pack("<IIII", *(len(p) for p in parts))
     return head + b"".join(parts)
 
 
-def _parse_payload(payload: bytes):
-    a, b, c = struct.unpack_from("<III", payload, 0)
-    o = 12
-    plane = np.frombuffer(zlib.decompress(payload[o : o + a]), np.uint8)
-    didx = np.frombuffer(zlib.decompress(payload[o + a : o + a + b]),
-                         np.int32)
-    val = np.frombuffer(
-        zlib.decompress(payload[o + a + b : o + a + b + c]), np.int16
+def _parse_payload(payload: bytes, cube: int):
+    """Wire payload -> (plane in device-transport layout, exception idx,
+    exception val) with the dense DC stream merged back into the exception
+    list (decode_step_planar4's scatter restores it like any outlier)."""
+    a, b, c, d = struct.unpack_from("<IIII", payload, 0)
+    o = 16
+    wire_plane = np.frombuffer(zlib.decompress(payload[o : o + a]), np.uint8)
+    o += a
+    dc = np.frombuffer(zlib.decompress(payload[o : o + b]), np.int16)
+    o += b
+    didx = np.frombuffer(zlib.decompress(payload[o : o + c]), np.int32)
+    o += c
+    val = np.frombuffer(zlib.decompress(payload[o : o + d]), np.int16)
+    cubes = dc.size
+    plane = np.ascontiguousarray(
+        wire_plane.reshape(cube // 2, cubes).T
+    ).reshape(-1)
+    i2 = np.cumsum(didx.astype(np.int64))
+    cpos = (i2 >> 1) % cubes
+    jj = (i2 >> 1) // cubes
+    idx = cpos * cube + jj * 2 + (i2 & 1)
+    idx_all = np.concatenate(
+        [idx, np.arange(cubes, dtype=np.int64) * cube]
     )
-    return plane, np.cumsum(didx.astype(np.int64)), val.astype(np.int32)
+    val_all = np.concatenate([val.astype(np.int32), dc.astype(np.int32)])
+    return plane, idx_all, val_all
 
 
 class TurboEncoder:
@@ -139,18 +181,19 @@ class TurboEncoder:
         self._out: collections.deque = collections.deque()
 
     def _drain_gop(self, frames_dev, t) -> bytes:
-        plane, lidx, vals, counts, overflow = encode_step_turbo(
+        plane, dc, lidx, vals, counts, overflow = encode_step_turbo(
             frames_dev, self.ctx.enc_t, cfg=self.cfg, slots=self.slots
         )
         if bool(overflow):
-            plane, lidx, vals, counts, _ = encode_step_turbo(
+            plane, dc, lidx, vals, counts, _ = encode_step_turbo(
                 frames_dev, self.ctx.enc_t, cfg=self.cfg, slots=256
             )
         idx, val = exceptions.expand_exceptions_np(
             np.asarray(lidx), np.asarray(vals), np.asarray(counts)
         )
         payload = _member_payload(
-            np.asarray(plane), idx, val, self.cfg.zlib_level
+            np.asarray(plane), np.asarray(dc), idx, val,
+            self.cfg.zlib_level, self.cfg.cube_size,
         )
         return _member(payload, t, self.member_type)
 
@@ -258,21 +301,21 @@ class TurboShardedEncoder:
         def _shard(frames, enc_t, *, slots):
             import jax as _jax
 
-            plane, lidx, vals, counts, ovf = _plane_and_tables(
+            plane, dc, lidx, vals, counts, ovf = _plane_and_tables(
                 _frames_to_q(frames, enc_t, cfg_), slots
             )
             any_ovf = _jax.lax.psum(
                 ovf.astype(jnp.int32), (GOP_AXIS, TILE_AXIS)
             ) > 0
-            return plane[None], lidx[None], vals[None], counts[None], \
-                any_ovf[None]
+            return (plane[None], dc[None], lidx[None], vals[None],
+                    counts[None], any_ovf[None])
 
         def build(slots):
             fn = shard_map(
                 functools.partial(_shard, slots=slots),
                 mesh=mesh,
                 in_specs=(P(GOP_AXIS, TILE_AXIS, None), P()),
-                out_specs=(P((GOP_AXIS, TILE_AXIS)),) * 4 + (P(),),
+                out_specs=(P((GOP_AXIS, TILE_AXIS)),) * 5 + (P(),),
             )
             return jax.jit(fn)
 
@@ -297,21 +340,23 @@ class TurboShardedEncoder:
         out = []
         for i in range(0, t, step_t):
             fd = jax.device_put(frames[i : i + step_t], self._sharding)
-            plane, lidx, vals, counts, ovf = self._step[self.slots](
+            plane, dc, lidx, vals, counts, ovf = self._step[self.slots](
                 fd, self.ctx.enc_t
             )
             if bool(np.asarray(ovf)):
                 worst = self._step.setdefault(256, self._build(256))
-                plane, lidx, vals, counts, _ = worst(fd, self.ctx.enc_t)
+                plane, dc, lidx, vals, counts, _ = worst(fd, self.ctx.enc_t)
             # Gathered arrays are in global value order; slice per GOP and
             # emit members identical to the single-device encoder's.
             plane_h = np.asarray(jax.device_get(plane)).reshape(-1)
+            dc_h = np.asarray(dc).reshape(-1)
             idx, val = exceptions.expand_exceptions_np(
                 np.asarray(lidx).reshape(-1, np.asarray(lidx).shape[-1]),
                 np.asarray(vals).reshape(-1, np.asarray(vals).shape[-1]),
                 np.asarray(counts).reshape(-1),
             )
             npg = self.width * self.height * self.cfg.gop_size
+            cpg = npg // self.cfg.cube_size  # cubes per GOP
             level = self.cfg.zlib_level
             futs = []
             for g in range(n_gop):
@@ -319,7 +364,9 @@ class TurboShardedEncoder:
                 futs.append(self._pool.submit(
                     _member_payload,
                     plane_h[g * npg // 2 : (g + 1) * npg // 2],
+                    dc_h[g * cpg : (g + 1) * cpg],
                     idx[lo:hi] - g * npg, val[lo:hi], level,
+                    self.cfg.cube_size,
                 ))
             out.extend(
                 _member(f.result(), self.cfg.gop_size, MEMBER_TURBO)
@@ -434,8 +481,9 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
         out[a0 : a0 + t] = _undelta(np.asarray(fd), cfg)
 
     a0 = 0
+    cube = cfg.cube_size
     for (t, _, _), planar in zip(
-        members, pool.map(lambda m: _parse_payload(m[1]), members)
+        members, pool.map(lambda m: _parse_payload(m[1], cube), members)
     ):
         fd = _dispatch_planar4(planar, ctx, cfg, height, width)
         fd.copy_to_host_async()

@@ -28,7 +28,7 @@ DEFAULT_SLOTS = 16
 
 
 def compact_exceptions(values, group: int = 256,
-                       slots: int = DEFAULT_SLOTS):
+                       slots: int = DEFAULT_SLOTS, dc_stride: int = 0):
     """(n,) int32 -> dense per-group exception tables.
 
     Returns (lidx, vals, counts, overflow):
@@ -39,6 +39,10 @@ def compact_exceptions(values, group: int = 256,
       counts: (g,) int32 — exceptions in each group.
       overflow: () bool — some group exceeded `slots` (tables invalid for
         that group; retry with slots=group).
+
+    dc_stride > 0 excludes positions with flat index % dc_stride == 0 (the
+    DC coefficient of every cube in zigzag order) — the turbo wire ships
+    those densely, since DC's divisor is 1 and it is ~always out of range.
     """
     n = values.shape[0]
     pad = (-n) % group
@@ -51,6 +55,12 @@ def compact_exceptions(values, group: int = 256,
         )
     v2 = values.reshape(-1, group)
     mask = (v2 < -8) | (v2 > 7)
+    if dc_stride:
+        flat = (
+            jnp.arange(v2.shape[0], dtype=jnp.int32)[:, None] * group
+            + jnp.arange(group, dtype=jnp.int32)[None, :]
+        )
+        mask &= (flat % dc_stride) != 0
     rank = jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
     counts = mask.sum(axis=1, dtype=jnp.int32)
     if slots >= group:

@@ -104,12 +104,16 @@ def test_turbo_transport_delta_transparent():
     np.testing.assert_array_equal(plain, delta)
 
 
-def test_turbo_rate_near_reference():
+def test_turbo_rate_beats_reference():
+    """The coefficient-major wire layout compresses ~30% better than the
+    reference profile at identical pixels (0.2174 vs 0.3122 bpp at 1080p,
+    PERFORMANCE.md).  Pin the win at a mid-size geometry — tiny clips
+    carry relatively more per-member/zlib-stream overhead."""
     cfg = CodecConfig()
-    video = synthetic_video(16, 64, 64, seed=37)
+    video = synthetic_video(16, 240, 320, seed=37)
     ref = encode_video(video, cfg)
     data = turbo.encode_turbo_video(video, cfg)
-    assert len(data) < 1.35 * len(ref), (len(data), len(ref))
+    assert len(data) < len(ref), (len(data), len(ref))
 
 
 def test_cli_turbo_roundtrip(tmp_path):
