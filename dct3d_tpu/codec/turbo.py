@@ -102,9 +102,11 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     order = np.argsort(i2, kind="stable")
     i2 = i2[order]
     didx = np.diff(i2, prepend=np.int64(0)).astype(np.int32)
+    dc = np.asarray(dc, np.int16)
+    ddc = np.diff(dc, prepend=np.int16(0)).astype(np.int16)  # |dc| <= 5771
     parts = [
         zlib.compress(wire_plane.tobytes(), level),
-        zlib.compress(np.asarray(dc, np.int16).tobytes(), level),
+        zlib.compress(ddc.tobytes(), level),
         zlib.compress(didx.tobytes(), level),
         zlib.compress(np.asarray(val)[order].astype(np.int16).tobytes(),
                       level),
@@ -121,7 +123,8 @@ def _parse_payload(payload: bytes, cube: int):
     o = 16
     wire_plane = np.frombuffer(zlib.decompress(payload[o : o + a]), np.uint8)
     o += a
-    dc = np.frombuffer(zlib.decompress(payload[o : o + b]), np.int16)
+    ddc = np.frombuffer(zlib.decompress(payload[o : o + b]), np.int16)
+    dc = np.cumsum(ddc.astype(np.int32)).astype(np.int16)
     o += b
     didx = np.frombuffer(zlib.decompress(payload[o : o + c]), np.int32)
     o += c
