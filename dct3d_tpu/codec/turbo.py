@@ -119,7 +119,14 @@ def _parse_payload(payload: bytes, cube: int):
     """Wire payload -> (plane in device-transport layout, exception idx,
     exception val) with the dense DC stream merged back into the exception
     list (decode_step_planar4's scatter restores it like any outlier)."""
+    if len(payload) < 16:
+        raise EOFError("torn turbo member (truncated header)")
     a, b, c, d = struct.unpack_from("<IIII", payload, 0)
+    if 16 + a + b + c + d > len(payload):
+        raise EOFError(
+            "torn turbo member (payload shorter than its stream lengths); "
+            "a checkpointed encode resumes past this via resume_info"
+        )
     o = 16
     wire_plane = np.frombuffer(zlib.decompress(payload[o : o + a]), np.uint8)
     o += a

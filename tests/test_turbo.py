@@ -360,3 +360,12 @@ def test_decode_auto_routes_every_form(tmp_path):
     np.testing.assert_array_equal(
         decode_auto(turbo.encode_turbo_rgb_video(rgb, cfg), 32, 24), wrgb
     )
+
+
+def test_torn_turbo_member_clear_error():
+    cfg = CodecConfig()
+    video = synthetic_video(8, 16, 16, seed=97)
+    data = turbo.encode_turbo_video(video, cfg)
+    torn = data[:-9]
+    with pytest.raises(EOFError, match="torn turbo member"):
+        turbo.decode_turbo_container(torn, 16, 16, cfg)
