@@ -480,7 +480,12 @@ def decode_turbo_container(
 
 
 def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
-    """Inflate members on `pool`, dispatch inverse transforms, assemble."""
+    """Inflate members on `pool`, dispatch inverse transforms, assemble.
+
+    The inflate lookahead is bounded (not ``pool.map`` over every member):
+    an hour of 1080p is ~10K members whose inflated planes would otherwise
+    all materialize in host RAM before the first device dispatch retires.
+    """
     out = np.empty(
         (sum(m[0] for m in members), height, width), np.uint8
     )
@@ -492,9 +497,25 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
 
     a0 = 0
     cube = cfg.cube_size
-    for (t, _, _), planar in zip(
-        members, pool.map(lambda m: _parse_payload(m[1], cube), members)
-    ):
+    lookahead = max(4, 2 * getattr(pool, "_max_workers", 2))
+    inflight: collections.deque = collections.deque(
+        pool.submit(_parse_payload, m[1], cube)
+        for m in members[:lookahead]
+    )
+    nxt = len(inflight)
+
+    def parsed_in_order():
+        nonlocal nxt
+        while inflight:
+            planar = inflight.popleft().result()
+            if nxt < len(members):
+                inflight.append(
+                    pool.submit(_parse_payload, members[nxt][1], cube)
+                )
+                nxt += 1
+            yield planar
+
+    for (t, _, _), planar in zip(members, parsed_in_order()):
         fd = _dispatch_planar4(planar, ctx, cfg, height, width)
         fd.copy_to_host_async()
         pending.append((a0, t, fd))
