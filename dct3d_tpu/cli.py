@@ -30,11 +30,13 @@ def _cfg_from_args(args) -> CodecConfig:
     level = args.zlib_level
     if level is None:
         # Reference parity wants Z_BEST_COMPRESSION (encoder.c:139); the
-        # turbo profile deflates ~6x more bytes (the raw nibble plane), and
-        # level 9 there costs 1.4 s/GOP at 1080p for ~5% rate — default it
-        # to 6 (PERFORMANCE.md measurement).
+        # turbo profile's zlib mode deflates ~6x more bytes (the raw nibble
+        # plane), and level 9 there costs 1.4 s/GOP at 1080p for ~5% rate —
+        # default it to 6 (PERFORMANCE.md measurement).  Turbo's default
+        # codec is zstd, which ignores this knob.
         level = 6 if getattr(args, "turbo", False) else 9
     return CodecConfig(
+        turbo_codec=getattr(args, "turbo_codec", "zstd"),
         block_w=args.block,
         block_h=args.block,
         block_d=args.block,
@@ -108,12 +110,18 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--turbo", action="store_true",
-        help="encode: turbo (planar) profile — DEFLATE-only entropy, no "
-        "Exp-Golomb: the wire carries the nibble-plane device transport "
-        "per GOP (D3MH type-5 members). ~3%% more bytes, identical pixels; "
-        "the encode step drops its whole bit-pack stage and decode's host "
-        "work is pure inflate. Extension profile: the reference decoder "
-        "cannot read it (decode auto-detects; see docs/FORMAT.md)",
+        help="encode: turbo (planar) profile — no Exp-Golomb: the wire "
+        "carries the nibble-plane device transport per GOP (D3MH type-5 "
+        "members), zstd-compressed. Smaller than the reference stack "
+        "(~0.21 vs 0.31 bpp at 1080p quant 5), identical pixels; the "
+        "encode step drops its whole bit-pack stage and decode's host "
+        "work is pure decompression. Extension profile: the reference "
+        "decoder cannot read it (decode auto-detects; see docs/FORMAT.md)",
+    )
+    p.add_argument(
+        "--turbo-codec", choices=("zstd", "zlib"), default="zstd",
+        help="turbo payload codec (zstd: smaller and ~14x faster; zlib: "
+        "stdlib-only wire). Decode sniffs per stream — no flag needed",
     )
     p.add_argument(
         "--index", action="store_true",

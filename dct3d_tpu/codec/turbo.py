@@ -1,27 +1,30 @@
-"""Turbo (planar) profile: DEFLATE-only entropy, no Exp-Golomb anywhere.
+"""Turbo (planar) profile: block-compressed planes, no Exp-Golomb anywhere.
 
 The reference's entropy stack (Exp-Golomb + zlib) is inherently bit-serial
 on the host side; the repo's device bit-packer makes ENCODE parallel, but
 host decode still walks codewords.  The turbo profile is the TPU-native
 alternative: the wire carries exactly the codec's device transport format —
 a packed-nibble plane of quantized zigzag coefficients plus a sparse
-exception list — DEFLATE-compressed per GOP.  Consequences:
+exception list — block-compressed per GOP.  Consequences:
 
   * encode: the device step is transform + nibble pack + MXU exception
     compaction (ops/exceptions.py) — the whole Exp-Golomb bit-pack stage
     (~60% of the reference-profile step) disappears;
-  * decode: the host does nothing but inflate (GOP-parallel across
+  * decode: the host does nothing but decompress (GOP-parallel across
     members); planes feed decode_step_planar4 directly;
   * pixels are IDENTICAL to the reference profile (same quantized
     integers, same inverse transform) — only the container differs;
-  * rate: ~3% more bytes than Exp-Golomb+zlib at quant 5 on the bench
-    content (0.3225 vs 0.3123 bpp; measurements in PERFORMANCE.md) —
-    DEFLATE eats most of the nibble plane's redundancy.  The gap widens
-    at low quant (wider coefficients; `sweep --turbo` reports both).
+  * rate: with the coefficient-pair-major wire layout + dense delta DC
+    stream, SMALLER than the reference stack across the quant range
+    (0.207 bpp zstd-10 / 0.217 zlib-6 vs 0.312 reference at 1080p quant 5
+    — measurements in PERFORMANCE.md; `sweep --turbo` reports both).
 
 Wire format (docs/FORMAT.md): one D3MH member (type 5) per GOP; payload =
-three length-prefixed zlib streams (nibble plane, exception-index deltas
-int32, exception values int16).
+four length-prefixed compressed streams (coefficient-pair-major nibble
+plane, dense DC deltas int16, exception-index deltas int32, exception
+values int16).  Streams are zstd by default (smaller and much faster than
+DEFLATE here) or zlib via cfg.turbo_codec; decode sniffs each stream's
+magic, so every decoder reads every wire.
 
 The reference cannot read this container — it is an explicit extension
 profile (`encode --turbo`), not the default.
@@ -45,6 +48,14 @@ from ..ops import exceptions
 from ..parallel.multihost import MEMBER_INDEX, _member, split_members
 from .transform import TransformContext, _frames_to_q
 from .decoder import _dispatch_planar4, _undelta
+
+try:  # optional: smaller AND faster than DEFLATE on the nibble plane
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+#: every zstd frame starts with this magic; zlib streams start 0x78
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 MEMBER_TURBO = 5
 #: turbo RGB channel members (red, green, blue), one per GOP per channel
@@ -81,9 +92,32 @@ def encode_step_turbo(frames, enc_t, *, cfg, slots):
     return _plane_and_tables(_frames_to_q(frames, enc_t, cfg), slots)
 
 
+def _compress(data: bytes, cfg: CodecConfig) -> bytes:
+    """One wire stream.  zstd (default) measures ~14x faster to compress,
+    ~4x faster to inflate, AND ~8% smaller than DEFLATE level 6 on the
+    1080p bench plane (see PERFORMANCE.md); cfg.turbo_codec="zlib" keeps a
+    stdlib-only wire.  Falls back to zlib when zstandard is absent."""
+    if cfg.turbo_codec == "zstd" and _zstd is not None:
+        return _zstd.ZstdCompressor(level=cfg.turbo_zstd_level).compress(data)
+    return zlib.compress(data, cfg.zlib_level)
+
+
+def _decompress(buf: bytes) -> bytes:
+    """Per-stream codec sniff: either decoder build reads either wire."""
+    if buf[:4] == _ZSTD_MAGIC:
+        if _zstd is None:  # pragma: no cover
+            raise RuntimeError(
+                "zstd-coded turbo member, but the zstandard module is not "
+                "installed (re-encode with CodecConfig(turbo_codec='zlib'))"
+            )
+        return _zstd.ZstdDecompressor().decompress(buf)
+    return zlib.decompress(buf)
+
+
 def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
-                    val: np.ndarray, level: int, cube: int) -> bytes:
-    """Member payload: four length-prefixed zlib streams.
+                    val: np.ndarray, cfg: CodecConfig) -> bytes:
+    """Member payload: four length-prefixed compressed streams (zstd by
+    default, zlib via cfg.turbo_codec; decode sniffs per stream).
 
     The nibble plane is stored COEFFICIENT-pair-major — byte [jj, c] packs
     coefficients (2jj, 2jj+1) of cube c — i.e. the transpose of the device
@@ -94,6 +128,7 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     Exception indices are stored in the same coefficient-major order as
     sorted deltas (exceptions cluster by frequency, so deltas are small).
     """
+    cube = cfg.cube_size
     cubes = plane.size * 2 // cube
     wire_plane = np.ascontiguousarray(plane.reshape(cubes, cube // 2).T)
     j = (idx % cube).astype(np.int64)
@@ -105,11 +140,10 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     dc = np.asarray(dc, np.int16)
     ddc = np.diff(dc, prepend=np.int16(0)).astype(np.int16)  # |dc| <= 5771
     parts = [
-        zlib.compress(wire_plane.tobytes(), level),
-        zlib.compress(ddc.tobytes(), level),
-        zlib.compress(didx.tobytes(), level),
-        zlib.compress(np.asarray(val)[order].astype(np.int16).tobytes(),
-                      level),
+        _compress(wire_plane.tobytes(), cfg),
+        _compress(ddc.tobytes(), cfg),
+        _compress(didx.tobytes(), cfg),
+        _compress(np.asarray(val)[order].astype(np.int16).tobytes(), cfg),
     ]
     head = struct.pack("<IIII", *(len(p) for p in parts))
     return head + b"".join(parts)
@@ -128,14 +162,14 @@ def _parse_payload(payload: bytes, cube: int):
             "a checkpointed encode resumes past this via resume_info"
         )
     o = 16
-    wire_plane = np.frombuffer(zlib.decompress(payload[o : o + a]), np.uint8)
+    wire_plane = np.frombuffer(_decompress(payload[o : o + a]), np.uint8)
     o += a
-    ddc = np.frombuffer(zlib.decompress(payload[o : o + b]), np.int16)
+    ddc = np.frombuffer(_decompress(payload[o : o + b]), np.int16)
     dc = np.cumsum(ddc.astype(np.int32)).astype(np.int16)
     o += b
-    didx = np.frombuffer(zlib.decompress(payload[o : o + c]), np.int32)
+    didx = np.frombuffer(_decompress(payload[o : o + c]), np.int32)
     o += c
-    val = np.frombuffer(zlib.decompress(payload[o : o + d]), np.int16)
+    val = np.frombuffer(_decompress(payload[o : o + d]), np.int16)
     cubes = dc.size
     plane = np.ascontiguousarray(
         wire_plane.reshape(cube // 2, cubes).T
@@ -202,8 +236,7 @@ class TurboEncoder:
             np.asarray(lidx), np.asarray(vals), np.asarray(counts)
         )
         payload = _member_payload(
-            np.asarray(plane), np.asarray(dc), idx, val,
-            self.cfg.zlib_level, self.cfg.cube_size,
+            np.asarray(plane), np.asarray(dc), idx, val, self.cfg
         )
         return _member(payload, t, self.member_type)
 
@@ -367,7 +400,6 @@ class TurboShardedEncoder:
             )
             npg = self.width * self.height * self.cfg.gop_size
             cpg = npg // self.cfg.cube_size  # cubes per GOP
-            level = self.cfg.zlib_level
             futs = []
             for g in range(n_gop):
                 lo, hi = np.searchsorted(idx, [g * npg, (g + 1) * npg])
@@ -375,8 +407,7 @@ class TurboShardedEncoder:
                     _member_payload,
                     plane_h[g * npg // 2 : (g + 1) * npg // 2],
                     dc_h[g * cpg : (g + 1) * cpg],
-                    idx[lo:hi] - g * npg, val[lo:hi], level,
-                    self.cfg.cube_size,
+                    idx[lo:hi] - g * npg, val[lo:hi], self.cfg,
                 ))
             out.extend(
                 _member(f.result(), self.cfg.gop_size, MEMBER_TURBO)

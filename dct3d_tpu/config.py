@@ -63,6 +63,16 @@ class CodecConfig:
     #: host<->device transport compresses (this environment's TPU tunnel
     #: does; plain PCIe does not) because video deltas are near-zero.
     transport_delta: bool = False
+    #: Turbo-profile payload codec.  "zstd" (default) is ~8% smaller, ~14x
+    #: faster to compress, and ~4x faster to inflate than DEFLATE level 6
+    #: on the 1080p nibble plane (PERFORMANCE.md); "zlib" keeps the wire
+    #: stdlib-only.  Decode sniffs the per-stream magic, so either setting
+    #: reads either wire; if the zstandard module is absent, encode falls
+    #: back to zlib.  Reference-profile streams are unaffected.
+    turbo_codec: str = "zstd"
+    #: zstd level for the turbo payload (wire-layout-neutral knob; 10 is
+    #: the measured speed/rate knee, 19 buys ~5% more rate at ~13x cost).
+    turbo_zstd_level: int = 10
     #: Quantizer rounding bias: q = sign(c)*floor(|c|/div + bias).  0.5 is
     #: the reference's round-half-away (Encoder.java:82, encoder.c:53);
     #: smaller values give a deadzone quantizer — an encoder-side-only

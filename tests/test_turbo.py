@@ -369,3 +369,40 @@ def test_torn_turbo_member_clear_error():
     torn = data[:-9]
     with pytest.raises(EOFError, match="torn turbo member"):
         turbo.decode_turbo_container(torn, 16, 16, cfg)
+
+
+def test_turbo_codec_zstd_default_and_zlib_cross_read():
+    """The payload codec (zstd default / zlib option) is sniffed per
+    stream: either decoder config reads either wire, including a container
+    mixing members from both encoders; zstd is also the smaller wire."""
+    pytest.importorskip("zstandard")
+    video = synthetic_video(16, 32, 40, seed=41)
+    z = turbo.encode_turbo_video(video, CodecConfig(turbo_codec="zstd"))
+    d = turbo.encode_turbo_video(video, CodecConfig(turbo_codec="zlib"))
+    assert z != d
+    want = turbo.decode_turbo_container(d, 40, 32, CodecConfig())
+    # cross-read: cfg's codec setting is irrelevant on decode
+    np.testing.assert_array_equal(
+        turbo.decode_turbo_container(z, 40, 32,
+                                     CodecConfig(turbo_codec="zlib")),
+        want,
+    )
+    # container mixing zstd and zlib members decodes too
+    zm, dm = multihost.split_members(z), multihost.split_members(d)
+    mixed = b"".join(
+        turbo._member(m[1], m[0], m[2])
+        for m in [zm[0], dm[1]]
+    )
+    np.testing.assert_array_equal(
+        turbo.decode_turbo_container(mixed, 40, 32, CodecConfig()), want
+    )
+
+
+def test_turbo_zstd_rate_not_worse_than_zlib():
+    pytest.importorskip("zstandard")
+    video = synthetic_video(16, 240, 320, seed=43)
+    z = turbo.encode_turbo_video(video, CodecConfig(turbo_codec="zstd"))
+    d = turbo.encode_turbo_video(
+        video, CodecConfig(turbo_codec="zlib", zlib_level=6)
+    )
+    assert len(z) <= len(d) * 1.02, (len(z), len(d))
