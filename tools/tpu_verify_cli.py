@@ -62,6 +62,12 @@ def run() -> None:
     main(["decode", f"{W}/enc_t.d3t", f"{W}/dec_t.raw", "320", "240"])
     assert rd(f"{W}/dec_t.raw") == rd(f"{W}/dec.raw")
 
+    # turbo zlib wire: same pixels, codec sniffed per stream on decode
+    main(["encode", f"{W}/src.raw", f"{W}/enc_tz.d3t", "320", "240",
+          "--turbo", "--turbo-codec", "zlib"])
+    main(["decode", f"{W}/enc_tz.d3t", f"{W}/dec_tz.raw", "320", "240"])
+    assert rd(f"{W}/dec_tz.raw") == rd(f"{W}/dec.raw")
+
     # turbo checkpoint resume + no-flag decode
     main(["encode", f"{W}/src.raw", f"{W}/ck.d3t", "320", "240", "16",
           "--turbo", "--checkpoint-every", "2"])
