@@ -229,9 +229,38 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     }
 
 
+def _probe_relay(timeout_s: int = 180) -> bool:
+    """The tunneled TPU relay can go down for hours at a time, and then
+    even `jax.devices()` blocks forever.  Probe it in a subprocess with a
+    hard timeout so the bench fails fast and honestly instead of hanging
+    the driver."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def main() -> int:
     from dct3d_tpu.utils import enable_compilation_cache
 
+    if not _probe_relay():
+        print(json.dumps({
+            "metric": "encode_fps_1080p_gray",
+            "value": 0.0,
+            "unit": "frames/s/chip",
+            "vs_baseline": 0.0,
+            "detail": {
+                "error": "TPU relay unreachable (jax.devices() probe timed "
+                "out); nothing was measured — last healthy figures are in "
+                "PERFORMANCE.md's round table",
+            },
+        }))
+        return 1
     enable_compilation_cache()
     t = int(os.environ.get("BENCH_FRAMES", "64"))
     base_spf = measure_baseline()
