@@ -526,10 +526,14 @@ def cmd_decode(args) -> int:
 
         if is_turbo_container(members):
             if args.mesh:
-                print("note: --mesh does not apply to turbo containers "
-                      "(decode is already GOP-parallel); decoding "
-                      "single-device", file=sys.stderr)
-            video = decode_turbo_container(data, width, height, cfg)
+                from .codec.turbo import TurboShardedDecoder
+
+                dec = TurboShardedDecoder(
+                    width, height, _make_cli_mesh(args.mesh), cfg
+                )
+                video = dec.decode(data)
+            else:
+                video = decode_turbo_container(data, width, height, cfg)
             if args.frames is not None:
                 video = video[: args.frames]
             return _write_decoded(args, video, width, height, t0)

@@ -211,6 +211,16 @@ def decode_step_planar4(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     the upload of the int8 plane; DC coefficients ride the exception list.
 
     The even/odd planes feed the split matmul directly — no interleave."""
+    return planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo,
+                             cfg=cfg, height=height, width=width)
+
+
+def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
+                      height, width):
+    """Unjitted decode_step_planar4 body — also the per-shard body of the
+    sharded turbo decode (codec/turbo.py), where `height` is the tile's
+    local height.  One body so every planar4 path keeps the identical
+    split-matmul summation order (the transparency invariant)."""
     b = plane.astype(jnp.int32)
     lo = (((b & 0xF) ^ 8) - 8).reshape(-1)
     hi = ((((b >> 4) & 0xF) ^ 8) - 8).reshape(-1)

@@ -421,6 +421,147 @@ class TurboShardedEncoder:
         return b""
 
 
+class TurboShardedDecoder:
+    """Turbo decode over a (gop, tile) device mesh; pixels byte-identical
+    to the single-device turbo decode (same planar4 body, same split
+    matmul summation order — codec/transform.py planar4_to_frames).
+
+    Host work per mesh step is just n_gop parallel payload parses (pure
+    decompression) + a contiguous tile reshape: the cube-major plane
+    slices per tile without any relayout transpose, and exceptions split
+    by flat-index range.  Member counts that don't fill a whole mesh step
+    fall back to the single-device path for the tail.
+    """
+
+    def __init__(self, width, height, mesh, cfg=None, ctx=None,
+                 inflate_workers: int | None = None):
+        import os
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        from ..parallel.mesh import GOP_AXIS, TILE_AXIS
+        from .transform import planar4_to_frames
+
+        self.cfg = cfg or CodecConfig()
+        self.cfg.validate_geometry(width, height)
+        self.width = width
+        self.height = height
+        self.mesh = mesh
+        self.ctx = ctx or TransformContext(self.cfg)
+        n_gop, n_tile = mesh.shape[GOP_AXIS], mesh.shape[TILE_AXIS]
+        if height % (self.cfg.block_h * n_tile):
+            raise ValueError(
+                f"height {height} must split into {n_tile} tiles of whole "
+                f"{self.cfg.block_h}-pixel block rows"
+            )
+        self._mesh_shape = (n_gop, n_tile)
+        self._sharding = NamedSharding(mesh, P(GOP_AXIS, TILE_AXIS, None))
+        self._workers = inflate_workers or max(1, (os.cpu_count() or 2))
+        cfg_ = self.cfg
+        local_h = height // n_tile
+
+        def _shard(plane, ei, ev, dec_me, dec_mo):
+            return planar4_to_frames(
+                plane[0, 0], ei[0, 0], ev[0, 0], dec_me, dec_mo,
+                cfg=cfg_, height=local_h, width=width,
+            )
+
+        fn = shard_map(
+            _shard,
+            mesh=mesh,
+            in_specs=(P(GOP_AXIS, TILE_AXIS, None),) * 3 + (P(), P()),
+            out_specs=P(GOP_AXIS, TILE_AXIS, None),
+        )
+        self._step = jax.jit(
+            lambda p, ei, ev: fn(p, ei, ev, self.ctx.dec_me, self.ctx.dec_mo)
+        )
+
+    def _stage(self, parsed) -> tuple:
+        """n_gop parsed payloads -> sharded (plane, exc_idx, exc_val)."""
+        n_gop, n_tile = self._mesh_shape
+        npg = self.width * self.height * self.cfg.gop_size
+        local_n = npg // n_tile
+        plane = np.stack([p.reshape(n_tile, -1) for p, _, _ in parsed])
+        counts = [
+            int(((idx >= t * local_n) & (idx < (t + 1) * local_n)).sum())
+            for _, idx, _ in parsed for t in range(n_tile)
+        ]
+        cap = max(1024, 1 << int(np.ceil(np.log2(max(1, max(counts))))))
+        ei = np.full((n_gop, n_tile, cap), local_n, np.int32)
+        ev = np.zeros((n_gop, n_tile, cap), np.int32)
+        for g, (_, idx, val) in enumerate(parsed):
+            tile = idx // local_n
+            for t in range(n_tile):
+                sel = tile == t
+                k = int(sel.sum())
+                ei[g, t, :k] = idx[sel] - t * local_n
+                ev[g, t, :k] = val[sel]
+        return plane, ei, ev
+
+    def decode(self, data: bytes,
+               member_type: int = MEMBER_TURBO) -> np.ndarray:
+        members = [m for m in split_members(data) if m[2] == member_type]
+        if not members:
+            raise ValueError(
+                f"not a turbo container (no type-{member_type} members)"
+            )
+        n_gop, n_tile = self._mesh_shape
+        gop = self.cfg.gop_size
+        n_steps = len(members) // n_gop
+        cube = self.cfg.cube_size
+        step_t = gop * n_gop
+        total_t = sum(m[0] for m in members)
+        out = np.empty((total_t, self.height, self.width), np.uint8)
+        pending: collections.deque = collections.deque()
+
+        def drain_one() -> None:
+            a0, fd = pending.popleft()
+            got = np.asarray(fd)
+            for g in range(n_gop):  # transport_delta reconstructs per GOP
+                out[a0 + g * gop : a0 + (g + 1) * gop] = _undelta(
+                    got[g * gop : (g + 1) * gop], self.cfg
+                )
+
+        with ThreadPoolExecutor(self._workers) as pool:
+            lookahead = max(n_gop, 2 * self._workers)
+            inflight: collections.deque = collections.deque(
+                pool.submit(_parse_payload, m[1], cube)
+                for m in members[: min(n_steps * n_gop, lookahead)]
+            )
+            nxt = len(inflight)
+            for s in range(n_steps):
+                parsed = []
+                for _ in range(n_gop):
+                    parsed.append(inflight.popleft().result())
+                    if nxt < n_steps * n_gop:
+                        inflight.append(pool.submit(
+                            _parse_payload, members[nxt][1], cube
+                        ))
+                        nxt += 1
+                plane, ei, ev = self._stage(parsed)
+                fd = self._step(
+                    jax.device_put(plane, self._sharding),
+                    jax.device_put(ei, self._sharding),
+                    jax.device_put(ev, self._sharding),
+                )
+                fd.copy_to_host_async()
+                pending.append((s * step_t, fd))
+                if len(pending) >= 3:
+                    drain_one()
+            while pending:
+                drain_one()
+            if n_steps * n_gop < len(members):  # tail: single-device path
+                out[n_steps * step_t :] = _decode_members(
+                    members[n_steps * n_gop :], pool,
+                    self.width, self.height, self.cfg, self.ctx,
+                )
+        return out
+
+
 def is_turbo_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
     types = {m[2] for m in members}
     return MEMBER_TURBO in types and types <= {MEMBER_TURBO, MEMBER_INDEX}

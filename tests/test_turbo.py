@@ -406,3 +406,56 @@ def test_turbo_zstd_rate_not_worse_than_zlib():
         video, CodecConfig(turbo_codec="zlib", zlib_level=6)
     )
     assert len(z) <= len(d) * 1.02, (len(z), len(d))
+
+
+def test_turbo_sharded_decode_matches_single_device():
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = CodecConfig()
+    # 5 GOPs: 2 full mesh steps (gop=2) + 1 tail member (single-device path)
+    video = synthetic_video(40, 48, 40, seed=51)
+    data = turbo.encode_turbo_video(video, cfg)
+    want = turbo.decode_turbo_container(data, 40, 48, cfg)
+    for g, t in [(2, 2), (4, 1), (1, 3), (2, 3)]:
+        m = mesh_lib.make_mesh(gop=g, tile=t, devices=jax.devices()[: g * t])
+        got = turbo.TurboShardedDecoder(40, 48, m, cfg).decode(data)
+        np.testing.assert_array_equal(got, want, err_msg=f"mesh {g}x{t}")
+
+
+def test_turbo_sharded_decode_transport_delta():
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = CodecConfig(transport_delta=True)
+    video = synthetic_video(32, 32, 40, seed=53)
+    data = turbo.encode_turbo_video(video, cfg)
+    want = turbo.decode_turbo_container(data, 40, 32, cfg)
+    m = mesh_lib.make_mesh(gop=2, tile=2, devices=jax.devices()[:4])
+    got = turbo.TurboShardedDecoder(40, 32, m, cfg).decode(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_turbo_mesh_decode(tmp_path):
+    import jax
+
+    from dct3d_tpu.cli import main
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    src = tmp_path / "src.raw"
+    enc = tmp_path / "a.d3t"
+    video = synthetic_video(16, 32, 40, seed=55)
+    src.write_bytes(video.tobytes())
+    assert main(["encode", str(src), str(enc), "40", "32", "--turbo"]) == 0
+    d1, d2 = tmp_path / "d1.raw", tmp_path / "d2.raw"
+    assert main(["decode", str(enc), str(d1), "40", "32"]) == 0
+    assert main(["decode", str(enc), str(d2), "40", "32",
+                 "--mesh", "2x1"]) == 0
+    assert d1.read_bytes() == d2.read_bytes()
