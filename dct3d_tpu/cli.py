@@ -692,6 +692,16 @@ def cmd_info(args) -> int:
             out["frames"] = sum(m[0] for m in members if m[2] == 6)
         else:
             out["frames"] = sum(m[0] for m in members)
+        if out["kind"] in ("turbo", "turbo-rgb"):
+            from .codec.turbo import _ZSTD_MAGIC
+
+            payload = next(
+                (m[1] for m in members if m[2] in (5, 6, 7, 8)), None
+            )
+            if payload is not None:
+                out["codec"] = (
+                    "zstd" if payload[16:20] == _ZSTD_MAGIC else "zlib"
+                )
         meta_path = args.input + ".meta"
         if os.path.exists(meta_path):
             out["meta"] = json.load(open(meta_path))

@@ -93,8 +93,8 @@ def encode_step_turbo(frames, enc_t, *, cfg, slots):
 
 
 def _compress(data: bytes, cfg: CodecConfig) -> bytes:
-    """One wire stream.  zstd (default) measures ~14x faster to compress,
-    ~4x faster to inflate, AND ~8% smaller than DEFLATE level 6 on the
+    """One wire stream.  zstd (default) measures ~2x faster to compress,
+    ~4x faster to inflate, AND ~5% smaller than DEFLATE level 6 on the
     1080p bench plane (see PERFORMANCE.md); cfg.turbo_codec="zlib" keeps a
     stdlib-only wire.  Falls back to zlib when zstandard is absent."""
     if cfg.turbo_codec == "zstd" and _zstd is not None:

@@ -63,7 +63,7 @@ class CodecConfig:
     #: host<->device transport compresses (this environment's TPU tunnel
     #: does; plain PCIe does not) because video deltas are near-zero.
     transport_delta: bool = False
-    #: Turbo-profile payload codec.  "zstd" (default) is ~8% smaller, ~14x
+    #: Turbo-profile payload codec.  "zstd" (default) is ~5% smaller, ~2x
     #: faster to compress, and ~4x faster to inflate than DEFLATE level 6
     #: on the 1080p nibble plane (PERFORMANCE.md); "zlib" keeps the wire
     #: stdlib-only.  Decode sniffs the per-stream magic, so either setting
