@@ -128,9 +128,11 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     Exception indices are stored in the same coefficient-major order as
     sorted deltas (exceptions cluster by frequency, so deltas are small).
     """
+    from .. import native
+
     cube = cfg.cube_size
     cubes = plane.size * 2 // cube
-    wire_plane = np.ascontiguousarray(plane.reshape(cubes, cube // 2).T)
+    wire_plane = native.byte_transpose(plane.reshape(cubes, cube // 2))
     j = (idx % cube).astype(np.int64)
     c = idx // cube
     i2 = ((j >> 1) * cubes + c) * 2 + (j & 1)
@@ -170,9 +172,11 @@ def _parse_payload(payload: bytes, cube: int):
     didx = np.frombuffer(_decompress(payload[o : o + c]), np.int32)
     o += c
     val = np.frombuffer(_decompress(payload[o : o + d]), np.int16)
+    from .. import native
+
     cubes = dc.size
-    plane = np.ascontiguousarray(
-        wire_plane.reshape(cube // 2, cubes).T
+    plane = native.byte_transpose(
+        wire_plane.reshape(cube // 2, cubes)
     ).reshape(-1)
     i2 = np.cumsum(didx.astype(np.int64))
     cpos = (i2 >> 1) % cubes

@@ -102,7 +102,30 @@ def load():
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.byte_transpose.restype = None
+        lib.byte_transpose.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
         _lib = lib
     except OSError as e:  # pragma: no cover
         print(f"dct3d_tpu: native codec unavailable ({e})", file=sys.stderr)
     return _lib
+
+
+def byte_transpose(a):
+    """Transpose a 2-D uint8 array via the blocked C kernel (GIL released),
+    falling back to numpy's strided copy when the library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    if lib is None:
+        return np.ascontiguousarray(a.T)
+    out = np.empty((a.shape[1], a.shape[0]), np.uint8)
+    lib.byte_transpose(
+        a.ctypes.data, a.shape[0], a.shape[1], out.ctypes.data
+    )
+    return out

@@ -511,3 +511,26 @@ EG_EXPORT int png_unfilter(const uint8_t *raw, size_t h, size_t stride,
     }
     return 0;
 }
+
+/* Cache-blocked byte-matrix transpose: out[c * rows + r] = in[r * cols + c].
+ * The turbo wire stores the coefficient-pair-major TRANSPOSE of the device
+ * transport's (cubes, cube/2) nibble plane (codec/turbo.py); numpy's strided
+ * transpose copy runs ~3 ns/byte on the 1080p plane, the blocked form well
+ * under 1. ctypes releases the GIL for the call, so the per-member drain
+ * pool overlaps transposes across cores. */
+void byte_transpose(const uint8_t *in, size_t rows, size_t cols,
+                    uint8_t *out) {
+    const size_t B = 128;
+    for (size_t r0 = 0; r0 < rows; r0 += B) {
+        size_t r1 = r0 + B < rows ? r0 + B : rows;
+        for (size_t c0 = 0; c0 < cols; c0 += B) {
+            size_t c1 = c0 + B < cols ? c0 + B : cols;
+            for (size_t c = c0; c < c1; ++c) {
+                uint8_t *o = out + c * rows + r0;
+                const uint8_t *i = in + r0 * cols + c;
+                for (size_t r = r0; r < r1; ++r, i += cols)
+                    *o++ = *i;
+            }
+        }
+    }
+}
