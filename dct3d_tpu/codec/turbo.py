@@ -516,6 +516,10 @@ class TurboShardedDecoder:
         n_gop, n_tile = self._mesh_shape
         gop = self.cfg.gop_size
         n_steps = len(members) // n_gop
+        # Step offsets assume one GOP per member (what every turbo encoder
+        # emits); anything else decodes via the general path.
+        if any(m[0] != gop for m in members[: n_steps * n_gop]):
+            n_steps = 0
         cube = self.cfg.cube_size
         step_t = gop * n_gop
         total_t = sum(m[0] for m in members)
