@@ -61,6 +61,12 @@ def worker(idx: int, nproc: int, port: int, out: str) -> None:
         f"{gather_wall * 1e3:.1f} ms ({100 * gather_wall / wall:.1f}% of "
         "the step — the only serial cross-host cost)", flush=True,
     )
+    # Turbo profile over the same spans/mesh: per-GOP members, so the
+    # gathered container must be BYTE-identical to a single-process
+    # single-device turbo encode of the whole clip.
+    tdata = multihost.encode_multihost(
+        clip[lo:hi], 64, 64, total, mesh, cfg, turbo=True
+    )
     if idx == 0:
         assert data is not None
         with open(out, "wb") as f:
@@ -77,8 +83,21 @@ def worker(idx: int, nproc: int, port: int, out: str) -> None:
             f"process 0: {len(members)} members "
             f"{[m[0] for m in members]}, PSNR {p:.2f} dB", flush=True
         )
+        from dct3d_tpu.codec.turbo import (
+            decode_turbo_container, encode_turbo_video,
+        )
+
+        assert tdata == encode_turbo_video(clip, cfg), (
+            "multihost turbo container diverged from single-device encode"
+        )
+        tvideo = decode_turbo_container(tdata, 64, 64, cfg)
+        assert np.array_equal(tvideo, video), (
+            "turbo pixels diverged from the reference profile's"
+        )
+        print("process 0: turbo container byte-identical, pixels identical",
+              flush=True)
     else:
-        assert data is None
+        assert data is None and tdata is None
 
 
 def main() -> int:
