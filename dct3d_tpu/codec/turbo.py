@@ -98,20 +98,33 @@ def _compress(data: bytes, cfg: CodecConfig) -> bytes:
     1080p bench plane (see PERFORMANCE.md); cfg.turbo_codec="zlib" keeps a
     stdlib-only wire.  Falls back to zlib when zstandard is absent."""
     if cfg.turbo_codec == "zstd" and _zstd is not None:
-        return _zstd.ZstdCompressor(level=cfg.turbo_zstd_level).compress(data)
+        # write_checksum gives the zstd wire the same bit-flip detection
+        # zlib's adler32 gives the zlib wire (4 bytes per stream).
+        return _zstd.ZstdCompressor(
+            level=cfg.turbo_zstd_level, write_checksum=True
+        ).compress(data)
     return zlib.compress(data, cfg.zlib_level)
 
 
 def _decompress(buf: bytes) -> bytes:
-    """Per-stream codec sniff: either decoder build reads either wire."""
+    """Per-stream codec sniff: either decoder build reads either wire.
+
+    Raises ValueError on corrupt data (both codecs), so callers see one
+    stable error contract; truncated members raise EOFError upstream."""
     if buf[:4] == _ZSTD_MAGIC:
         if _zstd is None:  # pragma: no cover
             raise RuntimeError(
                 "zstd-coded turbo member, but the zstandard module is not "
                 "installed (re-encode with CodecConfig(turbo_codec='zlib'))"
             )
-        return _zstd.ZstdDecompressor().decompress(buf)
-    return zlib.decompress(buf)
+        try:
+            return _zstd.ZstdDecompressor().decompress(buf)
+        except _zstd.ZstdError as e:
+            raise ValueError(f"corrupt turbo stream: {e}") from e
+    try:
+        return zlib.decompress(buf)
+    except zlib.error as e:
+        raise ValueError(f"corrupt turbo stream: {e}") from e
 
 
 def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,

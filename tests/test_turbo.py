@@ -459,3 +459,24 @@ def test_cli_turbo_mesh_decode(tmp_path):
     assert main(["decode", str(enc), str(d2), "40", "32",
                  "--mesh", "2x1"]) == 0
     assert d1.read_bytes() == d2.read_bytes()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_turbo_corrupt_input_error_contract(seed):
+    """Mutated or truncated turbo containers must raise EOFError or
+    ValueError (never a raw codec exception or a crash): the zstd wire
+    carries frame checksums, the zlib wire adler32, and _decompress
+    translates both codecs' errors."""
+    rng = np.random.default_rng(seed)
+    cfg = CodecConfig()
+    video = rng.integers(0, 256, (8, 16, 16), dtype=np.uint8)
+    good = turbo.encode_turbo_video(video, cfg)
+    for i in range(25):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        for blob in (bytes(b), bytes(b)[: int(rng.integers(1, len(b)))]):
+            try:
+                turbo.decode_turbo_container(blob, 16, 16, cfg)
+            except (EOFError, ValueError):
+                pass
