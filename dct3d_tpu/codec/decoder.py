@@ -195,7 +195,10 @@ def decode_video(
 
     if n_gops > 1 and native.load() is not None:
         z = zlib.decompressobj()
-        payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+        try:
+            payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+        except zlib.error as e:
+            raise ValueError(f"corrupt bitstream: {e}") from e
         try:
             for g0, (plane, ei, ev, _pos) in enumerate(entropy.parallel_chunks(
                 payload, cpg, n_gops, entropy.decode_values_planar4,

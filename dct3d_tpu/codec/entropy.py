@@ -439,11 +439,17 @@ class InflateSource:
 
     def feed(self, data: bytes) -> None:
         if data:
-            self._buf += self._z.decompress(data)
+            try:
+                self._buf += self._z.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"corrupt bitstream: {e}") from e
 
     def feed_eof(self) -> None:
         if not self._eof:
-            self._buf += self._z.flush()
+            try:
+                self._buf += self._z.flush()
+            except zlib.error as e:
+                raise ValueError(f"corrupt bitstream: {e}") from e
             self._eof = True
 
     def _window(self) -> np.ndarray:

@@ -387,7 +387,10 @@ class ShardedDecoder:
             ).reshape(step_t, self.height, self.width)
 
         z = zlib.decompressobj()
-        payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+        try:
+            payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+        except zlib.error as e:
+            raise ValueError(f"corrupt bitstream: {e}") from e
         try:
             if n_steps > 1 and native.load() is not None:
                 for s, (vals, _pos) in enumerate(entropy.parallel_chunks(

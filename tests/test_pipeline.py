@@ -258,3 +258,29 @@ def test_local_burst_group_overflow_retries():
     clip[0:8, 0:8, 0:8] = rng.integers(0, 256, (8, 8, 8))
     cfg = CodecConfig(quant_strength=0, pack_bits_per_value=4)
     assert encode_video(clip, cfg) == oracle.encode(clip, cfg)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_reference_profile_corrupt_input_error_contract(seed):
+    """Corrupt reference-profile streams raise ValueError (inflate errors
+    translated) or EOFError (truncation) — never raw zlib.error."""
+    import zlib
+
+    from dct3d_tpu.codec.decoder import decode_video
+    from dct3d_tpu.codec.encoder import encode_video
+
+    rng = np.random.default_rng(seed)
+    cfg = CodecConfig()
+    video = rng.integers(0, 256, (8, 16, 16), dtype=np.uint8)
+    good = encode_video(video, cfg)
+    for i in range(25):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        for blob in (bytes(b), bytes(b)[: int(rng.integers(1, len(b)))]):
+            try:
+                decode_video(blob, 16, 16, 8, cfg)
+            except (EOFError, ValueError):
+                pass
+            except zlib.error as e:  # pragma: no cover
+                raise AssertionError(f"raw zlib.error escaped: {e}")
