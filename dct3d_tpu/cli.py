@@ -193,6 +193,24 @@ def _load_footage(args):
     came from the content (SURVEY.md §7 M5 real-footage path).
     """
     inp = args.input
+    if inp == "-":
+        # Pipe ingestion (e.g. ffmpeg -f rawvideo ... - | dct3d encode -):
+        # geometry from flags, footage read whole (frame count is unknowable
+        # up front on a pipe; the reference Java encoder also buffers whole
+        # files, Encoder.java:44-56).
+        if args.width is None or args.height is None:
+            print("stdin input needs explicit width and height",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        channels = 3 if args.rgb else 1
+        raw = sys.stdin.buffer.read()
+        fsz = args.width * args.height * channels
+        n = len(raw) // fsz
+        video = np.frombuffer(raw[: n * fsz], np.uint8).reshape(
+            (n, args.height, args.width, 3) if args.rgb
+            else (n, args.height, args.width)
+        )
+        return video, args.width, args.height
     is_png = (
         os.path.isdir(inp)
         or any(c in inp for c in "*?[")
@@ -233,6 +251,13 @@ def cmd_encode(args) -> int:
         print("--mesh cannot combine with --rgb/--checkpoint-every yet",
               file=sys.stderr)
         return 2
+    if args.output == "-" and (args.index or args.checkpoint_every):
+        print("stdout output cannot combine with --index (needs a seekable "
+              "file) or --checkpoint-every (needs fsync/resume)",
+              file=sys.stderr)
+        return 2
+    say = (lambda *a: print(*a, file=sys.stderr)) \
+        if args.output == "-" else print
     if args.turbo:
         # Checked up front so every input branch (--rgb included) rejects
         # the same combinations instead of silently dropping a flag.
@@ -289,10 +314,10 @@ def cmd_encode(args) -> int:
         else:
             data = encode_rgb_video(video, cfg, index=args.index)
         dt = time.perf_counter() - t0
-        with open(args.output, "wb") as f:
+        with _open_out(args.output) as f:
             f.write(data)
         t = video.shape[0] - video.shape[0] % cfg.gop_size
-        print(
+        say(
             f"encoded {t} RGB frames {width}x{height} -> "
             f"{len(data)} bytes in {dt:.2f}s ({t / dt:.1f} fps)"
         )
@@ -358,13 +383,13 @@ def cmd_encode(args) -> int:
             enc = TurboEncoder(width, height, cfg)
         t0 = time.perf_counter()
         written = 0
-        with profile_to(args.profile_dir), open(args.output, "wb") as out:
+        with profile_to(args.profile_dir), _open_out(args.output) as out:
             for batch in _frame_batches(args, video, width, height,
                                         align, frames):
                 written += out.write(enc.push(batch))
             written += out.write(enc.finish())
         dt = time.perf_counter() - t0
-        print(
+        say(
             f"encoded {frames} frames {width}x{height} -> {written} bytes "
             f"(turbo, "
             f"{metrics.bits_per_pixel(written, width, height, frames):.3f} "
@@ -414,7 +439,7 @@ def cmd_encode(args) -> int:
         enc = StreamingEncoder(width, height, cfg)
     t0 = time.perf_counter()
     written = 0
-    with profile_to(args.profile_dir), open(args.output, "wb") as out:
+    with profile_to(args.profile_dir), _open_out(args.output) as out:
         if args.index:
             # Container framing: placeholder member header now, payload
             # length patched after streaming, index member appended last.
@@ -441,7 +466,7 @@ def cmd_encode(args) -> int:
             out.write(struct.pack("<Q", written))
             written = out.seek(0, os.SEEK_END)
     dt = time.perf_counter() - t0
-    print(
+    say(
         f"encoded {frames} frames {width}x{height} -> {written} bytes "
         f"({metrics.bits_per_pixel(written, width, height, frames):.3f} bpp) "
         f"in {dt:.2f}s ({frames / dt:.1f} fps)"
@@ -463,6 +488,20 @@ def _frame_batches(args, video, width, height, align, frames, start=0):
         yield from rawvideo.iter_frame_batches(
             args.input, width, height, step, frames, align=align, start=start
         )
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _open_out(path):
+    """Output sink; '-' streams to stdout (status then prints to stderr)."""
+    if path == "-":
+        yield sys.stdout.buffer
+        sys.stdout.buffer.flush()
+    else:
+        with open(path, "wb") as f:
+            yield f
 
 
 def cmd_decode(args) -> int:
@@ -495,10 +534,15 @@ def cmd_decode(args) -> int:
         print("decode requires explicit width and height (or a .meta "
               "sidecar next to the input)", file=sys.stderr)
         return 2
-    head = b""
-    if os.path.exists(args.input):
+    if args.input == "-":
+        data = sys.stdin.buffer.read()
+    elif os.path.exists(args.input):
         with open(args.input, "rb") as f:
-            head = f.read(4)
+            data = f.read()
+    else:
+        print(f"no such input: {args.input}", file=sys.stderr)
+        return 2
+    head = data[:4]
     if head != b"D3MH" and args.rgb:
         print("--rgb decode needs a D3MH container (produced by encode "
               "--rgb); this input is a raw grayscale stream", file=sys.stderr)
@@ -507,8 +551,6 @@ def cmd_decode(args) -> int:
         print("decode requires an explicit frame count (headerless stream, "
               "as in the reference: Decoder.java:18)", file=sys.stderr)
         return 2
-    with open(args.input, "rb") as f:
-        data = f.read()
     t0 = time.perf_counter()
     if head == b"D3MH":
         # Route by the container's member type tags, not the --rgb flag:
@@ -634,7 +676,10 @@ def _write_decoded(args, video, width, height, t0) -> int:
         cw, _, ch = args.crop.lower().partition("x")
         video = crop_frames(video, int(cw), int(ch))
         width, height = int(cw), int(ch)
-    if args.output.lower().endswith(".y4m"):
+    if args.output == "-":
+        sys.stdout.buffer.write(np.ascontiguousarray(video).tobytes())
+        sys.stdout.buffer.flush()
+    elif args.output.lower().endswith(".y4m"):
         if video.ndim == 4:
             print("y4m output is luma-only; decode without --rgb or use a "
                   ".rgb output path", file=sys.stderr)
@@ -646,7 +691,8 @@ def _write_decoded(args, video, width, height, t0) -> int:
         rawvideo.write_video(args.output, video)
     print(
         f"decoded {video.shape[0]} frames {width}x{height} "
-        f"in {dt:.2f}s ({video.shape[0] / dt:.1f} fps)"
+        f"in {dt:.2f}s ({video.shape[0] / dt:.1f} fps)",
+        file=sys.stderr if args.output == "-" else sys.stdout,
     )
     return 0
 

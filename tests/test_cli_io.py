@@ -235,3 +235,41 @@ def test_cli_mesh_bad_spec(tmp_path):
                      "--mesh", "2x2x2"]) == 2
     assert cli.main(["encode", src, str(tmp_path / "o.bin"), "32", "32",
                      "--mesh", "x2"]) == 2
+
+
+def test_cli_pipe_roundtrip(tmp_path, monkeypatch):
+    """'-' paths stream raw frames in on encode and raw pixels out on
+    decode (ffmpeg-style piping); bytes identical to the file paths."""
+    import io
+
+    from dct3d_tpu.io import synthetic
+
+    src = str(tmp_path / "s.raw")
+    synthetic.capture(src, 16, 32, 32)
+    raw = open(src, "rb").read()
+
+    class _Buf:
+        def __init__(self, data=b""):
+            self.buffer = io.BytesIO(data)
+
+    # encode: stdin -> stdout
+    monkeypatch.setattr(cli.sys, "stdin", _Buf(raw))
+    out = _Buf()
+    monkeypatch.setattr(cli.sys, "stdout", out)
+    assert cli.main(["encode", "-", "-", "32", "32", "--turbo"]) == 0
+    piped = out.buffer.getvalue()
+    monkeypatch.undo()
+    enc = str(tmp_path / "e.d3t")
+    assert cli.main(["encode", src, enc, "32", "32", "--turbo"]) == 0
+    assert piped == open(enc, "rb").read()
+    # decode: stdin -> stdout
+    monkeypatch.setattr(cli.sys, "stdin", _Buf(piped))
+    out = _Buf()
+    monkeypatch.setattr(cli.sys, "stdout", out)
+    assert cli.main(["decode", "-", "-", "32", "32"]) == 0
+    monkeypatch.undo()
+    dec = str(tmp_path / "d.raw")
+    assert cli.main(["decode", enc, dec, "32", "32"]) == 0
+    assert out.buffer.getvalue() == open(dec, "rb").read()
+    # seek-dependent flags are rejected on stdout
+    assert cli.main(["encode", src, "-", "32", "32", "--index"]) == 2
