@@ -120,8 +120,9 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--turbo-codec", choices=("zstd", "zlib"), default="zstd",
-        help="turbo payload codec (zstd: smaller and ~14x faster; zlib: "
-        "stdlib-only wire). Decode sniffs per stream — no flag needed",
+        help="turbo payload codec (zstd: ~5%% smaller, ~2x faster compress, "
+        "~4x faster inflate; zlib: stdlib-only wire). Decode sniffs per "
+        "stream — no flag needed",
     )
     p.add_argument(
         "--index", action="store_true",
