@@ -284,3 +284,27 @@ def test_reference_profile_corrupt_input_error_contract(seed):
                 pass
             except zlib.error as e:  # pragma: no cover
                 raise AssertionError(f"raw zlib.error escaped: {e}")
+
+
+def test_bfloat16_fast_profile_stream_stays_decodable():
+    """compute_dtype='bfloat16' is the encoder-side fast profile: the
+    quantized ints may differ from float32's in the LSBs, but the stream
+    stays a valid reference-format bitstream and quality stays within a
+    fraction of a dB (uint8 inputs are exact in bf16; the transform
+    matmul accumulates in f32)."""
+    from conftest import synthetic_video
+
+    from dct3d_tpu import metrics
+    from dct3d_tpu.codec.decoder import decode_video
+    from dct3d_tpu.codec.encoder import encode_video
+
+    video = synthetic_video(16, 32, 40, seed=61)
+    f32 = CodecConfig()
+    bf16 = CodecConfig(compute_dtype="bfloat16")
+    base = decode_video(encode_video(video, f32), 40, 32, 16, f32)
+    fast_stream = encode_video(video, bf16)
+    # the stream decodes with the PARITY (float32) decoder: format unchanged
+    fast = decode_video(fast_stream, 40, 32, 16, f32)
+    p_base = metrics.psnr(video, base)
+    p_fast = metrics.psnr(video, fast)
+    assert p_fast > p_base - 0.7, (p_base, p_fast)
