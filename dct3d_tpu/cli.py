@@ -900,8 +900,9 @@ def cmd_sweep(args) -> int:
 def cmd_psnr(args) -> int:
     from .io import rawvideo
 
-    a = rawvideo.read_video(args.a, args.width, args.height)
-    b = rawvideo.read_video(args.b, args.width, args.height)
+    ch = 3 if args.rgb else 1
+    a = rawvideo.read_video(args.a, args.width, args.height, channels=ch)
+    b = rawvideo.read_video(args.b, args.width, args.height, channels=ch)
     t = min(a.shape[0], b.shape[0])
     print(f"PSNR: {metrics.psnr(a[:t], b[:t]):.3f} dB over {t} frames")
     return 0
@@ -984,11 +985,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pw.set_defaults(fn=cmd_sweep)
 
-    pq = sub.add_parser("psnr", help="PSNR between two raw grayscale videos")
+    pq = sub.add_parser("psnr", help="PSNR between two raw videos")
     pq.add_argument("a")
     pq.add_argument("b")
     pq.add_argument("width", type=int)
     pq.add_argument("height", type=int)
+    pq.add_argument("--rgb", action="store_true",
+                    help="inputs are interleaved RGB (3 B/px); PSNR over "
+                    "all three channels")
     pq.set_defaults(fn=cmd_psnr)
 
     return p
