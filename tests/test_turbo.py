@@ -480,3 +480,21 @@ def test_turbo_corrupt_input_error_contract(seed):
                 turbo.decode_turbo_container(blob, 16, 16, cfg)
             except (EOFError, ValueError):
                 pass
+
+
+def test_turbo_without_zstandard_falls_back_to_zlib(monkeypatch):
+    """Hosts without the zstandard module encode a zlib wire transparently
+    (and still read zlib wires); only reading a ZSTD wire needs the module."""
+    video = synthetic_video(8, 16, 16, seed=71)
+    cfg = CodecConfig()  # turbo_codec="zstd", but the module is "absent":
+    monkeypatch.setattr(turbo, "_zstd", None)
+    data = turbo.encode_turbo_video(video, cfg)
+    got = turbo.decode_turbo_container(data, 16, 16, cfg)
+    monkeypatch.undo()
+    want = turbo.decode_turbo_container(
+        turbo.encode_turbo_video(video, CodecConfig(turbo_codec="zlib")),
+        16, 16, cfg,
+    )
+    np.testing.assert_array_equal(got, want)
+    # the fallback wire really is zlib (no zstd magic anywhere)
+    assert turbo._ZSTD_MAGIC not in data
