@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CodecConfig
-from ..ops import bitpack, dct, expgolomb, relayout
+from ..ops import bitpack, dct, expgolomb, quant, relayout
 from . import framing
 
 # float32 matmuls on the MXU need HIGHEST precision (3x bf16 passes) to keep
@@ -42,6 +42,27 @@ def _round_half_away(x, bias=0.5):
     encoder-side-only RD improvement, the stream stays reference-decodable
     (the decoder's dequantization is bias-agnostic)."""
     return jnp.trunc(x + jnp.copysign(bias, x))
+
+
+def _quantize(cubes, enc_t, cfg):
+    """(num_cubes, cube) pixel cubes -> int32 quantized zigzag coefficients.
+
+    The matmul folds DCT + 1/divisor + zigzag (ops/dct.py).  DC (zigzag
+    column 0, divisor 1) is the one coefficient where a 1-ulp f32 wobble
+    can cross the 0.5 rounding boundary vs the f64 oracle (observed ~6 per
+    16.6M values on boundary-adversarial content, all at DC): its cube
+    sums are exact integers (< 2^20), so the matmul's DC is replaced with
+    the exact fixed-point quantizer — a dozen elementwise int32 ops that
+    fuse into the round epilogue (ops/quant.exact_dc_quant)."""
+    scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
+    q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
+    if cfg.cube_size <= 4096:
+        sums = jnp.sum(cubes.astype(jnp.int32), axis=-1)
+        dc = quant.exact_dc_quant(sums, cfg.cube_size, cfg.quant_bias)
+        q = jnp.where(
+            jnp.arange(q.shape[-1], dtype=jnp.int32) == 0, dc[:, None], q
+        )
+    return q
 
 
 class EncodedGOP(NamedTuple):
@@ -93,8 +114,7 @@ def _frames_to_q(frames, enc_t, cfg):
         cubes = jax.lax.optimization_barrier(
             framing.frames_to_cubes(frames, cfg)
         ).astype(enc_t.dtype)
-    scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
-    return _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
+    return _quantize(cubes, enc_t, cfg)
 
 
 def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
@@ -240,8 +260,7 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
 def quantize_step(frames, enc_t, *, cfg):
     """Frames -> quantized zigzag int32 coefficients (no bit packing)."""
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
-    scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
-    return _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
+    return _quantize(cubes, enc_t, cfg)
 
 
 class TransformContext:

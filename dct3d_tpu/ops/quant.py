@@ -18,6 +18,7 @@ the reference's dequantization ``round(v * divisor)`` is exactly ``v * divisor``
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -35,3 +36,47 @@ def quant_divisors(
     z = np.arange(depth)[:, None, None]
     d = np.maximum(1, strength * (x + y + z)).astype(np.float64)
     return np.broadcast_to(d, (depth, height, width)).reshape(-1)
+
+
+#: fixed-point fraction bits of the exact DC quantizer constant
+_DC_FRAC_BITS = 50
+
+
+def exact_dc_quant(sums, cube: int, bias: float):
+    """Exact quantized DC from exact integer cube sums (device, int32 only).
+
+    The DC coefficient is sum(cube pixels) / sqrt(cube) with divisor
+    max(1, strength*0) = 1 — the one coefficient whose quantizer gets no
+    divisor slack, so a 1-ulp float32 matmul wobble can cross the 0.5
+    rounding boundary and flip the value vs the float64 oracle (observed
+    ~6 per 16.6M values on boundary-adversarial content, all at zigzag
+    position 0).  This computes q_dc = floor(S/sqrt(cube) + bias) EXACTLY:
+    K = floor(2^50/sqrt(cube)) (exact via isqrt at trace time) and the
+    38..70-bit product S*K + B evaluates in 12-bit limbs — a dozen
+    elementwise int32 ops on a (num_cubes,) vector, no gathers, no sqrt.
+
+    Exactness: floor((S*K + B)/2^50) == floor(S/sqrt(cube) + bias) unless
+    the true value sits within 2^-50 of a boundary (never observed; the
+    float64 oracle itself only resolves ~2^-40 there).  Requires S >= 0
+    (pixels are uint8) and cube <= 4096 so S < 2^20.
+    """
+    K = math.isqrt((1 << (2 * _DC_FRAC_BITS)) // cube)
+    B = int(bias * (1 << _DC_FRAC_BITS))
+    s1 = sums >> 10
+    s0 = sums & 1023
+    c = None
+    carry = 0
+    for j in range(6):
+        kj = (K >> (12 * j)) & 4095 if j < 5 else 0
+        bj = (B >> (12 * j)) & 4095 if j < 5 else 0
+        kp = (K >> (12 * (j - 1))) & 4095 if j >= 1 else 0
+        u = s1 * kj
+        up = (s1 * kp) >> 2 if j >= 1 else 0
+        limb = s0 * kj + bj + ((u & 3) << 10) + up
+        if j < 4:
+            carry = (limb + carry) >> 12
+        elif j == 4:
+            c = limb + carry
+        else:
+            c = c + (limb << 12)
+    return c >> 2

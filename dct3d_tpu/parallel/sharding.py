@@ -30,7 +30,7 @@ except ImportError:  # pragma: no cover
 
 from ..config import CodecConfig
 from ..codec import entropy, framing
-from ..codec.transform import TransformContext, _PRECISION, _round_half_away
+from ..codec.transform import TransformContext, _quantize
 from ..ops import bitpack, expgolomb
 from .mesh import GOP_AXIS, TILE_AXIS
 
@@ -40,8 +40,9 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
     """Per-device body: transform, codewords, offset-aligned bit pack."""
     n_tile = mesh_shape[1]
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
-    scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
-    q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
+    # Same quantizer as the single-device path (incl. the exact-DC fix) —
+    # anything else would break sharded-vs-single byte identity.
+    q = _quantize(cubes, enc_t, cfg)
     code, width = expgolomb.codewords(q.reshape(-1))
 
     local_bits = jnp.sum(width, dtype=jnp.int32)

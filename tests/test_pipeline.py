@@ -308,3 +308,63 @@ def test_bfloat16_fast_profile_stream_stays_decodable():
     p_base = metrics.psnr(video, base)
     p_fast = metrics.psnr(video, fast)
     assert p_fast > p_base - 0.7, (p_base, p_fast)
+
+
+def _boundary_adversarial_clip(num_cubes: int = 64) -> np.ndarray:
+    """Frames whose cube sums put the DC coefficient as close as an integer
+    sum allows to a 0.5 quantization boundary (DC = S/sqrt(512), divisor 1).
+    A plain f32 matmul flips ~10% of these vs the f64 oracle — the content
+    that motivated ops/quant.exact_dc_quant."""
+    import math
+
+    cubes = np.zeros((num_cubes, 512), np.float64)
+    for c in range(num_cubes):
+        q = 100 + 7 * c
+        s = round((q + 0.5) * math.sqrt(512.0))
+        base, rem = divmod(s, 512)
+        cubes[c, :] = base
+        cubes[c, :rem] += 1
+    # 64 cubes of a (8, 64, 64) clip
+    frames = oracle._uncubes(cubes, CodecConfig(), 64, 64)
+    return frames.astype(np.uint8)
+
+
+def test_exact_dc_quant_boundary_parity():
+    """Byte parity with the f64 oracle holds even on content engineered to
+    sit at DC rounding boundaries (regression: a 1080p gradient+noise clip
+    flipped 6 DC values before the exact-DC quantizer existed)."""
+    frames = _boundary_adversarial_clip()
+    cfg = CodecConfig()
+    ctx = transform.TransformContext(cfg)
+    q_dev = np.asarray(
+        transform.quantize_step(jnp.asarray(frames), ctx.enc_t, cfg=cfg)
+    )
+    q_ora = oracle.quantized_coefficients(frames, cfg)
+    np.testing.assert_array_equal(q_dev[:, 0], q_ora[:, 0])
+    assert encode_video(frames, cfg) == oracle.encode(frames, cfg)
+
+
+def test_exact_dc_quant_arithmetic():
+    """ops/quant.exact_dc_quant == floor(S/sqrt(cube) + bias) exactly, for
+    every supported geometry and bias, against 60-digit decimal."""
+    import decimal
+
+    from dct3d_tpu.ops import quant as quantops
+
+    decimal.getcontext().prec = 60
+    rng = np.random.default_rng(3)
+    for cube in (64, 128, 512, 4096):
+        root = decimal.Decimal(cube).sqrt()
+        for bias in (0.5, 0.3):
+            ss = np.concatenate(
+                [np.arange(64), rng.integers(0, 256 * cube, 512)]
+            ).astype(np.int32)
+            got = np.asarray(
+                quantops.exact_dc_quant(jnp.asarray(ss), cube, bias)
+            )
+            for s, g in zip(ss.tolist(), got.tolist()):
+                want = int(
+                    (decimal.Decimal(s) / root + decimal.Decimal(repr(bias)))
+                    .to_integral_value(rounding=decimal.ROUND_FLOOR)
+                )
+                assert g == want, (cube, bias, s, g, want)
