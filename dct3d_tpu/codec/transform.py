@@ -53,7 +53,11 @@ def _quantize(cubes, enc_t, cfg):
     16.6M values on boundary-adversarial content, all at DC): its cube
     sums are exact integers (< 2^20), so the matmul's DC is replaced with
     the exact fixed-point quantizer — a dozen elementwise int32 ops that
-    fuse into the round epilogue (ops/quant.exact_dc_quant)."""
+    fuse into the round epilogue (ops/quant.exact_dc_quant).
+
+    PRECONDITION: `cubes` are non-negative pixel values (uint8-derived).
+    exact_dc_quant's limb split silently corrupts on negative sums — a
+    future signed level shift must rework it, not just flow through."""
     scaled = jnp.dot(cubes, enc_t, precision=_PRECISION)
     q = _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
     if cfg.cube_size <= 4096:
@@ -274,6 +278,11 @@ class TransformContext:
         self.cfg = cfg or CodecConfig()
         dtype = np.dtype(self.cfg.compute_dtype)
         self.enc_t = jnp.asarray(dct.encode_matrix(self.cfg, dtype))
+        # Pair-permuted encode matrix for the turbo profile (even zigzag
+        # columns first; ops/dct.encode_matrix_pair).  Built eagerly — a
+        # lazy property would capture a tracer if first touched inside a
+        # jit trace, and the constant is only cube^2 floats.
+        self.enc_t_pair = jnp.asarray(dct.encode_matrix_pair(self.cfg, dtype))
         dec_m = dct.decode_matrix(self.cfg, dtype)
         self.dec_m = jnp.asarray(dec_m)
         # Even/odd coefficient-row halves for the split inverse matmul

@@ -62,34 +62,65 @@ MEMBER_TURBO = 5
 MEMBER_TURBO_RGB = (6, 7, 8)
 
 
-def _plane_and_tables(q, slots: int):
+def _plane_and_tables(qp, slots: int):
     """Shared back half of every turbo encode path: coefficients ->
     (nibble plane, dense DC, exception tables).  One body so the
     single-device and sharded encoders cannot drift apart (their
     byte-identity is pinned).
 
-    The DC coefficient (zigzag index 0; divisor max(1, q*0) = 1) is
-    out-of-nibble for essentially every cube, so it ships as a dense int16
-    stream instead of flooding the exception tables."""
-    cube = q.shape[-1]
-    v2 = q.reshape(-1, 2)
-    plane = ((v2[:, 0] & 0xF) | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
-    dc = q.reshape(-1, cube)[:, 0].astype(jnp.int16)
+    qp: (num_cubes, cube) quantized coefficients in PAIR-PERMUTED column
+    order (even zigzag indices first, then odd — ops/dct.
+    encode_matrix_pair), so the two nibble halves are contiguous slices
+    and the pack is pure elementwise.  The flat-pair formulation
+    (q.reshape(-1, 2)) was a 16.6M stride-2 interleave XLA executed
+    near-serially: +12.5 ms per 1080p GOP (tools/profile_turbo.py).
+
+    The DC coefficient (zigzag index 0 = permuted column 0; divisor
+    max(1, q*0) = 1) is out-of-nibble for essentially every cube, so it
+    ships as a dense int16 stream instead of flooding the exception
+    tables.  Exception tables index the PERMUTED flat order; the host
+    converts back via _expand_pair."""
+    cube = qp.shape[-1]
+    half = cube // 2
+    qe, qo = qp[:, :half], qp[:, half:]
+    plane = ((qe & 0xF) | ((qo & 0xF) << 4)).astype(jnp.uint8).reshape(-1)
+    dc = qe[:, 0].astype(jnp.int16)
     lidx, vals, counts, overflow = exceptions.compact_exceptions(
-        q.reshape(-1), slots=slots, dc_stride=cube
+        qp.reshape(-1), slots=slots, dc_stride=cube
     )
     return plane, dc, lidx, vals, counts, overflow
 
 
+def _expand_pair(lidx, vals, counts, cube: int):
+    """Host half: device tables over the PAIR-PERMUTED flat order ->
+    sorted original-zigzag-order flat (idx, val) lists.
+
+    Permuted flat p = c*cube + pk maps to zigzag j = 2*pk for
+    pk < cube/2, else 2*(pk - cube/2) + 1; exception lists are tiny
+    (~0.2-1.5% of values), so the conversion + sort is host noise."""
+    p_idx, val = exceptions.expand_exceptions_np(
+        np.asarray(lidx), np.asarray(vals), np.asarray(counts)
+    )
+    half = cube // 2
+    c, pk = np.divmod(p_idx, cube)
+    j = np.where(pk < half, 2 * pk, 2 * (pk - half) + 1)
+    idx = c * cube + j
+    order = np.argsort(idx)
+    return idx[order], val[order]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "slots"))
-def encode_step_turbo(frames, enc_t, *, cfg, slots):
+def encode_step_turbo(frames, enc_t_pair, *, cfg, slots):
     """(T, H, W) uint8 -> (nibble plane, dense DC, exception tables).
+
+    enc_t_pair: TransformContext.enc_t_pair (pair-permuted columns); the
+    quantized integers are bit-identical to the reference profile's.
 
     plane: (n/2,) uint8, two zigzag coefficients per byte (low nibble =
     even index) — the decode transport layout; the WIRE stores its
     coefficient-pair-major transpose (see _member_payload).
     """
-    return _plane_and_tables(_frames_to_q(frames, enc_t, cfg), slots)
+    return _plane_and_tables(_frames_to_q(frames, enc_t_pair, cfg), slots)
 
 
 def _compress(data: bytes, cfg: CodecConfig) -> bytes:
@@ -243,15 +274,13 @@ class TurboEncoder:
 
     def _drain_gop(self, frames_dev, t) -> bytes:
         plane, dc, lidx, vals, counts, overflow = encode_step_turbo(
-            frames_dev, self.ctx.enc_t, cfg=self.cfg, slots=self.slots
+            frames_dev, self.ctx.enc_t_pair, cfg=self.cfg, slots=self.slots
         )
         if bool(overflow):
             plane, dc, lidx, vals, counts, _ = encode_step_turbo(
-                frames_dev, self.ctx.enc_t, cfg=self.cfg, slots=256
+                frames_dev, self.ctx.enc_t_pair, cfg=self.cfg, slots=256
             )
-        idx, val = exceptions.expand_exceptions_np(
-            np.asarray(lidx), np.asarray(vals), np.asarray(counts)
-        )
+        idx, val = _expand_pair(lidx, vals, counts, self.cfg.cube_size)
         payload = _member_payload(
             np.asarray(plane), np.asarray(dc), idx, val, self.cfg
         )
@@ -358,11 +387,11 @@ class TurboShardedEncoder:
 
         cfg_ = _dc.replace(self.cfg, transport_delta=False)
 
-        def _shard(frames, enc_t, *, slots):
+        def _shard(frames, enc_t_pair, *, slots):
             import jax as _jax
 
             plane, dc, lidx, vals, counts, ovf = _plane_and_tables(
-                _frames_to_q(frames, enc_t, cfg_), slots
+                _frames_to_q(frames, enc_t_pair, cfg_), slots
             )
             any_ovf = _jax.lax.psum(
                 ovf.astype(jnp.int32), (GOP_AXIS, TILE_AXIS)
@@ -401,19 +430,22 @@ class TurboShardedEncoder:
         for i in range(0, t, step_t):
             fd = jax.device_put(frames[i : i + step_t], self._sharding)
             plane, dc, lidx, vals, counts, ovf = self._step[self.slots](
-                fd, self.ctx.enc_t
+                fd, self.ctx.enc_t_pair
             )
             if bool(np.asarray(ovf)):
                 worst = self._step.setdefault(256, self._build(256))
-                plane, dc, lidx, vals, counts, _ = worst(fd, self.ctx.enc_t)
+                plane, dc, lidx, vals, counts, _ = worst(
+                    fd, self.ctx.enc_t_pair
+                )
             # Gathered arrays are in global value order; slice per GOP and
             # emit members identical to the single-device encoder's.
             plane_h = np.asarray(jax.device_get(plane)).reshape(-1)
             dc_h = np.asarray(dc).reshape(-1)
-            idx, val = exceptions.expand_exceptions_np(
+            idx, val = _expand_pair(
                 np.asarray(lidx).reshape(-1, np.asarray(lidx).shape[-1]),
                 np.asarray(vals).reshape(-1, np.asarray(vals).shape[-1]),
                 np.asarray(counts).reshape(-1),
+                self.cfg.cube_size,
             )
             npg = self.width * self.height * self.cfg.gop_size
             cpg = npg // self.cfg.cube_size  # cubes per GOP

@@ -90,6 +90,27 @@ def encode_matrix(cfg: CodecConfig, dtype=np.float32) -> np.ndarray:
     return np.ascontiguousarray(enc.T).astype(dtype)
 
 
+def encode_matrix_pair(cfg: CodecConfig, dtype=np.float32) -> np.ndarray:
+    """encode_matrix with its output columns PAIR-PERMUTED: even zigzag
+    indices first (0, 2, ..., cube-2), then odd (1, 3, ...).
+
+    round(x_cubes @ Ep) yields quantized coefficients whose even/odd zigzag
+    halves are CONTIGUOUS column slices — the turbo profile's nibble pack
+    becomes a pure elementwise op on the two halves instead of a 16.6M
+    stride-2 interleave XLA executes near-serially (~12 ms per 1080p GOP,
+    tools/profile_turbo.py).  Column values are identical to
+    encode_matrix's (same f64 build, same cast), so each quantized integer
+    is bit-identical to the reference profile's — only the column ORDER
+    differs, and the pair permutation keeps DC at column 0 (the exact-DC
+    epilogue in codec/transform._quantize applies unchanged)."""
+    enc, _ = _matrices_f64(
+        cfg.block_w, cfg.block_h, cfg.block_d, cfg.quant_strength
+    )
+    cube = enc.shape[0]
+    perm = np.concatenate([np.arange(0, cube, 2), np.arange(1, cube, 2)])
+    return np.ascontiguousarray(enc.T[:, perm]).astype(dtype)
+
+
 def decode_matrix(cfg: CodecConfig, dtype=np.float32) -> np.ndarray:
     """(cube, cube) matrix D^T such that v_zig @ D^T reconstructs pixel cubes
     (before the [0, 255] clamp) from quantized zigzag-order integers."""

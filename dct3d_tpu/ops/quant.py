@@ -55,11 +55,25 @@ def exact_dc_quant(sums, cube: int, bias: float):
     38..70-bit product S*K + B evaluates in 12-bit limbs — a dozen
     elementwise int32 ops on a (num_cubes,) vector, no gathers, no sqrt.
 
-    Exactness: floor((S*K + B)/2^50) == floor(S/sqrt(cube) + bias) unless
-    the true value sits within 2^-50 of a boundary (never observed; the
-    float64 oracle itself only resolves ~2^-40 there).  Requires S >= 0
-    (pixels are uint8) and cube <= 4096 so S < 2^20.
+    Exactness: K truncates 1/sqrt(cube), so the fixed-point value sits
+    S*delta/2^50 below the true S/sqrt(cube) with delta < 1 — up to ~2^-30
+    for S near 2^20, NOT 2^-50.  floor() still agrees because the true
+    value keeps its distance from the rounding boundary: for non-square
+    `cube`, S/sqrt(cube) + bias is irrational for integer S > 0 and its
+    boundary distance is >= ~2^-26 over this range (continued-fraction
+    bound on the quadratic irrational; the float64 oracle resolves ~2^-40
+    there), and for perfect-square `cube` with half-integer bias the value
+    is an exact multiple of 2^-51, where delta = 0 means no error at all.
+    Re-check this margin before scaling S past 2^20 or using non-quadratic
+    divisor geometry.  Requires S >= 0 (pixels are uint8; asserted below —
+    a signed level shift would corrupt the limb split silently), bias >= 0,
+    and cube <= 4096 so S < 2^20.
     """
+    if bias < 0:
+        raise ValueError(
+            "exact_dc_quant requires bias >= 0 (B's limb split assumes a "
+            "non-negative fixed-point constant)"
+        )
     K = math.isqrt((1 << (2 * _DC_FRAC_BITS)) // cube)
     B = int(bias * (1 << _DC_FRAC_BITS))
     s1 = sums >> 10

@@ -69,6 +69,75 @@ def test_compact_exceptions_worst_case_dense(rng):
     np.testing.assert_array_equal(val, wval)
 
 
+@pytest.mark.parametrize("dc_stride", [0, 512, 64, 96])
+def test_compact_exceptions_pallas_matches_einsum(rng, dc_stride):
+    """The TPU kernel (interpret mode) and the einsum fallback agree
+    table-for-table, including the dc exclusion (pow2 and non-pow2)."""
+    import jax.numpy as jnp
+
+    n = 1536 * 256  # six whole grid blocks (the pad case has its own test)
+    vals = np.where(
+        rng.random(n) < 0.02,
+        rng.integers(-5771, 5772, n),
+        rng.integers(-8, 8, n),
+    ).astype(np.int32)
+    vals[::512] = 4096  # dense DC-like outliers exercise the exclusion
+    vj = jnp.asarray(vals)
+    want = exceptions.compact_exceptions(
+        vj, slots=16, dc_stride=dc_stride, impl="einsum"
+    )
+    got = exceptions.compact_exceptions(
+        vj, slots=16, dc_stride=dc_stride, impl="pallas_interpret"
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_compact_exceptions_pallas_grid_pad(rng):
+    """A group count that is not a multiple of the kernel grid block
+    exercises the zero-group pad (and the padded counts must read 0)."""
+    import jax.numpy as jnp
+
+    n = 300 * 256  # 300 groups: 256 + 44 -> pads to 512
+    vals = np.where(
+        rng.random(n) < 0.05,
+        rng.integers(-200, 201, n),
+        rng.integers(-8, 8, n),
+    ).astype(np.int32)
+    vj = jnp.asarray(vals)
+    want = exceptions.compact_exceptions(vj, slots=16, impl="einsum")
+    got = exceptions.compact_exceptions(vj, slots=16, impl="pallas_interpret")
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_expand_pair_roundtrip(rng):
+    """_expand_pair inverts the pair permutation: exceptions listed over
+    the permuted flat order come back as sorted original-zigzag indices."""
+    cube = 512
+    cubes = 7
+    q = np.where(
+        rng.random(cubes * cube) < 0.03,
+        rng.integers(-300, 301, cubes * cube),
+        rng.integers(-8, 8, cubes * cube),
+    ).astype(np.int32).reshape(cubes, cube)
+    half = cube // 2
+    qp = np.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
+    import jax.numpy as jnp
+
+    lidx, v, counts, ovf = exceptions.compact_exceptions(
+        jnp.asarray(qp.reshape(-1)), slots=64, dc_stride=cube
+    )
+    assert not bool(ovf)
+    idx, val = turbo._expand_pair(lidx, v, counts, cube)
+    mask = (q.reshape(-1) < -8) | (q.reshape(-1) > 7)
+    mask[::cube] = False  # DC rides the dense stream
+    widx = np.flatnonzero(mask)
+    np.testing.assert_array_equal(idx, widx)
+    np.testing.assert_array_equal(val, q.reshape(-1)[widx])
+    assert half == 256  # geometry assumed above
+
+
 def test_turbo_pixels_identical_to_reference():
     cfg = CodecConfig()
     video = synthetic_video(16, 32, 40, seed=31)

@@ -62,17 +62,19 @@ def main() -> None:
 
     @jax.jit
     def stage_transform(f):
-        return _frames_to_q(f, ctx.enc_t, cfg).sum()
+        return _frames_to_q(f, ctx.enc_t_pair, cfg).sum()
 
     @jax.jit
     def stage_plane(f):
-        q = _frames_to_q(f, ctx.enc_t, cfg)
-        v2 = q.reshape(-1, 2)
-        plane = ((v2[:, 0] & 0xF) | ((v2[:, 1] & 0xF) << 4)).astype(jnp.uint8)
+        qp = _frames_to_q(f, ctx.enc_t_pair, cfg)
+        half = qp.shape[-1] // 2
+        qe, qo = qp[:, :half], qp[:, half:]
+        plane = ((qe & 0xF) | ((qo & 0xF) << 4)).astype(jnp.uint8)
         return plane.sum(dtype=jnp.uint32)
 
     def stage_full(f):
-        return encode_step_turbo(f, ctx.enc_t, cfg=cfg, slots=DEFAULT_SLOTS)
+        return encode_step_turbo(f, ctx.enc_t_pair, cfg=cfg,
+                                 slots=DEFAULT_SLOTS)
 
     prev = 0.0
     for name, fn in [("transform", stage_transform),

@@ -57,8 +57,8 @@ def main() -> int:
         return wire, dc, lidx, vals, counts, ovf
 
     fd = jnp.asarray(frames)
-    base = turbo.encode_step_turbo(fd, ctx.enc_t, cfg=cfg, slots=16)
-    pm = step_pairmajor(fd, ctx.enc_t, cfg=cfg, slots=16)
+    base = turbo.encode_step_turbo(fd, ctx.enc_t_pair, cfg=cfg, slots=16)
+    pm = step_pairmajor(fd, ctx.enc_t_pair, cfg=cfg, slots=16)
     hc = cfg.cube_size // 2
     want = np.ascontiguousarray(np.asarray(base[0]).reshape(-1, hc).T)
     got = np.asarray(pm[0])
@@ -72,7 +72,7 @@ def main() -> int:
         best = 1e9
         for _ in range(r):
             t0 = time.perf_counter()
-            outs = [fn(fd, ctx.enc_t, cfg=cfg, slots=16) for _ in range(k)]
+            outs = [fn(fd, ctx.enc_t_pair, cfg=cfg, slots=16) for _ in range(k)]
             for o in outs:
                 np.asarray(o[0]).ravel()[:1]  # force D2H of the plane
             best = min(best, (time.perf_counter() - t0) / k)
