@@ -196,22 +196,23 @@ def _load_footage(args):
     inp = args.input
     if inp == "-":
         # Pipe ingestion (e.g. ffmpeg -f rawvideo ... - | dct3d encode -):
-        # geometry from flags, footage read whole (frame count is unknowable
-        # up front on a pipe; the reference Java encoder also buffers whole
-        # files, Encoder.java:44-56).
+        # geometry from flags; frames STREAM through a fixed batch buffer
+        # (io/rawvideo.StreamFrames — the C encoder's bounded-memory loop,
+        # encoder.c:203-278), so an arbitrarily long pipe encodes at
+        # constant RSS.  Modes that need the whole footage resident
+        # (--rgb/--pad) or the frame count up front (--index) fall back to
+        # whole-pipe buffering in cmd_encode.
         if args.width is None or args.height is None:
             print("stdin input needs explicit width and height",
                   file=sys.stderr)
             raise SystemExit(2)
+        from .io import rawvideo
+
         channels = 3 if args.rgb else 1
-        raw = sys.stdin.buffer.read()
-        fsz = args.width * args.height * channels
-        n = len(raw) // fsz
-        video = np.frombuffer(raw[: n * fsz], np.uint8).reshape(
-            (n, args.height, args.width, 3) if args.rgb
-            else (n, args.height, args.width)
+        stream = rawvideo.StreamFrames(
+            sys.stdin.buffer, args.width, args.height, channels
         )
-        return video, args.width, args.height
+        return stream, args.width, args.height
     is_png = (
         os.path.isdir(inp)
         or any(c in inp for c in "*?[")
@@ -279,6 +280,12 @@ def cmd_encode(args) -> int:
         print("raw input needs explicit width and height", file=sys.stderr)
         return 2
     channels = 3 if args.rgb else 1
+    stream = video if isinstance(video, rawvideo.StreamFrames) else None
+    if stream is not None and (args.rgb or args.pad or args.index):
+        # These modes need the whole footage resident (--rgb channel
+        # passes, --pad copies) or the frame count up front (--index
+        # member header): fall back to whole-pipe buffering.
+        video, stream = stream.read_all(), None
     if args.pad:
         from .io.pad import pad_frames, padded_geometry
 
@@ -323,19 +330,25 @@ def cmd_encode(args) -> int:
             f"{len(data)} bytes in {dt:.2f}s ({t / dt:.1f} fps)"
         )
         return 0
-    if video is not None:
+    if stream is not None:
+        total = None  # a pipe's length is unknowable up front
+    elif video is not None:
         total = video.shape[0]
     else:
         total = rawvideo.frame_count(args.input, width, height)
-    frames = total if args.frames is None else min(args.frames, total)
-    frames -= frames % cfg.gop_size
-    if frames == 0:
-        print(
-            f"nothing to encode: input holds fewer than one GOP "
-            f"({cfg.gop_size} frames; reference truncates the same way, "
-            "Encoder.java:39-40)", file=sys.stderr,
-        )
-        return 2
+    if total is None:
+        frames = args.frames  # None = until EOF; tail trims per batch
+    else:
+        frames = total if args.frames is None else min(args.frames, total)
+    if frames is not None:
+        frames -= frames % cfg.gop_size
+        if frames == 0:
+            print(
+                f"nothing to encode: input holds fewer than one GOP "
+                f"({cfg.gop_size} frames; reference truncates the same way, "
+                "Encoder.java:39-40)", file=sys.stderr,
+            )
+            return 2
     if args.turbo:
         if args.checkpoint_every:
             if args.mesh:
@@ -359,7 +372,7 @@ def cmd_encode(args) -> int:
             dt = time.perf_counter() - t0
             written = os.path.getsize(args.output)
             print(
-                f"encoded {frames} frames -> {written} bytes "
+                f"encoded {cenc.frames_done} frames -> {written} bytes "
                 f"(turbo container) in {dt:.2f}s"
             )
             return 0
@@ -371,14 +384,15 @@ def cmd_encode(args) -> int:
             if mesh is None:
                 return 2
             align = cfg.gop_size * mesh.shape["gop"]
-            old, frames = frames, frames - frames % align
-            if frames == 0:
-                print(f"input shorter than one {align}-frame mesh step",
-                      file=sys.stderr)
-                return 2
-            if frames != old:
-                print(f"note: truncating to {frames} frames "
-                      f"(mesh step {align})", file=sys.stderr)
+            if frames is not None:
+                old, frames = frames, frames - frames % align
+                if frames == 0:
+                    print(f"input shorter than one {align}-frame mesh step",
+                          file=sys.stderr)
+                    return 2
+                if frames != old:
+                    print(f"note: truncating to {frames} frames "
+                          f"(mesh step {align})", file=sys.stderr)
             enc = TurboShardedEncoder(width, height, mesh, cfg)
         else:
             enc = TurboEncoder(width, height, cfg)
@@ -390,6 +404,11 @@ def cmd_encode(args) -> int:
                 written += out.write(enc.push(batch))
             written += out.write(enc.finish())
         dt = time.perf_counter() - t0
+        frames = enc.frames_encoded
+        if frames == 0:
+            print(f"nothing to encode: input shorter than one "
+                  f"{align}-frame step", file=sys.stderr)
+            return 2
         say(
             f"encoded {frames} frames {width}x{height} -> {written} bytes "
             f"(turbo, "
@@ -414,8 +433,8 @@ def cmd_encode(args) -> int:
         dt = time.perf_counter() - t0
         written = os.path.getsize(args.output)
         print(
-            f"encoded {frames} frames -> {written} bytes (container) "
-            f"in {dt:.2f}s"
+            f"encoded {cenc.frames_done} frames -> {written} bytes "
+            f"(container) in {dt:.2f}s"
         )
         return 0
     align = cfg.gop_size
@@ -426,15 +445,16 @@ def cmd_encode(args) -> int:
         if mesh is None:
             return 2
         align = cfg.gop_size * mesh.shape["gop"]
-        old = frames
-        frames -= frames % align
-        if frames == 0:
-            print(f"input shorter than one {align}-frame mesh step",
-                  file=sys.stderr)
-            return 2
-        if frames != old:
-            print(f"note: truncating to {frames} frames (mesh step {align})",
-                  file=sys.stderr)
+        if frames is not None:
+            old = frames
+            frames -= frames % align
+            if frames == 0:
+                print(f"input shorter than one {align}-frame mesh step",
+                      file=sys.stderr)
+                return 2
+            if frames != old:
+                print(f"note: truncating to {frames} frames "
+                      f"(mesh step {align})", file=sys.stderr)
         enc = ShardedEncoder(width, height, mesh, cfg)
     else:
         enc = StreamingEncoder(width, height, cfg)
@@ -467,6 +487,11 @@ def cmd_encode(args) -> int:
             out.write(struct.pack("<Q", written))
             written = out.seek(0, os.SEEK_END)
     dt = time.perf_counter() - t0
+    frames = enc.frames_encoded
+    if frames == 0:
+        print(f"nothing to encode: input shorter than one "
+              f"{align}-frame step", file=sys.stderr)
+        return 2
     say(
         f"encoded {frames} frames {width}x{height} -> {written} bytes "
         f"({metrics.bits_per_pixel(written, width, height, frames):.3f} bpp) "
@@ -478,11 +503,14 @@ def cmd_encode(args) -> int:
 
 
 def _frame_batches(args, video, width, height, align, frames, start=0):
-    """Aligned frame batches from in-memory footage or a raw file."""
+    """Aligned frame batches from in-memory footage, a raw file, or a
+    stdin pipe (constant-RSS streaming; frames None = until EOF)."""
     from .io import rawvideo
 
     step = align * args.gops_per_batch
-    if video is not None:
+    if isinstance(video, rawvideo.StreamFrames):
+        yield from video.iter_batches(step, frames, align=align, start=start)
+    elif video is not None:
         for i in range(start, frames, step):
             yield video[i : min(i + step, frames)]
     else:

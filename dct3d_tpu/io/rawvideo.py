@@ -41,6 +41,85 @@ def write_video(path: str, frames: np.ndarray) -> None:
     np.ascontiguousarray(frames, dtype=np.uint8).tofile(path)
 
 
+class StreamFrames:
+    """GOP-aligned batch iteration over a NON-SEEKABLE byte stream (a
+    stdin pipe) holding raw frames — the C encoder's bounded-memory
+    streaming loop (encoder.c:203-278) for ``encode -``.
+
+    Exactly one batch buffer is resident at a time, so encoding an
+    arbitrarily long pipe runs at constant RSS (the previous behavior
+    buffered the whole pipe: an hour of 1080p is ~7.5 GB).  The frame
+    count is unknowable up front; a partial tail is trimmed to whole
+    ``align`` frames, matching the reference's truncate-to-GOP behavior
+    (Encoder.java:39-40).
+    """
+
+    def __init__(self, stream, width: int, height: int, channels: int = 1):
+        self.stream = stream
+        self.width = width
+        self.height = height
+        self.channels = channels
+        self._fsize = width * height * channels
+
+    def _read_exact(self, nbytes: int) -> bytes:
+        """Read up to nbytes; shorter only at EOF (pipes return short
+        reads mid-stream, so one read() call is not enough)."""
+        chunks = []
+        got = 0
+        while got < nbytes:
+            b = self.stream.read(nbytes - got)
+            if not b:
+                break
+            chunks.append(b)
+            got += len(b)
+        return b"".join(chunks)
+
+    def read_all(self) -> np.ndarray:
+        """Whole-pipe buffer — the fallback for modes that need the full
+        footage in memory (--rgb channel passes, --pad)."""
+        raw = self.stream.read()
+        n = len(raw) // self._fsize
+        shape = ((n, self.height, self.width) if self.channels == 1
+                 else (n, self.height, self.width, self.channels))
+        return np.frombuffer(raw[: n * self._fsize], np.uint8).reshape(shape)
+
+    def iter_batches(self, batch_frames: int, max_frames: int | None = None,
+                     align: int | None = None, start: int = 0):
+        """Yield (n, H, W[, C]) uint8 batches of whole-`align` frames.
+
+        `start` frames are read and DISCARDED first (checkpoint resume on
+        a restarted pipe re-feeds from frame 0; pipes cannot seek)."""
+        align = align or batch_frames
+        fsize = self._fsize
+        skip = start * fsize
+        while skip:
+            b = self.stream.read(min(skip, 8 << 20))
+            if not b:
+                return
+            skip -= len(b)
+        done = 0
+        while max_frames is None or done < max_frames:
+            n = batch_frames
+            if max_frames is not None:
+                n = min(n, max_frames - done)
+                n -= n % align
+                if n == 0:
+                    return
+            buf = self._read_exact(n * fsize)
+            got = len(buf) // fsize
+            shape = ((got, self.height, self.width) if self.channels == 1
+                     else (got, self.height, self.width, self.channels))
+            if got < n:  # EOF: trim the tail to whole align-frame groups
+                got -= got % align
+                if got:
+                    yield np.frombuffer(
+                        buf[: got * fsize], np.uint8
+                    ).reshape((got,) + shape[1:])
+                return
+            yield np.frombuffer(buf, np.uint8).reshape(shape)
+            done += got
+
+
 def iter_frame_batches(
     path: str,
     width: int,

@@ -273,3 +273,79 @@ def test_cli_pipe_roundtrip(tmp_path, monkeypatch):
     assert out.buffer.getvalue() == open(dec, "rb").read()
     # seek-dependent flags are rejected on stdout
     assert cli.main(["encode", src, "-", "32", "32", "--index"]) == 2
+
+
+class _OnDemand:
+    """Raw-frame pipe that materializes bytes only when read: a read()
+    with no size argument (i.e. whole-pipe buffering) fails the test, so
+    this pins the constant-RSS contract of `encode -` (VERDICT r2 #3;
+    the C encoder streams through a fixed buffer, encoder.c:203-278)."""
+
+    def __init__(self, nbytes: int, chunk: int = 1 << 16):
+        self.left = nbytes
+        self.pos = 0
+        self.chunk = chunk
+
+    def read(self, n=None):
+        assert n is not None and n > 0, \
+            "encode - must stream bounded reads, never buffer the pipe"
+        n = min(n, self.left, self.chunk)  # pipes return short reads
+        if n == 0:
+            return b""
+        out = (np.arange(self.pos, self.pos + n) % 251).astype(np.uint8)
+        self.pos += n
+        self.left -= n
+        return out.tobytes()
+
+
+def test_cli_stdin_streams_constant_rss(tmp_path, monkeypatch):
+    """stdin encode streams GOP batches (bounded reads, partial tail
+    frame + non-GOP tail frames trimmed) and matches the file encode of
+    the same trimmed footage byte-for-byte."""
+    w = h = 32
+    fsz = w * h
+    # 19 whole frames (not a GOP multiple) plus half a frame of trailing
+    # junk: the encoder must trim to 16 frames.
+    total = 19 * fsz + fsz // 2
+
+    class _Std:
+        buffer = _OnDemand(total)
+
+    monkeypatch.setattr(cli.sys, "stdin", _Std)
+    enc_pipe = str(tmp_path / "p.bin")
+    assert cli.main(["encode", "-", enc_pipe, "32", "32"]) == 0
+    monkeypatch.undo()
+
+    src = str(tmp_path / "s.raw")
+    with open(src, "wb") as f:
+        f.write(_OnDemand(total, chunk=1 << 30).read(19 * fsz))
+    enc_file = str(tmp_path / "f.bin")
+    assert cli.main(["encode", src, enc_file, "32", "32"]) == 0
+    assert open(enc_pipe, "rb").read() == open(enc_file, "rb").read()
+
+
+def test_stream_frames_batches():
+    """StreamFrames unit behavior: align trimming, start skip, bounds."""
+    import io
+
+    from dct3d_tpu.io.rawvideo import StreamFrames
+
+    w, h = 8, 4
+    fsz = w * h
+    frames = np.arange(23 * fsz, dtype=np.uint32).astype(np.uint8)
+    video = frames.reshape(23, h, w)
+
+    def stream():
+        return StreamFrames(io.BytesIO(frames.tobytes()), w, h)
+
+    got = list(stream().iter_batches(8, align=4))
+    assert [b.shape[0] for b in got] == [8, 8, 4]  # tail 23 -> 20
+    np.testing.assert_array_equal(np.concatenate(got), video[:20])
+    # start skips (and still trims the tail)
+    got = list(stream().iter_batches(8, align=4, start=4))
+    np.testing.assert_array_equal(np.concatenate(got), video[4:20])
+    # max_frames bounds the read even mid-stream
+    got = list(stream().iter_batches(8, max_frames=12, align=4))
+    np.testing.assert_array_equal(np.concatenate(got), video[:12])
+    # an empty pipe yields nothing
+    assert list(StreamFrames(io.BytesIO(b""), w, h).iter_batches(8)) == []
