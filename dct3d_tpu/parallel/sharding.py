@@ -317,10 +317,12 @@ class ShardedDecoder:
     materializing the whole video's coefficients: the host entropy stage
     runs step-parallel on a worker pool behind a fast eg_scan boundary
     cursor (like codec/decoder.decode_video), and device steps overlap via
-    a small in-flight window.  The int32 COEFFICIENT arrays (4 B/value
-    before transform) are O(step); the inflated entropy payload (~0.2-1
-    bit/value) and the decoded output frames are still whole-stream
-    resident.
+    a small in-flight window.  EVERYTHING is O(step): the int32
+    coefficient arrays, the inflated entropy payload (a bounded
+    InflateWindow pumps the inflater on demand and drops consumed bytes),
+    and — via decode_stream — the output frames, which yield to the caller
+    per mesh step.  decode() assembles the generator into one array for
+    callers that want the whole video.
     """
 
     def __init__(
@@ -352,13 +354,17 @@ class ShardedDecoder:
             n_gop, 1, n_tile, rows_per_tile * cols, cube
         ).transpose(0, 2, 1, 3, 4).reshape(n_gop, n_tile, -1, cube)
 
-    def decode(self, data: bytes, frames: int,
-               positions: list[int] | None = None) -> np.ndarray:
-        """positions: per-GOP start bit offsets from an index member
+    def decode_stream(self, data: bytes, frames: int,
+                      positions: list[int] | None = None,
+                      _window: "entropy.InflateWindow | None" = None):
+        """Generator: yield (step_t, H, W) uint8 batches, one per mesh
+        step, at O(step) host RSS (bounded inflate window, bounded device
+        in-flight deque, no whole-video output array).
+
+        positions: per-GOP start bit offsets from an index member
         (docs/FORMAT.md); every mesh-step then starts at a known offset and
         the host entropy stage needs no serial scan."""
         import collections
-        import zlib
 
         from .. import native
 
@@ -370,42 +376,65 @@ class ShardedDecoder:
         if positions is not None and len(positions) >= n_steps * n_gop:
             step_positions = positions[::n_gop][:n_steps]
         cps = self.width * self.height * step_t  # coefficients per step
-        out = np.empty((t, self.height, self.width), np.uint8)
         sharding = NamedSharding(self.mesh, P(GOP_AXIS, TILE_AXIS, None, None))
         pending: collections.deque = collections.deque()
+        win = _window or entropy.InflateWindow(data)
 
-        def dispatch(s: int, vals: np.ndarray) -> None:
+        def dispatch(vals: np.ndarray) -> None:
             coeffs = self._relayout(vals, n_gop, n_tile)
             fd = self._step(jax.device_put(coeffs, sharding))
-            pending.append((s, fd))
-            if len(pending) >= 3:
-                drain_one()
+            fd.copy_to_host_async()
+            pending.append(fd)
 
-        def drain_one() -> None:
-            s, fd = pending.popleft()
-            out[s * step_t : (s + 1) * step_t] = np.asarray(
-                jax.device_get(fd)
-            ).reshape(step_t, self.height, self.width)
+        def drain_one() -> np.ndarray:
+            return np.asarray(jax.device_get(pending.popleft())).reshape(
+                step_t, self.height, self.width
+            )
 
-        z = zlib.decompressobj()
-        try:
-            payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
-        except zlib.error as e:
-            raise ValueError(f"corrupt bitstream: {e}") from e
+        hint = cps * self.cfg.stream_budget_bits_per_value
         try:
             if n_steps > 1 and native.load() is not None:
-                for s, (vals, _pos) in enumerate(entropy.parallel_chunks(
-                    payload, cps, n_steps, entropy.decode_values,
+                for vals, _pos in entropy.parallel_chunks_bounded(
+                    win, cps, n_steps, entropy.decode_values,
                     self.entropy_workers, positions=step_positions,
-                )):
-                    dispatch(s, vals)
+                ):
+                    dispatch(vals)
+                    if len(pending) >= 3:
+                        yield drain_one()
             else:
                 pos = 0
-                for s in range(n_steps):
-                    vals, pos = entropy.decode_values(payload, cps, pos)
-                    dispatch(s, vals)
+                for _s in range(n_steps):
+                    win.ensure_bit(pos + hint)
+                    while True:
+                        arr, base = win.array(pos)
+                        try:
+                            vals, rel = entropy.decode_values(
+                                arr, cps, pos - base
+                            )
+                            break
+                        except EOFError:
+                            if not win.pump():
+                                raise
+                    pos = rel + base
+                    win.drop_before(pos)
+                    dispatch(vals)
+                    if len(pending) >= 3:
+                        yield drain_one()
         except EOFError:
             raise EOFError("bitstream too short")
         while pending:
-            drain_one()
+            yield drain_one()
+
+    def decode(self, data: bytes, frames: int,
+               positions: list[int] | None = None) -> np.ndarray:
+        """Whole-video assembly of decode_stream (kept for callers that
+        want one array; long streams should iterate decode_stream)."""
+        n_gop = self.mesh.shape[GOP_AXIS]
+        step_t = self.cfg.gop_size * n_gop
+        t = frames - frames % step_t
+        out = np.empty((t, self.height, self.width), np.uint8)
+        a0 = 0
+        for batch in self.decode_stream(data, frames, positions):
+            out[a0 : a0 + batch.shape[0]] = batch
+            a0 += batch.shape[0]
         return out

@@ -160,6 +160,59 @@ def test_sharded_decoder_streams_multi_step():
     np.testing.assert_array_equal(got, want)
 
 
+def test_sharded_decode_stream_bounded_rss():
+    """decode_stream yields per-step batches at O(step) RSS: the inflate
+    window's high-water mark stays near one in-flight span, far below the
+    whole payload (VERDICT r2 #5)."""
+    from dct3d_tpu.codec import entropy
+    from dct3d_tpu.codec.decoder import decode_video
+
+    m = _mesh_or_skip(2, 1)
+    cfg = CodecConfig()
+    clip = synthetic_video(8 * 2 * 12, 64, 64, seed=41)  # 12 mesh steps
+    data = encode_video(clip, cfg)
+    want = decode_video(data, 64, 64, clip.shape[0], cfg)
+    # Tiny pump chunks so the window only grows on demand; 2 workers pin
+    # the in-flight span (the bound is O(workers * step), not O(stream)).
+    win = entropy.InflateWindow(data, chunk_bytes=1024)
+    dec = ShardedDecoder(64, 64, m, cfg, entropy_workers=2)
+    batches = list(dec.decode_stream(data, clip.shape[0], _window=win))
+    assert [b.shape[0] for b in batches] == [16] * 12
+    np.testing.assert_array_equal(np.concatenate(batches), want)
+    # Whole inflated payload would be ~total_bits/8; a bounded window on a
+    # 12-step stream with 2 workers must hold well under half of it.
+    whole = len(__import__("zlib").decompress(data))
+    assert win.max_held < whole // 2, (win.max_held, whole)
+
+
+def test_sharded_decode_stream_indexed_and_serial():
+    """The indexed path (no scan) and the no-native serial fallback both
+    produce identical frames through the bounded window."""
+    from unittest import mock
+
+    from dct3d_tpu import native
+    from dct3d_tpu.codec.decoder import decode_video
+    from dct3d_tpu.codec.encoder import StreamingEncoder
+    from dct3d_tpu.parallel.multihost import gop_positions
+
+    m = _mesh_or_skip(2, 1)
+    cfg = CodecConfig()
+    clip = synthetic_video(8 * 2 * 3, 64, 64, seed=43)
+    enc = StreamingEncoder(64, 64, cfg)
+    stream = enc.push(clip) + enc.finish()
+    positions = gop_positions(
+        enc.gop_bit_ends, clip.shape[0] // cfg.gop_size, cfg.gop_size,
+        clip.shape[0],
+    )
+    want = decode_video(stream, 64, 64, clip.shape[0], cfg)
+    dec = ShardedDecoder(64, 64, m, cfg)
+    got = dec.decode(stream, clip.shape[0], positions=positions)
+    np.testing.assert_array_equal(got, want)
+    with mock.patch.object(native, "load", lambda: None):
+        got2 = ShardedDecoder(64, 64, m, cfg).decode(stream, clip.shape[0])
+    np.testing.assert_array_equal(got2, want)
+
+
 def test_cli_mesh_encode_decode(tmp_path):
     """CLI --mesh: sharded encode is byte-identical to single-device encode;
     sharded decode reproduces the single-device decode."""
