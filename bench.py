@@ -142,7 +142,7 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         t0 = time.perf_counter()
         for _ in range(steps):
             r = encode_step_turbo(fj, ctx.enc_t_pair, cfg=cfg,
-                                  slots=DEFAULT_SLOTS)
+                                  slots=DEFAULT_SLOTS, wire=True)
         jax.device_get(r[-2][:1])  # counts: forces the whole step
         return time.perf_counter() - t0
 

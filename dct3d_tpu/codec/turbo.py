@@ -62,7 +62,7 @@ MEMBER_TURBO = 5
 MEMBER_TURBO_RGB = (6, 7, 8)
 
 
-def _plane_and_tables(qp, slots: int):
+def _plane_and_tables(qp, slots: int, wire: bool = False):
     """Shared back half of every turbo encode path: coefficients ->
     (nibble plane, dense DC, exception tables).  One body so the
     single-device and sharded encoders cannot drift apart (their
@@ -79,11 +79,24 @@ def _plane_and_tables(qp, slots: int):
     max(1, q*0) = 1) is out-of-nibble for essentially every cube, so it
     ships as a dense int16 stream instead of flooding the exception
     tables.  Exception tables index the PERMUTED flat order; the host
-    converts back via _expand_pair."""
+    converts back via _expand_pair.
+
+    wire=True emits the plane already in the WIRE's coefficient-pair-major
+    (cube/2, cubes) layout (ops/relayout.plane_to_wire: word transpose +
+    byte peel, +0.38 ms/GOP on a v5e) so _member_payload skips the ~16
+    ms/GOP host byte_transpose entirely; wire=False keeps the flat
+    transport layout (decode-side staging, measurement tools)."""
     cube = qp.shape[-1]
     half = cube // 2
     qe, qo = qp[:, :half], qp[:, half:]
-    plane = ((qe & 0xF) | ((qo & 0xF) << 4)).astype(jnp.uint8).reshape(-1)
+    plane = ((qe & 0xF) | ((qo & 0xF) << 4)).astype(jnp.uint8)
+    if wire:
+        from ..ops.bitpack import _tpu_backend
+        from ..ops.relayout import plane_to_wire
+
+        plane = plane_to_wire(plane, use_pallas=_tpu_backend())
+    else:
+        plane = plane.reshape(-1)
     dc = qe[:, 0].astype(jnp.int16)
     lidx, vals, counts, overflow = exceptions.compact_exceptions(
         qp.reshape(-1), slots=slots, dc_stride=cube
@@ -109,18 +122,21 @@ def _expand_pair(lidx, vals, counts, cube: int):
     return idx[order], val[order]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slots"))
-def encode_step_turbo(frames, enc_t_pair, *, cfg, slots):
+@functools.partial(jax.jit, static_argnames=("cfg", "slots", "wire"))
+def encode_step_turbo(frames, enc_t_pair, *, cfg, slots, wire: bool = False):
     """(T, H, W) uint8 -> (nibble plane, dense DC, exception tables).
 
     enc_t_pair: TransformContext.enc_t_pair (pair-permuted columns); the
     quantized integers are bit-identical to the reference profile's.
 
     plane: (n/2,) uint8, two zigzag coefficients per byte (low nibble =
-    even index) — the decode transport layout; the WIRE stores its
-    coefficient-pair-major transpose (see _member_payload).
+    even index) — the decode transport layout; wire=True (production
+    encode) emits the WIRE's (cube/2, cubes) coefficient-pair-major
+    transpose on device instead (see _plane_and_tables / _member_payload).
     """
-    return _plane_and_tables(_frames_to_q(frames, enc_t_pair, cfg), slots)
+    return _plane_and_tables(
+        _frames_to_q(frames, enc_t_pair, cfg), slots, wire=wire
+    )
 
 
 def _compress(data: bytes, cfg: CodecConfig) -> bytes:
@@ -159,7 +175,8 @@ def _decompress(buf: bytes) -> bytes:
 
 
 def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
-                    val: np.ndarray, cfg: CodecConfig) -> bytes:
+                    val: np.ndarray, cfg: CodecConfig,
+                    wire: bool = False) -> bytes:
     """Member payload: four length-prefixed compressed streams (zstd by
     default, zlib via cfg.turbo_codec; decode sniffs per stream).
 
@@ -171,12 +188,19 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     PERFORMANCE.md), which puts turbo BELOW the reference profile's rate.
     Exception indices are stored in the same coefficient-major order as
     sorted deltas (exceptions cluster by frequency, so deltas are small).
+
+    wire=True: `plane` already IS the (cube/2, cubes) wire layout (emitted
+    on device by encode_step_turbo(wire=True)); skip the host transpose.
     """
     from .. import native
 
     cube = cfg.cube_size
-    cubes = plane.size * 2 // cube
-    wire_plane = native.byte_transpose(plane.reshape(cubes, cube // 2))
+    if wire:
+        wire_plane = np.ascontiguousarray(plane)
+        cubes = wire_plane.shape[1]
+    else:
+        cubes = plane.size * 2 // cube
+        wire_plane = native.byte_transpose(plane.reshape(cubes, cube // 2))
     j = (idx % cube).astype(np.int64)
     c = idx // cube
     i2 = ((j >> 1) * cubes + c) * 2 + (j & 1)
@@ -274,15 +298,17 @@ class TurboEncoder:
 
     def _drain_gop(self, frames_dev, t) -> bytes:
         plane, dc, lidx, vals, counts, overflow = encode_step_turbo(
-            frames_dev, self.ctx.enc_t_pair, cfg=self.cfg, slots=self.slots
+            frames_dev, self.ctx.enc_t_pair, cfg=self.cfg, slots=self.slots,
+            wire=True,
         )
         if bool(overflow):
             plane, dc, lidx, vals, counts, _ = encode_step_turbo(
-                frames_dev, self.ctx.enc_t_pair, cfg=self.cfg, slots=256
+                frames_dev, self.ctx.enc_t_pair, cfg=self.cfg, slots=256,
+                wire=True,
             )
         idx, val = _expand_pair(lidx, vals, counts, self.cfg.cube_size)
         payload = _member_payload(
-            np.asarray(plane), np.asarray(dc), idx, val, self.cfg
+            np.asarray(plane), np.asarray(dc), idx, val, self.cfg, wire=True
         )
         return _member(payload, t, self.member_type)
 
@@ -390,8 +416,12 @@ class TurboShardedEncoder:
         def _shard(frames, enc_t_pair, *, slots):
             import jax as _jax
 
+            # wire=True: each shard emits its (cube/2, local_cubes) wire
+            # slab on device; tiles own contiguous global cube ranges, so
+            # the GOP wire plane is just their column-wise concatenation —
+            # no host byte_transpose anywhere in the sharded drain either.
             plane, dc, lidx, vals, counts, ovf = _plane_and_tables(
-                _frames_to_q(frames, enc_t_pair, cfg_), slots
+                _frames_to_q(frames, enc_t_pair, cfg_), slots, wire=True
             )
             any_ovf = _jax.lax.psum(
                 ovf.astype(jnp.int32), (GOP_AXIS, TILE_AXIS)
@@ -439,7 +469,12 @@ class TurboShardedEncoder:
                 )
             # Gathered arrays are in global value order; slice per GOP and
             # emit members identical to the single-device encoder's.
-            plane_h = np.asarray(jax.device_get(plane)).reshape(-1)
+            # plane: (n_shards, cube/2, local_cubes) wire slabs; the GOP
+            # wire plane is its tiles' column concatenation.
+            hc = self.cfg.cube_size // 2
+            plane_h = np.asarray(jax.device_get(plane)).reshape(
+                n_gop, n_tile, hc, -1
+            )
             dc_h = np.asarray(dc).reshape(-1)
             idx, val = _expand_pair(
                 np.asarray(lidx).reshape(-1, np.asarray(lidx).shape[-1]),
@@ -454,9 +489,9 @@ class TurboShardedEncoder:
                 lo, hi = np.searchsorted(idx, [g * npg, (g + 1) * npg])
                 futs.append(self._pool.submit(
                     _member_payload,
-                    plane_h[g * npg // 2 : (g + 1) * npg // 2],
+                    plane_h[g].transpose(1, 0, 2).reshape(hc, -1),
                     dc_h[g * cpg : (g + 1) * cpg],
-                    idx[lo:hi] - g * npg, val[lo:hi], self.cfg,
+                    idx[lo:hi] - g * npg, val[lo:hi], self.cfg, True,
                 ))
             out.extend(
                 _member(f.result(), self.cfg.gop_size, MEMBER_TURBO)

@@ -71,6 +71,56 @@ def _kernel(x_ref, o_ref):
     o_ref[...] = x.reshape(64, x.shape[-1]).T[None]
 
 
+def _wire_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...].T  # (blk, w32) i32 -> (w32, blk)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def plane_to_wire(plane, use_pallas: bool = True, interpret: bool = False):
+    """(cubes, hc) uint8 transport nibble plane -> (hc, cubes) uint8 wire
+    layout (coefficient-pair-major; docs/FORMAT.md) ON DEVICE.
+
+    A direct uint8 transpose is near-serial on XLA-TPU (+178 ms/GOP at
+    1080p, tools/proto_turbo_pairmajor.py); this is the relayout kernel's
+    word trick instead: bitcast rows to i32 (4 plane bytes per word), 2-D
+    word transpose (Pallas block kernel, or XLA's tiled i32 path with
+    use_pallas=False), then peel the 4 bytes per word with elementwise
+    shifts — wire row 4k+b is byte b of word row k.  No byte-granular
+    shuffle ever runs.
+
+    Replaces the drain pool's host byte_transpose (native/expgolomb.c
+    byte_transpose, ~16 ms/GOP/core at 1080p) when the device emits the
+    wire layout directly (turbo.encode_step_turbo(wire=True))."""
+    cubes, hc = plane.shape
+    w32 = hc // 4
+    words = jax.lax.bitcast_convert_type(
+        plane.reshape(cubes, w32, 4), jnp.int32
+    )  # (cubes, w32): word k of row c = plane bytes [c, 4k:4k+4], LE
+    if use_pallas:
+        # Mosaic wants the transposed block's lane dim %128 (and the input
+        # block's sublane dim %8): pad the cube axis to 128 alignment, tile
+        # in 512-cube blocks, slice the pad back off after the byte peel.
+        cp = -(-cubes // 128) * 128
+        if cp != cubes:
+            words = jnp.pad(words, ((0, cp - cubes), (0, 0)))
+        blk = 512 if cp % 512 == 0 else 128
+        vma = jax.typeof(plane).vma
+        wt = pl.pallas_call(
+            _wire_kernel,
+            grid=(cp // blk,),
+            in_specs=[pl.BlockSpec((blk, w32), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((w32, blk), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((w32, cp), jnp.int32, vma=vma),
+            interpret=interpret,
+        )(words)
+    else:
+        wt = words.T  # (w32, cubes)
+    parts = [((wt >> (8 * b)) & 0xFF).astype(jnp.uint8) for b in range(4)]
+    return jnp.stack(parts, axis=1).reshape(hc, -1)[:, :cubes]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def frames_to_cubes_perm(frames, interpret: bool = False):
     """(T, H, W) uint8 -> (T/8 * H/8 * W/8, 512) uint8, sigma-permuted

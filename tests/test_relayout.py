@@ -47,3 +47,20 @@ def test_supports_gates_geometry():
     assert not relayout.supports(cfg, 1080, 1924)  # width % 8 != 0
     small = CodecConfig(block_d=4, block_h=4, block_w=4)
     assert not relayout.supports(small, 32, 32)
+
+
+@pytest.mark.parametrize("cubes", [32, 128, 1296])
+def test_plane_to_wire_is_the_byte_transpose(rng, cubes):
+    """Both lowerings (XLA word transpose, Pallas block kernel in interpret
+    mode) equal the plain numpy byte transpose of the transport plane."""
+    hc = 256
+    plane = rng.integers(0, 256, (cubes, hc), dtype=np.uint8)
+    want = plane.T
+    got_xla = np.asarray(
+        relayout.plane_to_wire(jnp.asarray(plane), use_pallas=False)
+    )
+    np.testing.assert_array_equal(got_xla, want)
+    got_pl = np.asarray(
+        relayout.plane_to_wire(jnp.asarray(plane), interpret=True)
+    )
+    np.testing.assert_array_equal(got_pl, want)
