@@ -186,6 +186,23 @@ def _make_cli_mesh(spec: str):
     return make_mesh(gop=gop, tile=tile, devices=devs[: gop * tile])
 
 
+def _mesh_align(cfg, mesh, frames):
+    """(align, frames) for a mesh encode: align = gop_size * mesh gop axis;
+    frames truncates to whole mesh steps (None = until EOF — the batch
+    iterators align downstream).  frames == 0 means too-short input; the
+    error is already printed."""
+    align = cfg.gop_size * mesh.shape["gop"]
+    if frames is not None:
+        old, frames = frames, frames - frames % align
+        if frames == 0:
+            print(f"input shorter than one {align}-frame mesh step",
+                  file=sys.stderr)
+        elif frames != old:
+            print(f"note: truncating to {frames} frames "
+                  f"(mesh step {align})", file=sys.stderr)
+    return align, frames
+
+
 def _load_footage(args):
     """Detect and load non-raw input (PNG sequence / y4m stream).
 
@@ -249,10 +266,6 @@ def cmd_encode(args) -> int:
     from .profiling import profile_to
 
     cfg = _cfg_from_args(args)
-    if args.mesh and (args.rgb or args.checkpoint_every):
-        print("--mesh cannot combine with --rgb/--checkpoint-every yet",
-              file=sys.stderr)
-        return 2
     if args.output == "-" and (args.index or args.checkpoint_every):
         print("stdout output cannot combine with --index (needs a seekable "
               "file) or --checkpoint-every (needs fsync/resume)",
@@ -310,21 +323,34 @@ def cmd_encode(args) -> int:
             if getattr(args, flag, None):
                 print(f"warning: --{flag.replace('_', '-')} is not yet "
                       "supported with --rgb and is ignored", file=sys.stderr)
+        mesh = None
+        align = cfg.gop_size
+        if args.mesh:
+            # Three sharded channel streams; members stay byte-identical
+            # to the single-device container (sharding.py invariant).
+            mesh = _make_cli_mesh(args.mesh)
+            if mesh is None:
+                return 2
+            align = cfg.gop_size * mesh.shape["gop"]
         if video is None:
             video = rawvideo.read_video(
                 args.input, width, height, args.frames, channels=3
             )
+        t = video.shape[0] - video.shape[0] % align
+        if t == 0:
+            print(f"input shorter than one {align}-frame step",
+                  file=sys.stderr)
+            return 2
         t0 = time.perf_counter()
         if args.turbo:
             from .codec.turbo import encode_turbo_rgb_video
 
-            data = encode_turbo_rgb_video(video, cfg)
+            data = encode_turbo_rgb_video(video, cfg, mesh=mesh)
         else:
-            data = encode_rgb_video(video, cfg, index=args.index)
+            data = encode_rgb_video(video, cfg, index=args.index, mesh=mesh)
         dt = time.perf_counter() - t0
         with _open_out(args.output) as f:
             f.write(data)
-        t = video.shape[0] - video.shape[0] % cfg.gop_size
         say(
             f"encoded {t} RGB frames {width}x{height} -> "
             f"{len(data)} bytes in {dt:.2f}s ({t / dt:.1f} fps)"
@@ -351,23 +377,28 @@ def cmd_encode(args) -> int:
             return 2
     if args.turbo:
         if args.checkpoint_every:
-            if args.mesh:
-                print("--turbo --checkpoint-every cannot combine with "
-                      "--mesh yet", file=sys.stderr)
-                return 2
             from .codec.checkpoint import CheckpointingEncoder
 
+            mesh = None
+            align = cfg.gop_size
+            if args.mesh:
+                mesh = _make_cli_mesh(args.mesh)
+                if mesh is None:
+                    return 2
+                align, frames = _mesh_align(cfg, mesh, frames)
+                if frames == 0:
+                    return 2
             t0 = time.perf_counter()
             with profile_to(args.profile_dir), CheckpointingEncoder(
                 args.output, width, height, cfg,
                 checkpoint_gops=args.checkpoint_every, turbo=True,
+                mesh=mesh,
             ) as cenc:
                 skip = cenc.frames_done
                 if skip:
                     print(f"resuming at frame {skip}")
                 for batch in _frame_batches(args, video, width, height,
-                                            cfg.gop_size, frames,
-                                            start=skip):
+                                            align, frames, start=skip):
                     cenc.push(batch)
             dt = time.perf_counter() - t0
             written = os.path.getsize(args.output)
@@ -383,16 +414,9 @@ def cmd_encode(args) -> int:
             mesh = _make_cli_mesh(args.mesh)
             if mesh is None:
                 return 2
-            align = cfg.gop_size * mesh.shape["gop"]
-            if frames is not None:
-                old, frames = frames, frames - frames % align
-                if frames == 0:
-                    print(f"input shorter than one {align}-frame mesh step",
-                          file=sys.stderr)
-                    return 2
-                if frames != old:
-                    print(f"note: truncating to {frames} frames "
-                          f"(mesh step {align})", file=sys.stderr)
+            align, frames = _mesh_align(cfg, mesh, frames)
+            if frames == 0:
+                return 2
             enc = TurboShardedEncoder(width, height, mesh, cfg)
         else:
             enc = TurboEncoder(width, height, cfg)
@@ -419,16 +443,26 @@ def cmd_encode(args) -> int:
     if args.checkpoint_every:
         from .codec.checkpoint import CheckpointingEncoder
 
+        mesh = None
+        align = cfg.gop_size
+        if args.mesh:
+            mesh = _make_cli_mesh(args.mesh)
+            if mesh is None:
+                return 2
+            align, frames = _mesh_align(cfg, mesh, frames)
+            if frames == 0:
+                return 2
         t0 = time.perf_counter()
         with profile_to(args.profile_dir), CheckpointingEncoder(
             args.output, width, height, cfg,
             checkpoint_gops=args.checkpoint_every, index=args.index,
+            mesh=mesh,
         ) as cenc:
             skip = cenc.frames_done
             if skip:
                 print(f"resuming at frame {skip}")
             for batch in _frame_batches(args, video, width, height,
-                                        cfg.gop_size, frames, start=skip):
+                                        align, frames, start=skip):
                 cenc.push(batch)
         dt = time.perf_counter() - t0
         written = os.path.getsize(args.output)
@@ -444,17 +478,9 @@ def cmd_encode(args) -> int:
         mesh = _make_cli_mesh(args.mesh)
         if mesh is None:
             return 2
-        align = cfg.gop_size * mesh.shape["gop"]
-        if frames is not None:
-            old = frames
-            frames -= frames % align
-            if frames == 0:
-                print(f"input shorter than one {align}-frame mesh step",
-                      file=sys.stderr)
-                return 2
-            if frames != old:
-                print(f"note: truncating to {frames} frames "
-                      f"(mesh step {align})", file=sys.stderr)
+        align, frames = _mesh_align(cfg, mesh, frames)
+        if frames == 0:
+            return 2
         enc = ShardedEncoder(width, height, mesh, cfg)
     else:
         enc = StreamingEncoder(width, height, cfg)

@@ -65,7 +65,13 @@ class CheckpointingEncoder:
         checkpoint_gops: int = 8,
         index: bool = False,
         turbo: bool = False,
+        mesh=None,
     ) -> None:
+        #: optional (gop, tile) device mesh: members are produced by the
+        #: sharded encoders instead, BYTE-IDENTICAL to the single-device
+        #: members (parallel/sharding.py invariant) — so the .meta sidecar
+        #: does not pin the mesh and a resume may change or drop it freely.
+        self.mesh = mesh
         self.cfg = cfg or CodecConfig()
         self.path = path
         self.width = width
@@ -136,12 +142,17 @@ class CheckpointingEncoder:
         self._since_sync = 0
 
     def _push_turbo(self, frames: np.ndarray) -> None:
-        from .turbo import TurboEncoder
+        from .turbo import TurboEncoder, TurboShardedEncoder
 
         if self._turbo_enc is None:
-            self._turbo_enc = TurboEncoder(
-                self.width, self.height, self.cfg, self.ctx
-            )
+            if self.mesh is not None:
+                self._turbo_enc = TurboShardedEncoder(
+                    self.width, self.height, self.mesh, self.cfg, self.ctx
+                )
+            else:
+                self._turbo_enc = TurboEncoder(
+                    self.width, self.height, self.cfg, self.ctx
+                )
         gop = self.cfg.gop_size
         self._f.write(self._turbo_enc.push(frames))
         self.frames_done += frames.shape[0]
@@ -153,18 +164,33 @@ class CheckpointingEncoder:
             self._sync()
 
     def push(self, frames: np.ndarray) -> None:
-        """Encode a (T, H, W) uint8 batch (T a GOP multiple).  The caller
-        feeds frames starting at ``frames_done`` after a resume."""
+        """Encode a (T, H, W) uint8 batch (T a multiple of the GOP — or,
+        on a mesh, of gop_size * mesh.gop).  The caller feeds frames
+        starting at ``frames_done`` after a resume."""
         if self.turbo:
             return self._push_turbo(frames)
         gop = self.cfg.gop_size
-        for i in range(0, frames.shape[0], gop):
+        step = gop if self.mesh is None else gop * self.mesh.shape["gop"]
+        if frames.shape[0] % step:
+            raise ValueError(
+                f"push expects a multiple of {step} frames "
+                f"(gop_size x mesh gop axis), got {frames.shape[0]}"
+            )
+        for i in range(0, frames.shape[0], step):
             if self._enc is None:
-                self._enc = StreamingEncoder(
-                    self.width, self.height, self.cfg, self.ctx
-                )
-            self._member_chunks.append(self._enc.push(frames[i : i + gop]))
-            self._member_frames += gop
+                if self.mesh is not None:
+                    from ..parallel.sharding import ShardedEncoder
+
+                    self._enc = ShardedEncoder(
+                        self.width, self.height, self.mesh, self.cfg,
+                        self.ctx,
+                    )
+                else:
+                    self._enc = StreamingEncoder(
+                        self.width, self.height, self.cfg, self.ctx
+                    )
+            self._member_chunks.append(self._enc.push(frames[i : i + step]))
+            self._member_frames += step
             if self._member_frames >= self.checkpoint_gops * gop:
                 self._flush_member()
 

@@ -25,13 +25,19 @@ def encode_rgb_video(
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
     index: bool = False,
+    mesh=None,
 ) -> bytes:
     """(T, H, W, 3) uint8 interleaved RGB -> D3MH container (3 members,
     tagged MEMBER_RED/GREEN/BLUE so decode auto-routes without a flag).
 
     index=True follows each channel member with its seekable per-GOP bit
     index member (docs/FORMAT.md), enabling scan-free GOP-parallel entropy
-    decode per channel."""
+    decode per channel.
+
+    mesh: optional (gop, tile) device mesh — each channel stream is then
+    produced by ShardedEncoder, BYTE-IDENTICAL to the single-device member
+    (sharding.py invariant), so the container needs no mesh flag to decode.
+    Frames truncate to whole mesh steps (gop_size * mesh.gop)."""
     from ..parallel.multihost import (
         MEMBER_BLUE, MEMBER_GREEN, MEMBER_RED, _member, make_index_member,
     )
@@ -40,17 +46,28 @@ def encode_rgb_video(
     cfg = cfg or CodecConfig()
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError("expected (T, H, W, 3) interleaved RGB")
-    t = frames.shape[0] - frames.shape[0] % cfg.gop_size
+    align = cfg.gop_size if mesh is None else cfg.gop_size * mesh.shape["gop"]
+    t = frames.shape[0] - frames.shape[0] % align
+    if t == 0:
+        raise ValueError(f"input shorter than one {align}-frame step")
     out = []
     for c, mtype in enumerate((MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE)):
         plane = np.ascontiguousarray(frames[:t, :, :, c])
-        if index:
+        if mesh is not None:
+            from ..parallel.sharding import ShardedEncoder
+
+            enc = ShardedEncoder(
+                plane.shape[2], plane.shape[1], mesh, cfg, ctx
+            )
+        elif index:
             enc = StreamingEncoder(plane.shape[2], plane.shape[1], cfg, ctx)
-            data = enc.push(plane) + enc.finish()
-            out.append(_member(data, t, mtype))
-            out.append(make_index_member(enc.gop_bit_ends))
         else:
             out.append(_member(encode_video(plane, cfg, ctx), t, mtype))
+            continue
+        data = enc.push(plane) + enc.finish()
+        out.append(_member(data, t, mtype))
+        if index:
+            out.append(make_index_member(enc.gop_bit_ends))
     return b"".join(out)
 
 

@@ -381,7 +381,8 @@ class TurboShardedEncoder:
     """
 
     def __init__(self, width, height, mesh, cfg=None, ctx=None,
-                 slots: int = exceptions.DEFAULT_SLOTS):
+                 slots: int = exceptions.DEFAULT_SLOTS,
+                 member_type: int = MEMBER_TURBO):
         from jax.sharding import NamedSharding, PartitionSpec as P
         try:
             from jax import shard_map
@@ -390,6 +391,7 @@ class TurboShardedEncoder:
 
         from ..parallel.mesh import GOP_AXIS, TILE_AXIS
 
+        self.member_type = member_type
         self.cfg = cfg or CodecConfig()
         self.cfg.validate_geometry(width, height)
         self.width = width
@@ -494,11 +496,17 @@ class TurboShardedEncoder:
                     idx[lo:hi] - g * npg, val[lo:hi], self.cfg, True,
                 ))
             out.extend(
-                _member(f.result(), self.cfg.gop_size, MEMBER_TURBO)
+                _member(f.result(), self.cfg.gop_size, self.member_type)
                 for f in futs
             )
             self.frames_encoded += step_t
         return b"".join(out)
+
+    def drain(self) -> bytes:
+        """push() already blocks on every member future before returning,
+        so nothing is ever in flight here — kept for interface parity with
+        TurboEncoder (CheckpointingEncoder drains before each fsync)."""
+        return b""
 
     def finish(self) -> bytes:
         self._pool.shutdown(wait=True)
@@ -665,19 +673,31 @@ def encode_turbo_rgb_video(
     frames: np.ndarray,
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
+    mesh=None,
 ) -> bytes:
     """(T, H, W, 3) interleaved RGB -> turbo container: per channel, one
     type-6/7/8 member per GOP (channel-major member order, like the
-    reference-profile RGB container)."""
+    reference-profile RGB container).
+
+    mesh: optional (gop, tile) device mesh — channels encode through
+    TurboShardedEncoder (members byte-identical to single-device); frames
+    truncate to whole mesh steps."""
     cfg = cfg or CodecConfig()
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError("expected (T, H, W, 3) interleaved RGB")
     ctx = ctx or TransformContext(cfg)
-    t = frames.shape[0] - frames.shape[0] % cfg.gop_size
+    align = cfg.gop_size if mesh is None else cfg.gop_size * mesh.shape["gop"]
+    t = frames.shape[0] - frames.shape[0] % align
+    if t == 0:
+        raise ValueError(f"input shorter than one {align}-frame step")
     out = []
     for c, mtype in enumerate(MEMBER_TURBO_RGB):
-        enc = TurboEncoder(frames.shape[2], frames.shape[1], cfg, ctx,
-                           member_type=mtype)
+        if mesh is not None:
+            enc = TurboShardedEncoder(frames.shape[2], frames.shape[1],
+                                      mesh, cfg, ctx, member_type=mtype)
+        else:
+            enc = TurboEncoder(frames.shape[2], frames.shape[1], cfg, ctx,
+                               member_type=mtype)
         plane = np.ascontiguousarray(frames[:t, :, :, c])
         out.append(enc.push(plane) + enc.finish())
     return b"".join(out)

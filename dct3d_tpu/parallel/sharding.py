@@ -93,6 +93,31 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_encode_step(mesh: Mesh, cfg: CodecConfig, max_bytes: int,
+                        mesh_shape: tuple, tight: bool):
+    """Process-wide cache of the jitted sharded encode step (Mesh and the
+    frozen CodecConfig are both hashable).  CheckpointingEncoder builds a
+    fresh ShardedEncoder per member; without this cache every member would
+    re-trace and re-compile the shard_map program."""
+    fn = shard_map(
+        functools.partial(
+            _encode_shard, cfg=cfg, max_bytes=max_bytes,
+            mesh_shape=mesh_shape, tight=tight,
+        ),
+        mesh=mesh,
+        in_specs=(P(GOP_AXIS, TILE_AXIS, None), P(), P()),
+        out_specs=(
+            P((GOP_AXIS, TILE_AXIS)),
+            P((GOP_AXIS, TILE_AXIS)),
+            P((GOP_AXIS, TILE_AXIS)),
+            P(),
+            P(),
+        ),
+    )
+    return jax.jit(fn)
+
+
 class ShardedEncoder:
     """Multi-device streaming encoder.
 
@@ -124,32 +149,15 @@ class ShardedEncoder:
             )
         self._mesh_shape = (n_gop, n_tile)
         self._sharding = NamedSharding(mesh, P(GOP_AXIS, TILE_AXIS, None))
-        self._jitted: dict[int, object] = {}
         #: absolute bit position after each GOP (seekable index, same
         #: contract as StreamingEncoder.gop_bit_ends); complete after push.
         self.gop_bit_ends: list[int] = []
         self._abs_end = 0
 
     def _step_fn(self, max_bytes: int, tight: bool = True):
-        key = (max_bytes, tight)
-        if key not in self._jitted:
-            fn = shard_map(
-                functools.partial(
-                    _encode_shard, cfg=self.cfg, max_bytes=max_bytes,
-                    mesh_shape=self._mesh_shape, tight=tight,
-                ),
-                mesh=self.mesh,
-                in_specs=(P(GOP_AXIS, TILE_AXIS, None), P(), P()),
-                out_specs=(
-                    P((GOP_AXIS, TILE_AXIS)),
-                    P((GOP_AXIS, TILE_AXIS)),
-                    P((GOP_AXIS, TILE_AXIS)),
-                    P(),
-                    P(),
-                ),
-            )
-            self._jitted[key] = jax.jit(fn)
-        return self._jitted[key]
+        return _jitted_encode_step(
+            self.mesh, self.cfg, max_bytes, self._mesh_shape, tight
+        )
 
     def push(self, frames: np.ndarray) -> bytes:
         """Encode frames; T must be a multiple of gop_size * mesh.gop.

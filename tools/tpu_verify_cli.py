@@ -103,6 +103,24 @@ def run() -> None:
     main(["decode", f"{W}/odd.bin", f"{W}/odd_dec.raw", "64", "48", "8",
           "--crop", "60x45"])
 
+    # mesh feature matrix (1x1 — the only mesh one real chip offers; the
+    # multi-device combos are pinned on the CPU mesh in
+    # tests/test_mesh_matrix.py).  Serial sink so bytes match exactly.
+    main(["encode", f"{W}/c.rgb", f"{W}/cm.d3v", "64", "64", "--rgb",
+          "--mesh", "1x1", "--deflate-workers", "0"])
+    main(["encode", f"{W}/c.rgb", f"{W}/c0.d3v", "64", "64", "--rgb",
+          "--deflate-workers", "0"])
+    assert rd(f"{W}/cm.d3v") == rd(f"{W}/c0.d3v")
+    main(["encode", f"{W}/src.raw", f"{W}/km.d3mh", "320", "240",
+          "--checkpoint-every", "2", "--mesh", "1x1",
+          "--deflate-workers", "0"])
+    main(["encode", f"{W}/src.raw", f"{W}/k0.d3mh", "320", "240",
+          "--checkpoint-every", "2", "--deflate-workers", "0"])
+    assert rd(f"{W}/km.d3mh") == rd(f"{W}/k0.d3mh")
+    main(["encode", f"{W}/src.raw", f"{W}/tkm.d3t", "320", "240", "--turbo",
+          "--checkpoint-every", "2", "--mesh", "1x1"])
+    assert rd(f"{W}/tkm.d3t") == rd(f"{W}/ck.d3t")
+
     print("tpu_verify_cli: ALL STEPS OK", flush=True)
 
 
