@@ -45,7 +45,12 @@ def _cfg_from_args(args) -> CodecConfig:
         transport_delta=getattr(args, "transport_delta", False),
         zlib_level=level,
         deflate_workers=0 if getattr(args, "parity", False) else args.deflate_workers,
+        compute_dtype=_norm_dtype(getattr(args, "dtype", "float32")),
     )
+
+
+def _norm_dtype(d: str) -> str:
+    return {"bf16": "bfloat16", "f32": "float32"}.get(d, d)
 
 
 def _add_codec_args(p: argparse.ArgumentParser) -> None:
@@ -92,6 +97,14 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "--parity", action="store_true",
         help="byte-exact stream layout vs the serial reference encoder "
         "(same as --deflate-workers 0)",
+    )
+    p.add_argument(
+        "--dtype", default="float32",
+        choices=("float32", "bfloat16", "f32", "bf16"),
+        help="transform matmul dtype: float32 (default) is byte-exact "
+        "reference parity; bfloat16 is the fast profile — the stream stays "
+        "reference-decodable within 0.7 dB (tests/test_pipeline.py pins "
+        "the floor; RD/speed table in PERFORMANCE.md)",
     )
     p.add_argument(
         "--stats", action="store_true",
@@ -245,11 +258,15 @@ def _load_footage(args):
         video = read_png_sequence(inp, frames=args.frames,
                                   gray=not args.rgb)
     elif is_y4m:
-        from .io.y4m import read_y4m
+        from .io.y4m import read_y4m, read_y4m_rgb
 
         if args.rgb:
-            raise SystemExit("--rgb with .y4m is unsupported (luma only)")
-        video, _info = read_y4m(inp, frames=args.frames)
+            # BT.601 limited-range YCbCr -> RGB (4:2:0/422/444 upsampled
+            # by repetition); the three planes then ride the normal RGB
+            # channel-member path.
+            video, _info = read_y4m_rgb(inp, frames=args.frames)
+        else:
+            video, _info = read_y4m(inp, frames=args.frames)
     else:
         return None, args.width, args.height
     h, w = video.shape[1], video.shape[2]
@@ -266,6 +283,10 @@ def cmd_encode(args) -> int:
     from .profiling import profile_to
 
     cfg = _cfg_from_args(args)
+    if args.parity and cfg.compute_dtype != "float32":
+        print("--parity (byte-exact reference layout) cannot combine with "
+              "the lossy --dtype bfloat16 fast profile", file=sys.stderr)
+        return 2
     if args.output == "-" and (args.index or args.checkpoint_every):
         print("stdout output cannot combine with --index (needs a seekable "
               "file) or --checkpoint-every (needs fsync/resume)",
@@ -861,6 +882,17 @@ def cmd_mix(args) -> int:
 def cmd_render(args) -> int:
     from .io import render
 
+    if args.play:
+        # fps-paced playback through an external y4m player — the
+        # RenderVideo.java:54-87 analogue for a headless host.
+        try:
+            return render.play_video(
+                args.input, args.width, args.height, fps=args.fps,
+                channels=3 if args.rgb else 1, player=args.player,
+            )
+        except RuntimeError as e:
+            print(str(e), file=sys.stderr)
+            return 2
     stats = render.video_stats(
         args.input, args.width, args.height, channels=3 if args.rgb else 1
     )
@@ -916,6 +948,7 @@ def cmd_sweep(args) -> int:
                 quant_strength=q, quant_bias=args.quant_bias,
                 zlib_level=args.zlib_level,
                 deflate_workers=args.deflate_workers,
+                compute_dtype=_norm_dtype(args.dtype),
             )
             tt = t - t % cfg.gop_size
             if tt == 0:
@@ -931,6 +964,8 @@ def cmd_sweep(args) -> int:
             row = {
                 "block": block,
                 "quant": q,
+                **({"dtype": cfg.compute_dtype}
+                   if cfg.compute_dtype != "float32" else {}),
                 "bpp": round(metrics.bits_per_pixel(len(data), w, h, tt), 4),
                 "psnr_db": round(metrics.psnr(video[:tt], out), 3),
                 "encode_fps": round(tt / enc_s, 2),
@@ -1015,6 +1050,19 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: first/middle/last; full export matches "
         "RenderVideo.java:54-87 playing every frame)",
     )
+    pr.add_argument(
+        "--play", action="store_true",
+        help="fps-paced playback: pipe the video as y4m into a player "
+        "(ffplay/mpv when a display exists; any y4m-reading command via "
+        "--player) — the reference's RenderVideo playback loop",
+    )
+    pr.add_argument("--fps", type=float, default=30.0,
+                    help="playback rate for --play")
+    pr.add_argument(
+        "--player", default=None,
+        help="player command reading YUV4MPEG2 on stdin "
+        "(default: ffplay, then mpv)",
+    )
     pr.set_defaults(fn=cmd_render)
 
     pw = sub.add_parser(
@@ -1031,6 +1079,11 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--quant-bias", type=float, default=0.5)
     pw.add_argument("--zlib-level", type=int, default=9)
     pw.add_argument("--deflate-workers", type=int, default=-1)
+    pw.add_argument(
+        "--dtype", default="float32",
+        choices=("float32", "bfloat16", "f32", "bf16"),
+        help="transform dtype for the RD rows (bfloat16 = fast profile)",
+    )
     pw.add_argument("--output", default=None, help="write JSON table here")
     pw.add_argument(
         "--turbo", action="store_true",

@@ -80,3 +80,85 @@ def video_stats(path: str, width: int, height: int, channels: int = 1) -> dict:
         "min": int(video.min()),
         "max": int(video.max()),
     }
+
+
+def _rgb_to_ycbcr444(frame: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Interleaved RGB uint8 -> BT.601 limited-range Y, Cb, Cr planes
+    (inverse of y4m._ycbcr_to_rgb, for the playback pipe)."""
+    r = frame[..., 0].astype(np.float32)
+    g = frame[..., 1].astype(np.float32)
+    b = frame[..., 2].astype(np.float32)
+    y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
+    cb = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
+    cr = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
+    return tuple(
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    )
+
+
+_PLAYERS = (
+    "ffplay -autoexit -loglevel error -f yuv4mpeg2pipe -",
+    "mpv --really-quiet -",
+)
+
+
+def play_video(
+    path: str,
+    width: int,
+    height: int,
+    fps: float = 30.0,
+    channels: int = 1,
+    player: str | None = None,
+    frames: int | None = None,
+) -> int:
+    """fps-paced playback: stream the raw video as YUV4MPEG2 into a player
+    process, pacing frames against a deadline clock — the analogue of the
+    reference's Swing playback loop (RenderVideo.java:54-87: render, then
+    sleep the remainder of the frame period).  A TPU host has no display,
+    so the window belongs to whatever player the user points at (ffplay /
+    mpv by default, any y4m-reading command via `player`).
+
+    Grayscale streams as Cmono; RGB converts to C444 BT.601 limited range.
+    Returns the player's exit code; a player closed mid-stream (broken
+    pipe) counts as a normal stop.
+    """
+    import shlex
+    import shutil
+    import subprocess
+    import time
+
+    video = rawvideo.read_video(path, width, height, frames,
+                                channels=channels)
+    cmd = shlex.split(player) if player else None
+    if cmd is None:
+        for cand in _PLAYERS:
+            if shutil.which(cand.split()[0]):
+                cmd = shlex.split(cand)
+                break
+        else:
+            raise RuntimeError(
+                "no video player found (install ffplay or mpv, or pass "
+                "--player 'command reading y4m on stdin')"
+            )
+    chroma = "mono" if channels == 1 else "444"
+    num = int(round(fps * 1000))
+    header = (f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 "
+              f"C{chroma}\n").encode()
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+    t0 = time.perf_counter()
+    try:
+        proc.stdin.write(header)
+        for k in range(video.shape[0]):
+            wait = t0 + k / fps - time.perf_counter()
+            if wait > 0:
+                time.sleep(wait)
+            proc.stdin.write(b"FRAME\n")
+            if channels == 1:
+                proc.stdin.write(video[k].tobytes())
+            else:
+                for plane in _rgb_to_ycbcr444(video[k]):
+                    proc.stdin.write(plane.tobytes())
+        proc.stdin.close()
+    except BrokenPipeError:  # window closed mid-stream: a normal stop
+        pass
+    return proc.wait()

@@ -80,3 +80,62 @@ def read_y4m(path: str, frames: int | None = None) -> tuple[np.ndarray, dict]:
     if not out:
         raise ValueError(f"{path}: no complete frames")
     return np.stack(out), info
+
+
+def read_y4m_rgb(path: str,
+                 frames: int | None = None) -> tuple[np.ndarray, dict]:
+    """(T, H, W, 3) uint8 interleaved RGB + the header info.
+
+    YCbCr -> RGB via BT.601 limited range (the y4m default; ffmpeg's
+    yuv4mpegpipe emits it unless XCOLORRANGE=FULL, which is rare enough to
+    ignore); subsampled chroma upsamples by sample repetition — the codec
+    re-quantizes everything anyway, so a fancier filter buys nothing.
+    Cmono streams reject: encode them without --rgb instead."""
+    info = probe_y4m(path)
+    w, h = info["width"], info["height"]
+    div = _CHROMA_DIV[info["chroma"]]
+    if div is None:
+        raise ValueError(
+            f"{path}: Cmono stream has no chroma; encode without --rgb"
+        )
+    cw, ch = w // div[0], h // div[1]
+    luma, cplane = w * h, cw * ch
+    out = []
+    with open(path, "rb") as f:
+        f.readline()
+        while frames is None or len(out) < frames:
+            frame_hdr = f.readline()
+            if not frame_hdr:
+                break
+            if not frame_hdr.startswith(b"FRAME"):
+                raise ValueError(f"{path}: bad FRAME marker")
+            buf = f.read(luma + 2 * cplane)
+            if len(buf) < luma + 2 * cplane:
+                break
+            y = np.frombuffer(buf, np.uint8, luma).reshape(h, w)
+            cb = np.frombuffer(buf, np.uint8, cplane, luma).reshape(ch, cw)
+            cr = np.frombuffer(
+                buf, np.uint8, cplane, luma + cplane
+            ).reshape(ch, cw)
+            out.append(_ycbcr_to_rgb(y, cb, cr, div))
+    if not out:
+        raise ValueError(f"{path}: no complete frames")
+    return np.stack(out), info
+
+
+def _ycbcr_to_rgb(y, cb, cr, div) -> np.ndarray:
+    """BT.601 limited-range (16-235/16-240) -> full-range RGB uint8."""
+    if div != (1, 1):
+        cb = np.repeat(np.repeat(cb, div[1], 0), div[0], 1)
+        cr = np.repeat(np.repeat(cr, div[1], 0), div[0], 1)
+    h, w = y.shape
+    yf = 1.164383 * (y.astype(np.float32) - 16.0)
+    pb = cb[:h, :w].astype(np.float32) - 128.0
+    pr = cr[:h, :w].astype(np.float32) - 128.0
+    rgb = np.stack(
+        [yf + 1.596027 * pr,
+         yf - 0.391762 * pb - 0.812968 * pr,
+         yf + 2.017232 * pb],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

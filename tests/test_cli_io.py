@@ -349,3 +349,33 @@ def test_stream_frames_batches():
     np.testing.assert_array_equal(np.concatenate(got), video[:12])
     # an empty pipe yields nothing
     assert list(StreamFrames(io.BytesIO(b""), w, h).iter_batches(8)) == []
+
+
+def test_cli_dtype_fast_profile(tmp_path, capsys):
+    """--dtype bfloat16: stream decodes with the DEFAULT (f32) decoder
+    within the pinned 0.7 dB of the parity stream; --parity rejects it."""
+    import json
+
+    d = str(tmp_path)
+    src = f"{d}/src.raw"
+    assert cli.main(["capture", src, "64", "64", "16", "--kind", "blocks"]) == 0
+    assert cli.main(["encode", src, f"{d}/f32.bin", "64", "64"]) == 0
+    assert cli.main(["encode", src, f"{d}/bf16.bin", "64", "64",
+                     "--dtype", "bf16"]) == 0
+    assert cli.main(["encode", src, f"{d}/x.bin", "64", "64",
+                     "--dtype", "bf16", "--parity"]) == 2
+    assert cli.main(["decode", f"{d}/f32.bin", f"{d}/f32.raw",
+                     "64", "64", "16"]) == 0
+    assert cli.main(["decode", f"{d}/bf16.bin", f"{d}/bf16.raw",
+                     "64", "64", "16"]) == 0
+    a = rawvideo.read_video(src, 64, 64)
+    f32 = rawvideo.read_video(f"{d}/f32.raw", 64, 64)
+    bf16 = rawvideo.read_video(f"{d}/bf16.raw", 64, 64)
+    assert metrics.psnr(a, f32) - metrics.psnr(a, bf16) < 0.7
+
+    # sweep rows carry the dtype tag
+    assert cli.main(["sweep", "synthetic", "64", "64", "8",
+                     "--quants", "5", "--blocks", "8",
+                     "--dtype", "bf16"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["dtype"] == "bfloat16"

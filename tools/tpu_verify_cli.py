@@ -121,6 +121,21 @@ def run() -> None:
           "--checkpoint-every", "2", "--mesh", "1x1"])
     assert rd(f"{W}/tkm.d3t") == rd(f"{W}/ck.d3t")
 
+    # bf16 fast profile: decodes with the DEFAULT decoder, --parity rejects
+    main(["encode", f"{W}/src.raw", f"{W}/b16.bin", "320", "240",
+          "--dtype", "bf16"])
+    assert main(["encode", f"{W}/src.raw", f"{W}/x.bin", "320", "240",
+                 "--dtype", "bf16", "--parity"]) == 2
+    main(["decode", f"{W}/b16.bin", f"{W}/b16.raw", "320", "240", "32"])
+
+    # fps-paced playback into a y4m-reading command (no display here)
+    import sys as _sys
+    player = (f"{_sys.executable} -c \"import sys,shutil;"
+              "shutil.copyfileobj(sys.stdin.buffer,"
+              f"open('{W}/play.y4m','wb'))\"")
+    assert main(["render", f"{W}/c_dec.rgb", "64", "64", "--rgb", "--play",
+                 "--fps", "120", "--player", player]) == 0
+
     print("tpu_verify_cli: ALL STEPS OK", flush=True)
 
 
