@@ -82,6 +82,15 @@ class StreamingEncoder:
         #: (docs/FORMAT.md "index member"); complete once finish() returns.
         self.gop_bit_ends: list[int] = []
         self._abs_end = 0
+        # Consecutive budget-overflow retries (written by the drainer, read
+        # by push — a benign race: at worst a couple of extra tight
+        # dispatches).  At >= 2 the driver switches PERMANENTLY to the
+        # worst-case buffer: noisy content then encodes once per GOP
+        # instead of twice, and the big program is already compiled by the
+        # retry that tripped the switch.  Bytes are identical either way
+        # (the budget sizes buffers, not bits).
+        self._overflow_streak = 0
+        self._wide = False
 
     # -- internal ------------------------------------------------------------
 
@@ -103,6 +112,9 @@ class StreamingEncoder:
         self.gop_bit_ends.append(self._abs_end)
         nbytes = total_bits // 8 + 1
         if nbytes > gop.packed.shape[0] or bool(gop.overflow):
+            self._overflow_streak += 1
+            if self._overflow_streak >= 2:
+                self._wide = True
             gop = encode_step(
                 frames_dev,
                 self.ctx.enc_t,
@@ -112,6 +124,8 @@ class StreamingEncoder:
                 cfg=self.cfg,
                 tight=False,
             )
+        else:
+            self._overflow_streak = 0
         cap = min(gop.packed.shape[0], -(-nbytes // _D2H_BUCKET) * _D2H_BUCKET)
         with self.timer.stage("d2h", cap):
             packed = np.asarray(jax.device_get(gop.packed[:cap]))
@@ -162,13 +176,20 @@ class StreamingEncoder:
                 frames = delta
             with self.timer.stage("dispatch", frames.nbytes):
                 frames_dev = jnp.asarray(frames)
+                if self._wide:  # settled on the worst-case buffer
+                    max_bytes = self.ctx.max_packed_bytes_worst_case(
+                        frames.size
+                    )
+                else:
+                    max_bytes = self.ctx.max_packed_bytes(frames.size)
                 gop = encode_step(
                     frames_dev,
                     self.ctx.enc_t,
                     carry_in[0],
                     carry_in[1],
-                    max_bytes=self.ctx.max_packed_bytes(frames.size),
+                    max_bytes=max_bytes,
                     cfg=self.cfg,
+                    tight=not self._wide,
                 )
             self._carry = (gop.carry_code, gop.carry_bits)
             self._out.append(

@@ -53,10 +53,12 @@ class CodecConfig:
     #: this static size, so it is kept tighter than the per-group budget:
     #: whole-stream averages are stable (~1.2 bits/value on typical content,
     #: ~3.3 on pure noise at quant 5 — measured, see PERFORMANCE.md).  None
-    #: derives the default: 3 when quant_strength >= 2, else
-    #: pack_bits_per_value (near-lossless streams genuinely run wide).
-    #: Overflow retries the batch with the worst-case buffer, same as
-    #: per-group overflow.
+    #: derives the default: 2 when quant_strength >= 2 (measured +12%
+    #: encode-step speed vs 3 on the real chip, tools/ab_stream_budget.py;
+    #: bytes unchanged), else pack_bits_per_value (near-lossless streams
+    #: genuinely run wide).  Overflow retries the batch with the worst-case
+    #: buffer, and the streaming drivers widen permanently after repeated
+    #: retries so noisy content settles instead of double-encoding forever.
     stream_bits_per_value: int | None = None
     #: Ship frames to the device as wrapping mod-256 temporal deltas and
     #: reconstruct on device (exact; bitstream unchanged).  Wins when the
@@ -84,7 +86,7 @@ class CodecConfig:
         """Resolved whole-stream buffer budget (see stream_bits_per_value)."""
         if self.stream_bits_per_value is not None:
             return self.stream_bits_per_value
-        return 3 if self.quant_strength >= 2 else self.pack_bits_per_value
+        return 2 if self.quant_strength >= 2 else self.pack_bits_per_value
 
     @property
     def gop_size(self) -> int:
