@@ -72,8 +72,11 @@ def _dispatch_planar(planar, ctx: TransformContext, cfg: CodecConfig,
 
 
 def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
-                      height: int, width: int):
-    """Dispatch from the packed-nibble planar format (half the upload)."""
+                      height: int, width: int, wire: bool = False):
+    """Dispatch from the packed-nibble planar format (half the upload).
+
+    wire=True: the plane is the turbo member's (cube/2, cubes) wire layout
+    and the device un-transposes it (no host byte_transpose)."""
     plane, idx, val = planar
     plane = np.asarray(plane)
     n = plane.size * 2
@@ -87,6 +90,7 @@ def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
         cfg=cfg,
         height=height,
         width=width,
+        wire=wire,
     )
 
 

@@ -227,24 +227,35 @@ def decode_step_planar(coeff8, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "height", "width", "wire")
+)
 def decode_step_planar4(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
-                        height, width):
+                        height, width, wire: bool = False):
     """decode_step taking a packed-nibble plane (two coefficients per byte,
     low nibble = even index, sign-extended from 4 bits) + exceptions — half
     the upload of the int8 plane; DC coefficients ride the exception list.
 
-    The even/odd planes feed the split matmul directly — no interleave."""
+    The even/odd planes feed the split matmul directly — no interleave.
+
+    wire=True: `plane` is the (cube/2, cubes) WIRE layout straight off the
+    turbo member — the device un-transposes it (ops/relayout.wire_to_plane,
+    word trick) so the host never byte-transposes on decode either."""
     return planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo,
-                             cfg=cfg, height=height, width=width)
+                             cfg=cfg, height=height, width=width, wire=wire)
 
 
 def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
-                      height, width):
+                      height, width, wire: bool = False):
     """Unjitted decode_step_planar4 body — also the per-shard body of the
     sharded turbo decode (codec/turbo.py), where `height` is the tile's
     local height.  One body so every planar4 path keeps the identical
     split-matmul summation order (the transparency invariant)."""
+    if wire:
+        from ..ops.bitpack import _tpu_backend
+        from ..ops.relayout import wire_to_plane
+
+        plane = wire_to_plane(plane, use_pallas=_tpu_backend())
     b = plane.astype(jnp.int32)
     lo = (((b & 0xF) ^ 8) - 8).reshape(-1)
     hi = ((((b >> 4) & 0xF) ^ 8) - 8).reshape(-1)

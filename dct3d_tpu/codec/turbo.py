@@ -219,10 +219,16 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     return head + b"".join(parts)
 
 
-def _parse_payload(payload: bytes, cube: int):
-    """Wire payload -> (plane in device-transport layout, exception idx,
-    exception val) with the dense DC stream merged back into the exception
-    list (decode_step_planar4's scatter restores it like any outlier)."""
+def _parse_payload(payload: bytes, cube: int, wire: bool = False):
+    """Wire payload -> (plane, exception idx, exception val) with the dense
+    DC stream merged back into the exception list (decode_step_planar4's
+    scatter restores it like any outlier).
+
+    wire=False returns the plane in device-transport layout (host
+    byte_transpose — the sharded decoder's tile slicing wants it);
+    wire=True returns the raw (cube/2, cubes) wire layout so the DEVICE
+    un-transposes instead (decode_step_planar4(wire=True)) and the host
+    decode drain is pure decompression."""
     if len(payload) < 16:
         raise EOFError("torn turbo member (truncated header)")
     a, b, c, d = struct.unpack_from("<IIII", payload, 0)
@@ -243,9 +249,12 @@ def _parse_payload(payload: bytes, cube: int):
     from .. import native
 
     cubes = dc.size
-    plane = native.byte_transpose(
-        wire_plane.reshape(cube // 2, cubes)
-    ).reshape(-1)
+    if wire:
+        plane = wire_plane.reshape(cube // 2, cubes)
+    else:
+        plane = native.byte_transpose(
+            wire_plane.reshape(cube // 2, cubes)
+        ).reshape(-1)
     i2 = np.cumsum(didx.astype(np.int64))
     cpos = (i2 >> 1) % cubes
     jj = (i2 >> 1) // cubes
@@ -557,15 +566,20 @@ class TurboShardedDecoder:
         local_h = height // n_tile
 
         def _shard(plane, ei, ev, dec_me, dec_mo):
+            # wire=True: each shard un-transposes its own wire slab on
+            # device (ops/relayout.wire_to_plane) — the host never
+            # byte-transposes on the sharded decode either.
             return planar4_to_frames(
                 plane[0, 0], ei[0, 0], ev[0, 0], dec_me, dec_mo,
-                cfg=cfg_, height=local_h, width=width,
+                cfg=cfg_, height=local_h, width=width, wire=True,
             )
 
         fn = shard_map(
             _shard,
             mesh=mesh,
-            in_specs=(P(GOP_AXIS, TILE_AXIS, None),) * 3 + (P(), P()),
+            in_specs=(P(GOP_AXIS, TILE_AXIS, None, None),
+                      P(GOP_AXIS, TILE_AXIS, None),
+                      P(GOP_AXIS, TILE_AXIS, None), P(), P()),
             out_specs=P(GOP_AXIS, TILE_AXIS, None),
         )
         self._step = jax.jit(
@@ -573,11 +587,19 @@ class TurboShardedDecoder:
         )
 
     def _stage(self, parsed) -> tuple:
-        """n_gop parsed payloads -> sharded (plane, exc_idx, exc_val)."""
+        """n_gop parsed WIRE payloads -> sharded (plane, exc_idx, exc_val).
+
+        Tiles own contiguous cube ranges, so tile t's wire slab is columns
+        [t*local_c, (t+1)*local_c) of the (cube/2, cubes) wire plane — a
+        cheap row-chunk copy, never a byte transpose."""
         n_gop, n_tile = self._mesh_shape
         npg = self.width * self.height * self.cfg.gop_size
         local_n = npg // n_tile
-        plane = np.stack([p.reshape(n_tile, -1) for p, _, _ in parsed])
+        hc = self.cfg.cube_size // 2
+        plane = np.stack([
+            np.swapaxes(p.reshape(hc, n_tile, -1), 0, 1)
+            for p, _, _ in parsed
+        ])  # (n_gop, n_tile, hc, local_cubes)
         counts = [
             int(((idx >= t * local_n) & (idx < (t + 1) * local_n)).sum())
             for _, idx, _ in parsed for t in range(n_tile)
@@ -625,7 +647,7 @@ class TurboShardedDecoder:
         with ThreadPoolExecutor(self._workers) as pool:
             lookahead = max(n_gop, 2 * self._workers)
             inflight: collections.deque = collections.deque(
-                pool.submit(_parse_payload, m[1], cube)
+                pool.submit(_parse_payload, m[1], cube, True)
                 for m in members[: min(n_steps * n_gop, lookahead)]
             )
             nxt = len(inflight)
@@ -635,7 +657,8 @@ class TurboShardedDecoder:
                     parsed.append(inflight.popleft().result())
                     if nxt < n_steps * n_gop:
                         inflight.append(pool.submit(
-                            _parse_payload, members[nxt][1], cube
+                            _parse_payload, members[nxt][1], cube,
+                            True,
                         ))
                         nxt += 1
                 plane, ei, ev = self._stage(parsed)
@@ -779,7 +802,7 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
     cube = cfg.cube_size
     lookahead = max(4, 2 * getattr(pool, "_max_workers", 2))
     inflight: collections.deque = collections.deque(
-        pool.submit(_parse_payload, m[1], cube)
+        pool.submit(_parse_payload, m[1], cube, True)
         for m in members[:lookahead]
     )
     nxt = len(inflight)
@@ -790,13 +813,13 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
             planar = inflight.popleft().result()
             if nxt < len(members):
                 inflight.append(
-                    pool.submit(_parse_payload, members[nxt][1], cube)
+                    pool.submit(_parse_payload, members[nxt][1], cube, True)
                 )
                 nxt += 1
             yield planar
 
     for (t, _, _), planar in zip(members, parsed_in_order()):
-        fd = _dispatch_planar4(planar, ctx, cfg, height, width)
+        fd = _dispatch_planar4(planar, ctx, cfg, height, width, wire=True)
         fd.copy_to_host_async()
         pending.append((a0, t, fd))
         a0 += t

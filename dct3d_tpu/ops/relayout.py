@@ -121,6 +121,43 @@ def plane_to_wire(plane, use_pallas: bool = True, interpret: bool = False):
     return jnp.stack(parts, axis=1).reshape(hc, -1)[:, :cubes]
 
 
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def wire_to_plane(wire, use_pallas: bool = True, interpret: bool = False):
+    """(hc, cubes) uint8 wire layout -> (cubes, hc) uint8 transport nibble
+    plane ON DEVICE — the exact inverse of plane_to_wire, by the same word
+    trick run backwards: pack wire rows 4k..4k+3 into i32 word rows with
+    elementwise shifts, 2-D word transpose, bitcast the words back to 4
+    plane bytes each.
+
+    Replaces the decode drain's host byte_transpose (turbo._parse_payload)
+    when the decode step ingests the wire layout directly
+    (decode_step_planar4(..., wire=True))."""
+    hc, cubes = wire.shape
+    w32 = hc // 4
+    w4 = wire.reshape(w32, 4, cubes).astype(jnp.int32)
+    words = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
+             | (w4[:, 3] << 24))  # (w32, cubes), LE — plane_to_wire's words
+    if use_pallas:
+        cp = -(-cubes // 128) * 128
+        if cp != cubes:
+            words = jnp.pad(words, ((0, 0), (0, cp - cubes)))
+        blk = 512 if cp % 512 == 0 else 128
+        vma = jax.typeof(wire).vma
+        wt = pl.pallas_call(
+            _wire_kernel,
+            grid=(cp // blk,),
+            in_specs=[pl.BlockSpec((w32, blk), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((blk, w32), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cp, w32), jnp.int32, vma=vma),
+            interpret=interpret,
+        )(words)[:cubes]
+    else:
+        wt = words.T  # (cubes, w32)
+    return jax.lax.bitcast_convert_type(wt, jnp.uint8).reshape(cubes, hc)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def frames_to_cubes_perm(frames, interpret: bool = False):
     """(T, H, W) uint8 -> (T/8 * H/8 * W/8, 512) uint8, sigma-permuted

@@ -64,3 +64,14 @@ def test_plane_to_wire_is_the_byte_transpose(rng, cubes):
         relayout.plane_to_wire(jnp.asarray(plane), interpret=True)
     )
     np.testing.assert_array_equal(got_pl, want)
+
+
+@pytest.mark.parametrize("cubes", [32, 1296])
+def test_wire_to_plane_inverts_plane_to_wire(rng, cubes):
+    hc = 256
+    plane = rng.integers(0, 256, (cubes, hc), dtype=np.uint8)
+    wire = jnp.asarray(plane.T)
+    got_xla = np.asarray(relayout.wire_to_plane(wire, use_pallas=False))
+    np.testing.assert_array_equal(got_xla, plane)
+    got_pl = np.asarray(relayout.wire_to_plane(wire, interpret=True))
+    np.testing.assert_array_equal(got_pl, plane)
