@@ -16,8 +16,10 @@ exception list — block-compressed per GOP.  Consequences:
     integers, same inverse transform) — only the container differs;
   * rate: with the coefficient-pair-major wire layout + dense delta DC
     stream, SMALLER than the reference stack across the quant range
-    (0.207 bpp zstd-10 / 0.217 zlib-6 vs 0.312 reference at 1080p quant 5
-    — measurements in PERFORMANCE.md; `sweep --turbo` reports both).
+    even at the speed-knee default zstd-3 (~0.22 bpp; 0.207 at zstd-10 /
+    0.217 zlib-6, vs 0.312 reference at 1080p quant 5 — measurements in
+    PERFORMANCE.md; `sweep --turbo` reports both, cfg.turbo_zstd_level
+    picks the point).
 
 Wire format (docs/FORMAT.md): one D3MH member (type 5) per GOP; payload =
 four length-prefixed compressed streams (coefficient-pair-major nibble

@@ -72,9 +72,13 @@ class CodecConfig:
     #: reads either wire; if the zstandard module is absent, encode falls
     #: back to zlib.  Reference-profile streams are unaffected.
     turbo_codec: str = "zstd"
-    #: zstd level for the turbo payload (wire-layout-neutral knob; 10 is
-    #: the measured speed/rate knee, 19 buys ~5% more rate at ~13x cost).
-    turbo_zstd_level: int = 10
+    #: zstd level for the turbo payload (wire-layout-neutral knob; decode
+    #: sniffs, so any level reads any wire).  3 is the SPEED knee: on the
+    #: 1080p bench planes compress runs 6x faster than level 10 for
+    #: +6-12% bytes (PERFORMANCE.md round 3), and the host drain — not the
+    #: 1-2 ms device step — bounds end-to-end turbo throughput.  10 is the
+    #: rate knee (the old default), 19 archival.
+    turbo_zstd_level: int = 3
     #: Quantizer rounding bias: q = sign(c)*floor(|c|/div + bias).  0.5 is
     #: the reference's round-half-away (Encoder.java:82, encoder.c:53);
     #: smaller values give a deadzone quantizer — an encoder-side-only

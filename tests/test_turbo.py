@@ -467,14 +467,21 @@ def test_turbo_codec_zstd_default_and_zlib_cross_read():
     )
 
 
-def test_turbo_zstd_rate_not_worse_than_zlib():
+def test_turbo_zstd_rate_envelope():
+    """zstd-10 (the rate knee) beats zlib-6; the speed-knee default
+    (zstd-3, ~6x faster compress) stays within its documented +6-12%
+    envelope of it (PERFORMANCE.md round 3)."""
     pytest.importorskip("zstandard")
     video = synthetic_video(16, 240, 320, seed=43)
-    z = turbo.encode_turbo_video(video, CodecConfig(turbo_codec="zstd"))
+    z10 = turbo.encode_turbo_video(
+        video, CodecConfig(turbo_codec="zstd", turbo_zstd_level=10)
+    )
+    z3 = turbo.encode_turbo_video(video, CodecConfig(turbo_codec="zstd"))
     d = turbo.encode_turbo_video(
         video, CodecConfig(turbo_codec="zlib", zlib_level=6)
     )
-    assert len(z) <= len(d) * 1.02, (len(z), len(d))
+    assert len(z10) <= len(d) * 1.02, (len(z10), len(d))
+    assert len(z3) <= len(z10) * 1.15, (len(z3), len(z10))
 
 
 def test_turbo_sharded_decode_matches_single_device():
