@@ -24,6 +24,18 @@ idiomatic TPU answer.  pack_bits therefore defaults to the XLA path
 everywhere; the kernel is kept for the record and exercised in interpret
 mode by tests.
 
+ROUND-3 FOLLOW-UP (tools/proto_place_roll.py, measured 2026-08-19): the
+alignment rule CAN be sidestepped — `pltpu.roll` accepts TRACED shifts on
+real TPUs, so a group places inside one (8,128) vreg via dynamic
+lane+sublane rolls with wrap masks, stored at a dynamic index on the
+untiled major axis.  Two such kernels ran byte-exact on hardware and both
+measured SLOWER than the XLA row gather (5.95 / 6.02 vs 3.33 ms/GOP at
+1080p): per-group dynamic placement costs ~85 serial scalar cycles/group
+that no memory-traffic optimization touches (an output-tile-in-vregs
+variant with 100x fewer stores tied the naive RMW variant).  The negative
+conclusion above stands on hardware measurement, not just Mosaic's
+verifier.
+
 Original design notes:
 
   * grid over blocks of B groups; the TPU grid is SEQUENTIAL on a core, so
