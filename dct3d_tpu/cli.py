@@ -223,6 +223,21 @@ def _mesh_align(cfg, mesh, frames):
     return align, frames
 
 
+def _setup_mesh(args, cfg, frames):
+    """One scaffold for every cmd_encode path: (mesh, align, frames), or
+    None after printing the error (caller returns 2).  mesh is None when
+    --mesh was not given; align is then the plain GOP size."""
+    if not args.mesh:
+        return None, cfg.gop_size, frames
+    mesh = _make_cli_mesh(args.mesh)
+    if mesh is None:
+        return None
+    align, frames = _mesh_align(cfg, mesh, frames)
+    if frames == 0:
+        return None
+    return mesh, align, frames
+
+
 def _load_footage(args):
     """Detect and load non-raw input (PNG sequence / y4m stream).
 
@@ -351,15 +366,12 @@ def cmd_encode(args) -> int:
             if getattr(args, flag, None):
                 print(f"warning: --{flag.replace('_', '-')} is not yet "
                       "supported with --rgb and is ignored", file=sys.stderr)
-        mesh = None
-        align = cfg.gop_size
-        if args.mesh:
-            # Three sharded channel streams; members stay byte-identical
-            # to the single-device container (sharding.py invariant).
-            mesh = _make_cli_mesh(args.mesh)
-            if mesh is None:
-                return 2
-            align = cfg.gop_size * mesh.shape["gop"]
+        # Three sharded channel streams on a mesh; members stay
+        # byte-identical to the single-device container (sharding.py).
+        ms = _setup_mesh(args, cfg, None)
+        if ms is None:
+            return 2
+        mesh, align, _ = ms
         if video is None:
             video = rawvideo.read_video(
                 args.input, width, height, args.frames, channels=3
@@ -407,15 +419,10 @@ def cmd_encode(args) -> int:
         if args.checkpoint_every:
             from .codec.checkpoint import CheckpointingEncoder
 
-            mesh = None
-            align = cfg.gop_size
-            if args.mesh:
-                mesh = _make_cli_mesh(args.mesh)
-                if mesh is None:
-                    return 2
-                align, frames = _mesh_align(cfg, mesh, frames)
-                if frames == 0:
-                    return 2
+            ms = _setup_mesh(args, cfg, frames)
+            if ms is None:
+                return 2
+            mesh, align, frames = ms
             t0 = time.perf_counter()
             with profile_to(args.profile_dir), CheckpointingEncoder(
                 args.output, width, height, cfg,
@@ -437,14 +444,11 @@ def cmd_encode(args) -> int:
             return 0
         from .codec.turbo import TurboEncoder, TurboShardedEncoder
 
-        align = cfg.gop_size
-        if args.mesh:
-            mesh = _make_cli_mesh(args.mesh)
-            if mesh is None:
-                return 2
-            align, frames = _mesh_align(cfg, mesh, frames)
-            if frames == 0:
-                return 2
+        ms = _setup_mesh(args, cfg, frames)
+        if ms is None:
+            return 2
+        mesh, align, frames = ms
+        if mesh is not None:
             enc = TurboShardedEncoder(width, height, mesh, cfg)
         else:
             enc = TurboEncoder(width, height, cfg)
@@ -471,15 +475,10 @@ def cmd_encode(args) -> int:
     if args.checkpoint_every:
         from .codec.checkpoint import CheckpointingEncoder
 
-        mesh = None
-        align = cfg.gop_size
-        if args.mesh:
-            mesh = _make_cli_mesh(args.mesh)
-            if mesh is None:
-                return 2
-            align, frames = _mesh_align(cfg, mesh, frames)
-            if frames == 0:
-                return 2
+        ms = _setup_mesh(args, cfg, frames)
+        if ms is None:
+            return 2
+        mesh, align, frames = ms
         t0 = time.perf_counter()
         with profile_to(args.profile_dir), CheckpointingEncoder(
             args.output, width, height, cfg,
@@ -499,16 +498,13 @@ def cmd_encode(args) -> int:
             f"(container) in {dt:.2f}s"
         )
         return 0
-    align = cfg.gop_size
-    if args.mesh:
+    ms = _setup_mesh(args, cfg, frames)
+    if ms is None:
+        return 2
+    mesh, align, frames = ms
+    if mesh is not None:
         from .parallel.sharding import ShardedEncoder
 
-        mesh = _make_cli_mesh(args.mesh)
-        if mesh is None:
-            return 2
-        align, frames = _mesh_align(cfg, mesh, frames)
-        if frames == 0:
-            return 2
         enc = ShardedEncoder(width, height, mesh, cfg)
     else:
         enc = StreamingEncoder(width, height, cfg)

@@ -70,9 +70,21 @@ class CheckpointingEncoder:
         #: optional (gop, tile) device mesh: members are produced by the
         #: sharded encoders instead, BYTE-IDENTICAL to the single-device
         #: members (parallel/sharding.py invariant) — so the .meta sidecar
-        #: does not pin the mesh and a resume may change or drop it freely.
+        #: does not pin the mesh.  A resume may change or drop the mesh
+        #: when the boundaries line up: checkpoint_gops must be a whole
+        #: number of mesh steps (validated below) and the resume point a
+        #: whole number of steps (validated after resume_info) — both
+        #: errors say so explicitly instead of diverging silently.
         self.mesh = mesh
         self.cfg = cfg or CodecConfig()
+        if mesh is not None and checkpoint_gops % mesh.shape["gop"]:
+            raise ValueError(
+                f"checkpoint_gops={checkpoint_gops} is not a multiple of "
+                f"the mesh gop axis ({mesh.shape['gop']}): members would "
+                "flush at different boundaries than a single-device encode "
+                "(breaking container byte-identity); pick a multiple or a "
+                "smaller gop axis"
+            )
         self.path = path
         self.width = width
         self.height = height
@@ -87,6 +99,15 @@ class CheckpointingEncoder:
         #: fsyncing every checkpoint_gops members.
         self.turbo = turbo
         self.frames_done, safe_bytes = resume_info(path)
+        if mesh is not None:
+            step = self.cfg.gop_size * mesh.shape["gop"]
+            if self.frames_done % step:
+                raise ValueError(
+                    f"cannot resume at frame {self.frames_done} on a "
+                    f"{mesh.shape['gop']}-gop mesh (not a whole "
+                    f"{step}-frame mesh step); resume without --mesh or "
+                    "with a gop axis that divides the resume point"
+                )
         # The headerless member format can't self-describe codec parameters;
         # a sidecar pins them so a resume with different flags fails loudly
         # instead of appending members that decode to garbage.
@@ -101,7 +122,7 @@ class CheckpointingEncoder:
         if self.frames_done and os.path.exists(meta_path):
             with open(meta_path) as f:
                 have = json.load(f)
-            if have != meta:
+            if self._semantic(have) != self._semantic(meta):
                 raise ValueError(
                     f"resume parameters differ from {meta_path}; re-encode "
                     "from scratch or restore the original flags "
@@ -118,6 +139,21 @@ class CheckpointingEncoder:
         self._member_chunks: list[bytes] = []
         self._turbo_enc = None
         self._since_sync = 0
+
+    @staticmethod
+    def _semantic(meta: dict) -> dict:
+        """The subset of meta a resume must match.  Compression-effort
+        knobs are excluded: members are self-contained streams (zlib and
+        zstd are both self-describing, and turbo sniffs per stream), so a
+        mid-container level/worker change decodes fine — pinning them
+        would turn a default bump in a new build into a spurious refusal
+        to resume old files."""
+        out = dict(meta)
+        out["cfg"] = {
+            k: v for k, v in meta.get("cfg", {}).items()
+            if k not in ("zlib_level", "deflate_workers", "turbo_zstd_level")
+        }
+        return out
 
     def _flush_member(self) -> None:
         if self._enc is None:

@@ -88,7 +88,11 @@ class StreamFrames:
         """Yield (n, H, W[, C]) uint8 batches of whole-`align` frames.
 
         `start` frames are read and DISCARDED first (checkpoint resume on
-        a restarted pipe re-feeds from frame 0; pipes cannot seek)."""
+        a restarted pipe re-feeds from frame 0; pipes cannot seek).
+        `max_frames` is an ABSOLUTE end bound counted from stream frame 0
+        — the same contract as iter_frame_batches and the in-memory
+        branch of cli._frame_batches — so a resumed encode yields frames
+        [start, max_frames), not max_frames more."""
         align = align or batch_frames
         fsize = self._fsize
         skip = start * fsize
@@ -97,7 +101,7 @@ class StreamFrames:
             if not b:
                 return
             skip -= len(b)
-        done = 0
+        done = start
         while max_frames is None or done < max_frames:
             n = batch_frames
             if max_frames is not None:

@@ -147,18 +147,28 @@ def play_video(
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
     t0 = time.perf_counter()
     try:
-        proc.stdin.write(header)
-        for k in range(video.shape[0]):
-            wait = t0 + k / fps - time.perf_counter()
-            if wait > 0:
-                time.sleep(wait)
-            proc.stdin.write(b"FRAME\n")
-            if channels == 1:
-                proc.stdin.write(video[k].tobytes())
-            else:
-                for plane in _rgb_to_ycbcr444(video[k]):
-                    proc.stdin.write(plane.tobytes())
-        proc.stdin.close()
-    except BrokenPipeError:  # window closed mid-stream: a normal stop
-        pass
-    return proc.wait()
+        try:
+            proc.stdin.write(header)
+            for k in range(video.shape[0]):
+                wait = t0 + k / fps - time.perf_counter()
+                if wait > 0:
+                    time.sleep(wait)
+                proc.stdin.write(b"FRAME\n")
+                if channels == 1:
+                    proc.stdin.write(video[k].tobytes())
+                else:
+                    for plane in _rgb_to_ycbcr444(video[k]):
+                        proc.stdin.write(plane.tobytes())
+        except BrokenPipeError:  # window closed mid-stream: a normal stop
+            pass
+        try:
+            proc.stdin.close()
+        except BrokenPipeError:  # pragma: no cover
+            pass
+        return proc.wait()
+    except BaseException:
+        # Any other failure (I/O error, Ctrl-C): don't orphan the player
+        # blocked on a half-written stream.
+        proc.kill()
+        proc.wait()
+        raise

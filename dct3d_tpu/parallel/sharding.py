@@ -153,6 +153,13 @@ class ShardedEncoder:
         #: contract as StreamingEncoder.gop_bit_ends); complete after push.
         self.gop_bit_ends: list[int] = []
         self._abs_end = 0
+        # Same adaptive budget switch as StreamingEncoder: after 2
+        # consecutive overflow retries, dispatch every later step with the
+        # worst-case buffer directly — noisy content above the budget then
+        # encodes once per step instead of twice.  Bytes are identical
+        # either way (the budget sizes buffers, not bits).
+        self._overflow_streak = 0
+        self._wide = False
 
     def _step_fn(self, max_bytes: int, tight: bool = True):
         return _jitted_encode_step(
@@ -176,10 +183,14 @@ class ShardedEncoder:
                 f"{self.height}x{self.width}"
             )
         shard_vals = self.cfg.gop_size * (h // n_tile) * w
-        max_bytes = (
-            self.cfg.stream_budget_bits_per_value * shard_vals // 8 + 64
-        )
-        step = self._step_fn(max_bytes)
+        if self._wide:  # settled on the worst-case buffer
+            max_bytes = 4 * shard_vals + 64
+            step = self._step_fn(max_bytes, tight=False)
+        else:
+            max_bytes = (
+                self.cfg.stream_budget_bits_per_value * shard_vals // 8 + 64
+            )
+            step = self._step_fn(max_bytes)
         # Pipeline: the sink bit-phase carry chains ON DEVICE, so step k+1
         # dispatches while step k's buffers are still in flight; host
         # assembly trails one step behind.
@@ -214,6 +225,9 @@ class ShardedEncoder:
             np.any(starts_h % 8 + bits_h > 8 * packed.shape[1] - 7)
         )
         if bool(np.asarray(ovf)) or span_over:
+            self._overflow_streak += 1
+            if self._overflow_streak >= 2:
+                self._wide = True
             worst = self._step_fn(
                 4 * int(frames_sharded.size) // int(np.prod(self._mesh_shape))
                 + 64,
@@ -222,6 +236,8 @@ class ShardedEncoder:
             packed, bits, starts, _, _ = worst(
                 frames_sharded, self.ctx.enc_t, carry_in
             )
+        else:
+            self._overflow_streak = 0
         return self._assemble(
             np.asarray(jax.device_get(packed)),
             np.asarray(bits),
@@ -405,6 +421,9 @@ class ShardedDecoder:
                 for vals, _pos in entropy.parallel_chunks_bounded(
                     win, cps, n_steps, entropy.decode_values,
                     self.entropy_workers, positions=step_positions,
+                    hint_bits_per_value=(
+                        self.cfg.stream_budget_bits_per_value
+                    ),
                 ):
                     dispatch(vals)
                     if len(pending) >= 3:

@@ -103,3 +103,29 @@ def test_resume_with_different_cfg_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="resume parameters differ"):
         CheckpointingEncoder(p, 64, 64, CodecConfig(quant_strength=10))
+
+
+def test_resume_ignores_compression_effort_knobs(tmp_path):
+    """zlib/zstd level and deflate workers are wire-neutral (members are
+    self-contained streams); a default bump in a new build must not
+    refuse to resume old files.  Semantic knobs still reject."""
+    from conftest import synthetic_video
+
+    clip = synthetic_video(32, 64, 64, seed=24)
+    p = str(tmp_path / "v.d3t")
+    with CheckpointingEncoder(p, 64, 64, CodecConfig(turbo_zstd_level=10),
+                              checkpoint_gops=2, turbo=True) as enc:
+        enc.push(clip[:16])
+    with CheckpointingEncoder(p, 64, 64, CodecConfig(turbo_zstd_level=3),
+                              checkpoint_gops=2, turbo=True) as enc:
+        assert enc.frames_done == 16
+        enc.push(clip[16:])
+    from dct3d_tpu.codec.turbo import decode_turbo_container
+
+    out = decode_turbo_container(open(p, "rb").read(), 64, 64)
+    assert out.shape == (32, 64, 64)
+    import pytest
+
+    with pytest.raises(ValueError, match="resume parameters differ"):
+        CheckpointingEncoder(p, 64, 64, CodecConfig(quant_strength=9),
+                             checkpoint_gops=2, turbo=True)

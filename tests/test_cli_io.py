@@ -379,3 +379,19 @@ def test_cli_dtype_fast_profile(tmp_path, capsys):
                      "--dtype", "bf16"]) == 0
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["dtype"] == "bfloat16"
+
+
+def test_stream_frames_max_frames_is_absolute(rng):
+    """iter_batches counts max_frames from stream frame 0 (like
+    iter_frame_batches), so a resumed pipe encode of --frames F yields
+    frames [start, F), not F more after the skip."""
+    import io as _io
+
+    from dct3d_tpu.io.rawvideo import StreamFrames
+
+    clip = rng.integers(0, 256, (12, 8, 8), dtype=np.uint8)
+    sf = StreamFrames(_io.BytesIO(clip.tobytes()), 8, 8)
+    got = list(sf.iter_batches(4, max_frames=10, align=2, start=4))
+    total = sum(b.shape[0] for b in got)
+    assert total == 6  # frames [4, 10)
+    np.testing.assert_array_equal(np.concatenate(got), clip[4:10])

@@ -176,3 +176,38 @@ def test_cli_mesh_matrix(tmp_path, capsys):
     assert open(a, "rb").read() == open(b, "rb").read()
     out = str(tmp_path / "t.raw")
     assert cli.main(["decode", b, out, "64", "64"]) == 0
+
+
+def test_checkpoint_mesh_rejects_misaligned_interval(tmp_path, mesh21):
+    with pytest.raises(ValueError, match="not a multiple of"):
+        CheckpointingEncoder(str(tmp_path / "x.d3mh"), 64, 64, CodecConfig(),
+                             checkpoint_gops=3, mesh=mesh21)
+
+
+def test_checkpoint_mesh_rejects_misaligned_resume(tmp_path, mesh21):
+    """A single-device encode that stopped mid-mesh-step cannot silently
+    resume on the mesh — the constructor says so instead of crashing in
+    push with an opaque batch error."""
+    cfg = CodecConfig()
+    clip = synthetic_video(24, 64, 64, seed=50)
+    p = str(tmp_path / "v.d3mh")
+    with CheckpointingEncoder(p, 64, 64, cfg, checkpoint_gops=1) as enc:
+        enc.push(clip)  # 3 GOPs: not a whole 2-gop mesh step
+    with pytest.raises(ValueError, match="resume without --mesh"):
+        CheckpointingEncoder(p, 64, 64, cfg, checkpoint_gops=2, mesh=mesh21)
+
+
+def test_sharded_encoder_widens_after_repeated_overflow(mesh21, rng):
+    """Noise above the stream budget: the sharded encoder must settle on
+    the worst-case buffer (like StreamingEncoder) and stay byte-exact."""
+    from dct3d_tpu import encode_video
+    from dct3d_tpu.parallel.sharding import ShardedEncoder
+
+    noise = rng.integers(0, 256, (48, 64, 64), dtype=np.uint8)
+    enc = ShardedEncoder(64, 64, mesh21, CodecConfig())
+    chunks = [enc.push(noise[i : i + 16]) for i in range(0, 48, 16)]
+    chunks.append(enc.finish())
+    assert enc._wide
+    assert b"".join(chunks) == encode_video(
+        noise, CodecConfig(stream_bits_per_value=6)
+    )
