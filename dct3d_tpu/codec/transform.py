@@ -169,13 +169,23 @@ def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg,
                         tight=tight)
 
 
-def _finish_frames(pixels, cfg, height, width):
+def _finish_frames(pixels, cfg, height, width, perm: bool = False):
     """Clamp to [0, 255] (3dDCT.cl:256-262), truncating byte cast
     (writeCubes decoder.c:30, Decoder.java:112), frame relayout, and the
-    optional transport-delta wire form."""
+    optional transport-delta wire form.
+
+    perm=True: pixels arrived in the relayout kernel's sigma-permuted
+    column order (column-permuted decode matrices — same dot products,
+    bit-exact values), so the frame relayout is the Pallas word-transpose
+    inverse instead of the ~1.7 ms XLA 6-axis transpose."""
     pixels = jnp.clip(pixels, 0.0, 255.0)
-    frames = framing.cubes_to_frames(pixels, cfg, height, width)
-    frames = frames.astype(jnp.uint8)
+    if perm:
+        frames = relayout.cubes_perm_to_frames(
+            pixels.astype(jnp.uint8), height=height, width=width
+        )
+    else:
+        frames = framing.cubes_to_frames(pixels, cfg, height, width)
+        frames = frames.astype(jnp.uint8)
     if cfg.transport_delta:
         # Ship wrapping temporal deltas down the wire; the host reconstructs
         # with a uint8 cumsum (see codec/decoder.py).
@@ -205,8 +215,12 @@ def decode_step(coeffs, dec_me, dec_mo, *, cfg, height, width):
     Dequantization (exact integer multiply, folded into the matrices) and
     inverse DCT via the split matmul (_dequant_matmul)."""
     v2 = coeffs.reshape(coeffs.shape[0], -1, 2)
+    perm = relayout.supports(cfg, height, width) and bitpack._tpu_backend()
+    if perm:  # same free column permutation as planar4_to_frames
+        inv = relayout.inv_sigma(cfg.cube_size)
+        dec_me, dec_mo = dec_me[:, inv], dec_mo[:, inv]
     pixels = _dequant_matmul(v2[:, :, 0], v2[:, :, 1], dec_me, dec_mo)
-    return _finish_frames(pixels, cfg, height, width)
+    return _finish_frames(pixels, cfg, height, width, perm=perm)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
@@ -265,10 +279,18 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     lo = lo.at[e_even].set(exc_val, mode="drop", unique_indices=True)
     hi = hi.at[e_odd].set(exc_val, mode="drop", unique_indices=True)
     hc = cfg.cube_size // 2
+    # TPU fast path: emit pixels in the relayout kernel's permuted column
+    # order for free (column-permuted decode matrices — the same dot
+    # products, reordered outputs, so pixels stay BIT-IDENTICAL) and let
+    # _finish_frames run the Pallas inverse relayout.
+    perm = relayout.supports(cfg, height, width) and bitpack._tpu_backend()
+    if perm:
+        inv = relayout.inv_sigma(cfg.cube_size)
+        dec_me, dec_mo = dec_me[:, inv], dec_mo[:, inv]
     pixels = _dequant_matmul(
         lo.reshape(-1, hc), hi.reshape(-1, hc), dec_me, dec_mo
     )
-    return _finish_frames(pixels, cfg, height, width)
+    return _finish_frames(pixels, cfg, height, width, perm=perm)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

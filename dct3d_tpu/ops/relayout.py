@@ -71,6 +71,11 @@ def _kernel(x_ref, o_ref):
     o_ref[...] = x.reshape(64, x.shape[-1]).T[None]
 
 
+def _inv_kernel(x_ref, o_ref):
+    x = x_ref[...]  # (1, w32, 64) i32
+    o_ref[...] = x[0].T.reshape(1, 8, 8, x.shape[1])
+
+
 def _wire_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...].T  # (blk, w32) i32 -> (w32, blk)
 
@@ -187,3 +192,47 @@ def frames_to_cubes_perm(frames, interpret: bool = False):
         out.reshape(gops * nbh * nbw, 128), jnp.uint8
     )
     return by.reshape(-1, 512)
+
+
+def inv_sigma(cube_size: int = 512) -> np.ndarray:
+    """inv with sigma()[inv[j]] = j: perm[:, j] == cube byte inv[j], so a
+    decode matmul whose COLUMNS are permuted by inv emits pixels directly
+    in the kernel's permuted layout (same dot products, just reordered
+    outputs — bit-exact)."""
+    return np.argsort(sigma(cube_size))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "interpret")
+)
+def cubes_perm_to_frames(perm, *, height: int, width: int,
+                         interpret: bool = False):
+    """(num_cubes, 512) uint8 cubes in the kernel's sigma-PERMUTED column
+    order -> (T, H, W) uint8 frames: the exact inverse of
+    frames_to_cubes_perm (same word-transpose blocks, run backwards).
+
+    The decode matmul emits the permuted order for free (column-permuted
+    decode matrices, inv_sigma), so this replaces the XLA 6-axis
+    cubes_to_frames transpose (~1.7 ms of the 2.55 ms 1080p decode step —
+    measured via the planar4 stage bisect) with the same ~0.5 ms Pallas
+    relayout the encode side uses."""
+    num_cubes = perm.shape[0]
+    nbh, nbw, w32 = height // 8, width // 8, width // 4
+    gops = num_cubes // (nbh * nbw)
+    words = jax.lax.bitcast_convert_type(
+        perm.reshape(num_cubes, 128, 4), jnp.int32
+    ).reshape(gops, nbh * w32, 64)
+    vma = jax.typeof(perm).vma
+    x32 = pl.pallas_call(
+        _inv_kernel,
+        grid=(gops, nbh),
+        in_specs=[pl.BlockSpec((1, w32, 64), lambda g, i: (g, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 8, w32), lambda g, i: (g, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gops, 8, nbh * 8, w32), jnp.int32,
+                                       vma=vma),
+        interpret=interpret,
+    )(words)
+    by = jax.lax.bitcast_convert_type(x32, jnp.uint8)
+    return by.reshape(gops * 8, height, width)

@@ -310,18 +310,34 @@ def sharded_decode_step(mesh: Mesh, ctx: TransformContext, cfg: CodecConfig,
     """
 
     from ..codec.transform import _dequant_matmul
+    from ..ops import relayout
+    from ..ops.bitpack import _tpu_backend
+
+    n_tile = mesh.shape[TILE_AXIS]
+    local_h = height // n_tile
+    # Same TPU fast path as planar4_to_frames: column-permuted decode
+    # matrices emit pixels in the relayout kernel's order (bit-identical
+    # values) and the Pallas inverse relayout replaces the XLA 6-axis
+    # transpose.
+    perm = relayout.supports(cfg, local_h, width) and _tpu_backend()
 
     def _shard(coeffs_local, dec_me, dec_mo):
         c = coeffs_local[0, 0]
         v2 = c.reshape(c.shape[0], -1, 2)
+        if perm:
+            inv = relayout.inv_sigma(cfg.cube_size)
+            dme, dmo = dec_me[:, inv], dec_mo[:, inv]
+        else:
+            dme, dmo = dec_me, dec_mo
         # Split even/odd matmul: same summation order as every other decode
         # path, so sharded pixels match single-device pixels exactly.
-        pixels = _dequant_matmul(v2[:, :, 0], v2[:, :, 1], dec_me, dec_mo)
+        pixels = _dequant_matmul(v2[:, :, 0], v2[:, :, 1], dme, dmo)
         pixels = jnp.clip(pixels, 0.0, 255.0)
-        n_tile = mesh.shape[TILE_AXIS]
-        frames = framing.cubes_to_frames(
-            pixels, cfg, height // n_tile, width
-        )
+        if perm:
+            return relayout.cubes_perm_to_frames(
+                pixels.astype(jnp.uint8), height=local_h, width=width
+            )
+        frames = framing.cubes_to_frames(pixels, cfg, local_h, width)
         return frames.astype(jnp.uint8)
 
     fn = shard_map(

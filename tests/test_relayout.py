@@ -75,3 +75,23 @@ def test_wire_to_plane_inverts_plane_to_wire(rng, cubes):
     np.testing.assert_array_equal(got_xla, plane)
     got_pl = np.asarray(relayout.wire_to_plane(wire, interpret=True))
     np.testing.assert_array_equal(got_pl, plane)
+
+
+@pytest.mark.parametrize("t,h,w", [(8, 32, 64), (16, 24, 40)])
+def test_cubes_perm_to_frames_inverts_forward(rng, t, h, w):
+    frames = rng.integers(0, 256, (t, h, w), dtype=np.uint8)
+    perm = relayout.frames_to_cubes_perm(jnp.asarray(frames), interpret=True)
+    back = relayout.cubes_perm_to_frames(
+        perm, height=h, width=w, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(back), frames)
+
+
+def test_inv_sigma_roundtrip():
+    s = relayout.sigma()
+    inv = relayout.inv_sigma()
+    np.testing.assert_array_equal(s[inv], np.arange(512))
+    # column-permuted pixels land in the kernel's perm layout:
+    # perm[:, j] = pixels[:, inv[j]]  <=>  perm[:, s[c]] = pixels[:, c]
+    x = np.random.default_rng(1).integers(0, 255, (3, 512))
+    np.testing.assert_array_equal(x[:, inv][:, s], x)
