@@ -153,6 +153,27 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     turbo_data = tenc.push(frames) + tenc.finish()
     turbo_bpp = metrics.bits_per_pixel(len(turbo_data), w, h, t)
 
+    # Turbo host drain stages, per GOP per core (they fan out across the
+    # drain pool; with the device step at 1-2 ms these bound end-to-end
+    # turbo throughput on a PCIe host).
+    from dct3d_tpu.codec.turbo import (
+        MEMBER_TURBO, _member_payload, _parse_payload,
+    )
+    from dct3d_tpu.parallel.multihost import split_members
+
+    m0 = [m for m in split_members(turbo_data) if m[2] == MEMBER_TURBO][0]
+    wire_plane, exc_i, exc_v = _parse_payload(m0[1], cfg.cube_size, True)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _parse_payload(m0[1], cfg.cube_size, True)
+    turbo_parse_fps = 3 * cfg.gop_size / (time.perf_counter() - t0)
+    dc0 = np.zeros(wire_plane.shape[1], np.int16)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _member_payload(wire_plane, dc0, np.zeros(0, np.int64),
+                        np.zeros(0, np.int16), cfg, wire=True)
+    turbo_member_build_fps = 3 * cfg.gop_size / (time.perf_counter() - t0)
+
     # Decode ships smooth reconstructed frames; raw bytes compress better on
     # the wire than their deltas, so transport_delta stays encode-side only.
     import dataclasses
@@ -222,6 +243,8 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         "decode_entropy_fps": entropy_fps,
         "decode_entropy_indexed_fps": entropy_indexed_fps,
         "turbo_compute_fps": turbo_compute_fps,
+        "turbo_parse_fps": turbo_parse_fps,
+        "turbo_member_build_fps": turbo_member_build_fps,
         "turbo_bpp": turbo_bpp,
         "bpp": metrics.bits_per_pixel(len(data), w, h, t),
         "psnr_db": metrics.psnr(frames, video),
@@ -280,6 +303,10 @@ def main() -> int:
                 r["decode_entropy_indexed_fps"], 2
             ),
             "turbo_compute_fps": round(r["turbo_compute_fps"], 2),
+            "turbo_parse_fps": round(r["turbo_parse_fps"], 2),
+            "turbo_member_build_fps": round(
+                r["turbo_member_build_fps"], 2
+            ),
             "turbo_bpp": round(r["turbo_bpp"], 4),
             # Like-for-like vs the CPU baseline when transport is excluded:
             # this tunnel moves host<->device bytes at ~45 MB/s (PCIe-class
