@@ -77,7 +77,12 @@ class CheckpointingEncoder:
         #: errors say so explicitly instead of diverging silently.
         self.mesh = mesh
         self.cfg = cfg or CodecConfig()
-        if mesh is not None and checkpoint_gops % mesh.shape["gop"]:
+        # Alignment rules apply to the REFERENCE profile only: its members
+        # span checkpoint_gops GOPs of one continuous stream, so member
+        # boundaries must land on whole mesh steps.  Turbo members are one
+        # independent stream per GOP (checkpoint_gops merely sets fsync
+        # cadence), so any GOP-multiple boundary is fine there.
+        if mesh is not None and not turbo and checkpoint_gops % mesh.shape["gop"]:
             raise ValueError(
                 f"checkpoint_gops={checkpoint_gops} is not a multiple of "
                 f"the mesh gop axis ({mesh.shape['gop']}): members would "
@@ -99,7 +104,7 @@ class CheckpointingEncoder:
         #: fsyncing every checkpoint_gops members.
         self.turbo = turbo
         self.frames_done, safe_bytes = resume_info(path)
-        if mesh is not None:
+        if mesh is not None and not turbo:
             step = self.cfg.gop_size * mesh.shape["gop"]
             if self.frames_done % step:
                 raise ValueError(
@@ -138,6 +143,7 @@ class CheckpointingEncoder:
         self._member_frames = 0
         self._member_chunks: list[bytes] = []
         self._turbo_enc = None
+        self._turbo_tail = None
         self._since_sync = 0
 
     @staticmethod
@@ -190,7 +196,28 @@ class CheckpointingEncoder:
                     self.width, self.height, self.cfg, self.ctx
                 )
         gop = self.cfg.gop_size
-        self._f.write(self._turbo_enc.push(frames))
+        if self.mesh is not None:
+            # Turbo members are one independent stream per GOP, so a batch
+            # that doesn't fill whole mesh steps (a resume point from a
+            # single-device run, or a stream tail) legally splits: whole
+            # steps ride the sharded encoder, the GOP tail a single-device
+            # encoder — members land on disk in frame order either way and
+            # the container stays byte-identical.
+            step = gop * self.mesh.shape["gop"]
+            whole = frames.shape[0] - frames.shape[0] % step
+            if whole:
+                self._f.write(self._turbo_enc.push(frames[:whole]))
+            if whole < frames.shape[0]:
+                if self._turbo_tail is None:
+                    self._turbo_tail = TurboEncoder(
+                        self.width, self.height, self.cfg, self.ctx
+                    )
+                self._f.write(
+                    self._turbo_tail.push(frames[whole:])
+                    + self._turbo_tail.drain()
+                )
+        else:
+            self._f.write(self._turbo_enc.push(frames))
         self.frames_done += frames.shape[0]
         self._since_sync += frames.shape[0] // gop
         if self._since_sync >= self.checkpoint_gops:
@@ -234,6 +261,8 @@ class CheckpointingEncoder:
         if self.turbo:
             if self._turbo_enc is not None:
                 self._f.write(self._turbo_enc.finish())
+            if self._turbo_tail is not None:
+                self._f.write(self._turbo_tail.finish())
             self._sync()
         else:
             self._flush_member()

@@ -181,7 +181,8 @@ def _finish_frames(pixels, cfg, height, width, perm: bool = False):
     pixels = jnp.clip(pixels, 0.0, 255.0)
     if perm:
         frames = relayout.cubes_perm_to_frames(
-            pixels.astype(jnp.uint8), height=height, width=width
+            pixels.astype(jnp.uint8), height=height, width=width,
+            use_pallas=bitpack._tpu_backend(),
         )
     else:
         frames = framing.cubes_to_frames(pixels, cfg, height, width)
@@ -191,6 +192,22 @@ def _finish_frames(pixels, cfg, height, width, perm: bool = False):
         # with a uint8 cumsum (see codec/decoder.py).
         frames = jnp.concatenate([frames[:1], frames[1:] - frames[:-1]])
     return frames
+
+
+def _perm_decode(cfg, height, width, dec_me, dec_mo):
+    """Shared gate for the permuted decode fast path: when the relayout
+    kernel covers the geometry, permute the decode matrices' COLUMNS by
+    inv_sigma (same dot products, reordered outputs — decoded pixels
+    bit-identical) so _finish_frames(perm=True) can run the word-transpose
+    inverse relayout instead of the XLA 6-axis transpose.  Backend-
+    independent: on CPU the inverse runs through XLA (bit-identical), so
+    the whole CPU suite exercises this production composition.  ONE
+    helper so decode_step / planar4_to_frames / sharded_decode_step can
+    never diverge in layout handling.  Returns (perm, dec_me, dec_mo)."""
+    if not relayout.supports(cfg, height, width):
+        return False, dec_me, dec_mo
+    inv = relayout.inv_sigma(cfg.cube_size)
+    return True, dec_me[:, inv], dec_mo[:, inv]
 
 
 def _dequant_matmul(ce, co, dec_me, dec_mo):
@@ -215,10 +232,7 @@ def decode_step(coeffs, dec_me, dec_mo, *, cfg, height, width):
     Dequantization (exact integer multiply, folded into the matrices) and
     inverse DCT via the split matmul (_dequant_matmul)."""
     v2 = coeffs.reshape(coeffs.shape[0], -1, 2)
-    perm = relayout.supports(cfg, height, width) and bitpack._tpu_backend()
-    if perm:  # same free column permutation as planar4_to_frames
-        inv = relayout.inv_sigma(cfg.cube_size)
-        dec_me, dec_mo = dec_me[:, inv], dec_mo[:, inv]
+    perm, dec_me, dec_mo = _perm_decode(cfg, height, width, dec_me, dec_mo)
     pixels = _dequant_matmul(v2[:, :, 0], v2[:, :, 1], dec_me, dec_mo)
     return _finish_frames(pixels, cfg, height, width, perm=perm)
 
@@ -279,14 +293,7 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     lo = lo.at[e_even].set(exc_val, mode="drop", unique_indices=True)
     hi = hi.at[e_odd].set(exc_val, mode="drop", unique_indices=True)
     hc = cfg.cube_size // 2
-    # TPU fast path: emit pixels in the relayout kernel's permuted column
-    # order for free (column-permuted decode matrices — the same dot
-    # products, reordered outputs, so pixels stay BIT-IDENTICAL) and let
-    # _finish_frames run the Pallas inverse relayout.
-    perm = relayout.supports(cfg, height, width) and bitpack._tpu_backend()
-    if perm:
-        inv = relayout.inv_sigma(cfg.cube_size)
-        dec_me, dec_mo = dec_me[:, inv], dec_mo[:, inv]
+    perm, dec_me, dec_mo = _perm_decode(cfg, height, width, dec_me, dec_mo)
     pixels = _dequant_matmul(
         lo.reshape(-1, hc), hi.reshape(-1, hc), dec_me, dec_mo
     )

@@ -203,9 +203,10 @@ def inv_sigma(cube_size: int = 512) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "interpret")
+    jax.jit, static_argnames=("height", "width", "use_pallas", "interpret")
 )
 def cubes_perm_to_frames(perm, *, height: int, width: int,
+                         use_pallas: bool = True,
                          interpret: bool = False):
     """(num_cubes, 512) uint8 cubes in the kernel's sigma-PERMUTED column
     order -> (T, H, W) uint8 frames: the exact inverse of
@@ -215,24 +216,33 @@ def cubes_perm_to_frames(perm, *, height: int, width: int,
     decode matrices, inv_sigma), so this replaces the XLA 6-axis
     cubes_to_frames transpose (~1.7 ms of the 2.55 ms 1080p decode step —
     measured via the planar4 stage bisect) with the same ~0.5 ms Pallas
-    relayout the encode side uses."""
+    relayout the encode side uses.  use_pallas=False runs the identical
+    per-block i32 word transposes through XLA (bit-identical; the CPU
+    suite exercises the production perm composition through it)."""
     num_cubes = perm.shape[0]
     nbh, nbw, w32 = height // 8, width // 8, width // 4
     gops = num_cubes // (nbh * nbw)
     words = jax.lax.bitcast_convert_type(
         perm.reshape(num_cubes, 128, 4), jnp.int32
     ).reshape(gops, nbh * w32, 64)
-    vma = jax.typeof(perm).vma
-    x32 = pl.pallas_call(
-        _inv_kernel,
-        grid=(gops, nbh),
-        in_specs=[pl.BlockSpec((1, w32, 64), lambda g, i: (g, i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, 8, w32), lambda g, i: (g, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gops, 8, nbh * 8, w32), jnp.int32,
-                                       vma=vma),
-        interpret=interpret,
-    )(words)
+    if use_pallas:
+        vma = jax.typeof(perm).vma
+        x32 = pl.pallas_call(
+            _inv_kernel,
+            grid=(gops, nbh),
+            in_specs=[pl.BlockSpec((1, w32, 64), lambda g, i: (g, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 8, 8, w32), lambda g, i: (g, 0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (gops, 8, nbh * 8, w32), jnp.int32, vma=vma
+            ),
+            interpret=interpret,
+        )(words)
+    else:
+        blk = jnp.swapaxes(words.reshape(gops, nbh, w32, 64), 2, 3)
+        x32 = jnp.swapaxes(
+            blk.reshape(gops, nbh, 8, 8, w32), 1, 2
+        ).reshape(gops, 8, nbh * 8, w32)
     by = jax.lax.bitcast_convert_type(x32, jnp.uint8)
     return by.reshape(gops * 8, height, width)

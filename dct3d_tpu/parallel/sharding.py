@@ -183,14 +183,17 @@ class ShardedEncoder:
                 f"{self.height}x{self.width}"
             )
         shard_vals = self.cfg.gop_size * (h // n_tile) * w
-        if self._wide:  # settled on the worst-case buffer
-            max_bytes = 4 * shard_vals + 64
-            step = self._step_fn(max_bytes, tight=False)
-        else:
-            max_bytes = (
+
+        def step_fn():
+            # Re-checked per step (the drainer can trip _wide mid-push):
+            # once settled on the worst-case buffer, every later step
+            # dispatches wide directly instead of double-encoding.
+            if self._wide:
+                return self._step_fn(4 * shard_vals + 64, tight=False)
+            return self._step_fn(
                 self.cfg.stream_budget_bits_per_value * shard_vals // 8 + 64
             )
-            step = self._step_fn(max_bytes)
+
         # Pipeline: the sink bit-phase carry chains ON DEVICE, so step k+1
         # dispatches while step k's buffers are still in flight; host
         # assembly trails one step behind.
@@ -202,7 +205,7 @@ class ShardedEncoder:
                 frames[i : i + step_t], self._sharding
             )
             carry_in = carry
-            packed, bits, starts, carry, ovf = step(
+            packed, bits, starts, carry, ovf = step_fn()(
                 frames_sharded, self.ctx.enc_t, carry
             )
             if pending is not None:
@@ -309,36 +312,23 @@ def sharded_decode_step(mesh: Mesh, ctx: TransformContext, cfg: CodecConfig,
     caller.
     """
 
-    from ..codec.transform import _dequant_matmul
-    from ..ops import relayout
-    from ..ops.bitpack import _tpu_backend
+    from ..codec.transform import _dequant_matmul, _finish_frames, _perm_decode
 
     n_tile = mesh.shape[TILE_AXIS]
     local_h = height // n_tile
-    # Same TPU fast path as planar4_to_frames: column-permuted decode
-    # matrices emit pixels in the relayout kernel's order (bit-identical
-    # values) and the Pallas inverse relayout replaces the XLA 6-axis
-    # transpose.
-    perm = relayout.supports(cfg, local_h, width) and _tpu_backend()
 
     def _shard(coeffs_local, dec_me, dec_mo):
         c = coeffs_local[0, 0]
         v2 = c.reshape(c.shape[0], -1, 2)
-        if perm:
-            inv = relayout.inv_sigma(cfg.cube_size)
-            dme, dmo = dec_me[:, inv], dec_mo[:, inv]
-        else:
-            dme, dmo = dec_me, dec_mo
-        # Split even/odd matmul: same summation order as every other decode
-        # path, so sharded pixels match single-device pixels exactly.
+        # Shared perm fast path + split even/odd matmul: same summation
+        # order as every other decode path, so sharded pixels match
+        # single-device pixels exactly.
+        perm, dme, dmo = _perm_decode(cfg, local_h, width, dec_me, dec_mo)
         pixels = _dequant_matmul(v2[:, :, 0], v2[:, :, 1], dme, dmo)
-        pixels = jnp.clip(pixels, 0.0, 255.0)
-        if perm:
-            return relayout.cubes_perm_to_frames(
-                pixels.astype(jnp.uint8), height=local_h, width=width
-            )
-        frames = framing.cubes_to_frames(pixels, cfg, local_h, width)
-        return frames.astype(jnp.uint8)
+        import dataclasses as _dc
+
+        cfg_ = _dc.replace(cfg, transport_delta=False)
+        return _finish_frames(pixels, cfg_, local_h, width, perm=perm)
 
     fn = shard_map(
         _shard,

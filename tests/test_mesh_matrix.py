@@ -211,3 +211,24 @@ def test_sharded_encoder_widens_after_repeated_overflow(mesh21, rng):
     assert b"".join(chunks) == encode_video(
         noise, CodecConfig(stream_bits_per_value=6)
     )
+
+
+def test_turbo_checkpoint_mesh_resumes_at_any_gop(tmp_path, mesh21):
+    """Turbo members are independent per GOP: a mesh resume from a
+    non-step-aligned point (and a non-step checkpoint interval) must work
+    and stay byte-identical — whole steps ride the sharded encoder, GOP
+    tails a single-device encoder."""
+    cfg = CodecConfig()
+    clip = synthetic_video(48, 64, 64, seed=51)
+    a, b = str(tmp_path / "a.d3t"), str(tmp_path / "b.d3t")
+    with CheckpointingEncoder(a, 64, 64, cfg, checkpoint_gops=3,
+                              turbo=True) as enc:
+        enc.push(clip)
+    with CheckpointingEncoder(b, 64, 64, cfg, checkpoint_gops=3,
+                              turbo=True) as enc:
+        enc.push(clip[:24])  # 3 GOPs: not a whole 2-gop mesh step
+    with CheckpointingEncoder(b, 64, 64, cfg, checkpoint_gops=3, turbo=True,
+                              mesh=mesh21) as enc:  # gops=3 OK for turbo
+        assert enc.frames_done == 24
+        enc.push(clip[24:])  # 24 frames = 1 mesh step + 1 GOP tail
+    assert open(a, "rb").read() == open(b, "rb").read()

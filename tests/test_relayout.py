@@ -85,6 +85,10 @@ def test_cubes_perm_to_frames_inverts_forward(rng, t, h, w):
         perm, height=h, width=w, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(back), frames)
+    xla = relayout.cubes_perm_to_frames(
+        perm, height=h, width=w, use_pallas=False
+    )
+    np.testing.assert_array_equal(np.asarray(xla), frames)
 
 
 def test_inv_sigma_roundtrip():
