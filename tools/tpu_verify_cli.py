@@ -136,6 +136,16 @@ def run() -> None:
     assert main(["render", f"{W}/c_dec.rgb", "64", "64", "--rgb", "--play",
                  "--fps", "120", "--player", player]) == 0
 
+    # 4K geometry smoke: different Pallas block shapes (w32=960, non-%512
+    # cube paddings) through every fast path; turbo pixels must equal the
+    # reference profile's at this size too.
+    main(["capture", f"{W}/4k.raw", "3840", "2160", "8", "--kind", "blocks"])
+    main(["encode", f"{W}/4k.raw", f"{W}/4k.bin", "3840", "2160"])
+    main(["decode", f"{W}/4k.bin", f"{W}/4k.dec", "3840", "2160", "8"])
+    main(["encode", f"{W}/4k.raw", f"{W}/4k.d3t", "3840", "2160", "--turbo"])
+    main(["decode", f"{W}/4k.d3t", f"{W}/4k.tdec", "3840", "2160"])
+    assert rd(f"{W}/4k.tdec") == rd(f"{W}/4k.dec")
+
     print("tpu_verify_cli: ALL STEPS OK", flush=True)
 
 
