@@ -760,12 +760,15 @@ def _write_decoded(args, video, width, height, t0) -> int:
         sys.stdout.buffer.flush()
     elif args.output.lower().endswith(".y4m"):
         if video.ndim == 4:
-            print("y4m output is luma-only; decode without --rgb or use a "
-                  ".rgb output path", file=sys.stderr)
-            return 2
-        from .io.y4m import write_y4m
+            # Color output: C444 BT.601 (read_y4m_rgb round-trips it; any
+            # ffmpeg/ffplay consumes it directly).
+            from .io.y4m import write_y4m_rgb
 
-        write_y4m(args.output, video)
+            write_y4m_rgb(args.output, video)
+        else:
+            from .io.y4m import write_y4m
+
+            write_y4m(args.output, video)
     else:
         rawvideo.write_video(args.output, video)
     print(

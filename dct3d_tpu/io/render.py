@@ -83,17 +83,10 @@ def video_stats(path: str, width: int, height: int, channels: int = 1) -> dict:
 
 
 def _rgb_to_ycbcr444(frame: np.ndarray) -> tuple[np.ndarray, ...]:
-    """Interleaved RGB uint8 -> BT.601 limited-range Y, Cb, Cr planes
-    (inverse of y4m._ycbcr_to_rgb, for the playback pipe)."""
-    r = frame[..., 0].astype(np.float32)
-    g = frame[..., 1].astype(np.float32)
-    b = frame[..., 2].astype(np.float32)
-    y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
-    cb = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
-    cr = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
-    return tuple(
-        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
-    )
+    """See y4m.rgb_to_ycbcr444 (one conversion shared with y4m output)."""
+    from .y4m import rgb_to_ycbcr444
+
+    return rgb_to_ycbcr444(frame)
 
 
 _PLAYERS = (

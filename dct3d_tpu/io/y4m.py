@@ -56,6 +56,35 @@ def write_y4m(path: str, frames: np.ndarray, fps: float = 30.0) -> None:
             f.write(np.ascontiguousarray(frames[k], dtype=np.uint8).tobytes())
 
 
+def rgb_to_ycbcr444(frame: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Interleaved RGB uint8 -> BT.601 limited-range Y, Cb, Cr planes
+    (the inverse of _ycbcr_to_rgb at 4:4:4; shared by write_y4m_rgb and
+    the render --play pipe)."""
+    r = frame[..., 0].astype(np.float32)
+    g = frame[..., 1].astype(np.float32)
+    b = frame[..., 2].astype(np.float32)
+    y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
+    cb = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
+    cr = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
+    return tuple(
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    )
+
+
+def write_y4m_rgb(path: str, frames: np.ndarray, fps: float = 30.0) -> None:
+    """(T, H, W, 3) uint8 interleaved RGB -> a C444 YUV4MPEG2 stream
+    (BT.601 limited range; ffmpeg/ffplay-readable).  Lossy only by the
+    limited-range quantization (~2 LSBs); read_y4m_rgb round-trips it."""
+    t, h, w = frames.shape[:3]
+    num = int(round(fps * 1000))
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F{num}:1000 Ip A1:1 C444\n".encode())
+        for k in range(t):
+            f.write(b"FRAME\n")
+            for plane in rgb_to_ycbcr444(frames[k]):
+                f.write(plane.tobytes())
+
+
 def read_y4m(path: str, frames: int | None = None) -> tuple[np.ndarray, dict]:
     """(T, H, W) uint8 luma plane + the header info."""
     info = probe_y4m(path)

@@ -289,3 +289,24 @@ def test_render_play_no_player_errors(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(_shutil, "which", lambda *_: None)
     assert cli.main(["render", src, "16", "16", "--play"]) == 2
     assert "player" in capsys.readouterr().err
+
+
+def test_cli_decode_rgb_to_y4m(tmp_path):
+    """decode --rgb to a .y4m path emits a C444 stream that read_y4m_rgb
+    round-trips within the limited-range quantization error."""
+    from dct3d_tpu.io.y4m import read_y4m_rgb
+
+    rng = np.random.default_rng(49)
+    rgb = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    src = str(tmp_path / "c.rgb")
+    rgb.tofile(src)
+    enc = str(tmp_path / "c.bin")
+    out = str(tmp_path / "c.y4m")
+    assert cli.main(["encode", src, enc, "32", "32", "--rgb"]) == 0
+    assert cli.main(["decode", enc, out, "32", "32", "--rgb"]) == 0
+    back, info = read_y4m_rgb(out)
+    assert info["chroma"] == "444" and back.shape == rgb.shape
+    dec = str(tmp_path / "c.dec")
+    assert cli.main(["decode", enc, dec, "32", "32", "--rgb"]) == 0
+    want = rawvideo.read_video(dec, 32, 32, channels=3)
+    assert np.max(np.abs(back.astype(int) - want.astype(int))) <= 3
