@@ -419,10 +419,16 @@ def cmd_encode(args) -> int:
         if args.checkpoint_every:
             from .codec.checkpoint import CheckpointingEncoder
 
-            ms = _setup_mesh(args, cfg, frames)
-            if ms is None:
-                return 2
-            mesh, align, frames = ms
+            # No step truncation here: turbo members are per GOP, and the
+            # checkpointer routes whole mesh steps to the sharded encoder
+            # and GOP tails to a single-device one — so a mesh encode keeps
+            # exactly the frames a single-device encode keeps.
+            mesh = None
+            align = cfg.gop_size
+            if args.mesh:
+                mesh = _make_cli_mesh(args.mesh)
+                if mesh is None:
+                    return 2
             t0 = time.perf_counter()
             with profile_to(args.profile_dir), CheckpointingEncoder(
                 args.output, width, height, cfg,

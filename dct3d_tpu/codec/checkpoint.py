@@ -70,11 +70,12 @@ class CheckpointingEncoder:
         #: optional (gop, tile) device mesh: members are produced by the
         #: sharded encoders instead, BYTE-IDENTICAL to the single-device
         #: members (parallel/sharding.py invariant) — so the .meta sidecar
-        #: does not pin the mesh.  A resume may change or drop the mesh
-        #: when the boundaries line up: checkpoint_gops must be a whole
-        #: number of mesh steps (validated below) and the resume point a
-        #: whole number of steps (validated after resume_info) — both
-        #: errors say so explicitly instead of diverging silently.
+        #: does not pin the mesh.  REFERENCE profile: a resume may change
+        #: or drop the mesh when the boundaries line up — checkpoint_gops
+        #: must be whole mesh steps and the resume point a whole number of
+        #: steps (both validated below with explicit errors).  TURBO
+        #: profile: members are independent per GOP, so neither constraint
+        #: applies — _push_turbo splits whole steps / GOP tails itself.
         self.mesh = mesh
         self.cfg = cfg or CodecConfig()
         # Alignment rules apply to the REFERENCE profile only: its members
@@ -186,15 +187,6 @@ class CheckpointingEncoder:
     def _push_turbo(self, frames: np.ndarray) -> None:
         from .turbo import TurboEncoder, TurboShardedEncoder
 
-        if self._turbo_enc is None:
-            if self.mesh is not None:
-                self._turbo_enc = TurboShardedEncoder(
-                    self.width, self.height, self.mesh, self.cfg, self.ctx
-                )
-            else:
-                self._turbo_enc = TurboEncoder(
-                    self.width, self.height, self.cfg, self.ctx
-                )
         gop = self.cfg.gop_size
         if self.mesh is not None:
             # Turbo members are one independent stream per GOP, so a batch
@@ -206,6 +198,11 @@ class CheckpointingEncoder:
             step = gop * self.mesh.shape["gop"]
             whole = frames.shape[0] - frames.shape[0] % step
             if whole:
+                if self._turbo_enc is None:  # lazy: tail-only pushes
+                    self._turbo_enc = TurboShardedEncoder(
+                        self.width, self.height, self.mesh, self.cfg,
+                        self.ctx,
+                    )
                 self._f.write(self._turbo_enc.push(frames[:whole]))
             if whole < frames.shape[0]:
                 if self._turbo_tail is None:
@@ -217,13 +214,18 @@ class CheckpointingEncoder:
                     + self._turbo_tail.drain()
                 )
         else:
+            if self._turbo_enc is None:
+                self._turbo_enc = TurboEncoder(
+                    self.width, self.height, self.cfg, self.ctx
+                )
             self._f.write(self._turbo_enc.push(frames))
         self.frames_done += frames.shape[0]
         self._since_sync += frames.shape[0] // gop
         if self._since_sync >= self.checkpoint_gops:
             # Force in-flight members out before fsync, else the durability
             # bound silently grows by the encoder's pipeline depth.
-            self._f.write(self._turbo_enc.drain())
+            if self._turbo_enc is not None:
+                self._f.write(self._turbo_enc.drain())
             self._sync()
 
     def push(self, frames: np.ndarray) -> None:

@@ -232,3 +232,21 @@ def test_turbo_checkpoint_mesh_resumes_at_any_gop(tmp_path, mesh21):
         assert enc.frames_done == 24
         enc.push(clip[24:])  # 24 frames = 1 mesh step + 1 GOP tail
     assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_cli_turbo_checkpoint_mesh_keeps_gop_tail(tmp_path):
+    """The CLI must not step-truncate turbo checkpoint encodes on a mesh:
+    56 frames = 3 mesh steps + 1 GOP tail, byte-identical to the
+    single-device container (which keeps all 7 GOPs)."""
+    from dct3d_tpu import cli
+    from dct3d_tpu.io import rawvideo
+
+    clip = synthetic_video(56, 64, 64, seed=52)
+    src = str(tmp_path / "g.raw")
+    rawvideo.write_video(src, clip)
+    a, b = str(tmp_path / "a.d3t"), str(tmp_path / "b.d3t")
+    assert cli.main(["encode", src, a, "64", "64", "--turbo",
+                     "--checkpoint-every", "2"]) == 0
+    assert cli.main(["encode", src, b, "64", "64", "--turbo",
+                     "--checkpoint-every", "2", "--mesh", "2x1"]) == 0
+    assert open(a, "rb").read() == open(b, "rb").read()
