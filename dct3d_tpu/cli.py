@@ -47,6 +47,7 @@ def _cfg_from_args(args) -> CodecConfig:
         zlib_level=level,
         deflate_workers=0 if getattr(args, "parity", False) else args.deflate_workers,
         compute_dtype=_norm_dtype(getattr(args, "dtype", "float32")),
+        pack_bits_per_value=getattr(args, "pack_bits", None) or 6,
     )
 
 
@@ -98,6 +99,13 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "--parity", action="store_true",
         help="byte-exact stream layout vs the serial reference encoder "
         "(same as --deflate-workers 0)",
+    )
+    p.add_argument(
+        "--pack-bits", type=int, default=None, metavar="N",
+        help="per-group device pack-buffer budget, bits/value (default 6; "
+        "4 measures 13%% faster encode on typical content at identical "
+        "bytes — buffer-sizing only; dense content overflows and retries "
+        "worst-case, so keep 6 for noisy sources; PERFORMANCE.md)",
     )
     p.add_argument(
         "--dtype", default="float32",

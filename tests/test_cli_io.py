@@ -395,3 +395,15 @@ def test_stream_frames_max_frames_is_absolute(rng):
     total = sum(b.shape[0] for b in got)
     assert total == 6  # frames [4, 10)
     np.testing.assert_array_equal(np.concatenate(got), clip[4:10])
+
+
+def test_cli_pack_bits_is_byte_neutral(tmp_path):
+    """--pack-bits sizes device buffers only: output bytes identical."""
+    d = str(tmp_path)
+    src = f"{d}/src.raw"
+    assert cli.main(["capture", src, "64", "64", "16", "--kind", "blocks"]) == 0
+    assert cli.main(["encode", src, f"{d}/a.bin", "64", "64",
+                     "--deflate-workers", "0"]) == 0
+    assert cli.main(["encode", src, f"{d}/b.bin", "64", "64",
+                     "--deflate-workers", "0", "--pack-bits", "4"]) == 0
+    assert open(f"{d}/a.bin", "rb").read() == open(f"{d}/b.bin", "rb").read()
