@@ -125,6 +125,186 @@ def scan_values(data: bytes | np.ndarray, n: int, bitpos: int = 0) -> int | None
     return int(pos)
 
 
+#: Speculative-scan tuning: handshake window (starts recorded per segment),
+#: checkpoint stride (2**shift codewords), minimum bytes per segment.
+_SPEC_REC_CAP = 1024
+_SPEC_CKPT_SHIFT = 12
+_SPEC_MIN_SEG = 1 << 17
+
+
+def speculative_positions(payload, values_per_chunk: int, n_chunks: int,
+                          workers: int | None = None) -> list[int] | None:
+    """All chunk start bit positions of a headerless stream — in parallel.
+
+    The serial eg_scan boundary walk is the non-indexed decode path's hard
+    throughput ceiling (docs/FORMAT.md): one thread must touch every
+    codeword before any worker can start its GOP.  Here the payload is cut
+    into byte-aligned segments and every segment is scanned CONCURRENTLY
+    from its (speculative) byte boundary; Exp-Golomb walks from different
+    alignments converge onto the true codeword grid after a few codewords,
+    and the stitch validates each segment by an exact position handshake —
+    the true entry position must appear among the segment's first recorded
+    starts (then the true walk from there IS the speculative walk; nothing
+    probabilistic survives into the result).  A failed handshake falls
+    back to a serial catch-up scan of that segment, so adversarial content
+    costs the old serial behavior, never correctness.
+
+    Returns n_chunks absolute bit positions, or None when the native
+    library is missing, the payload is too small to be worth it, or the
+    stream ends prematurely (callers then use the serial scan, which
+    reproduces the reference EOF semantics exactly).
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    lib = native.load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(
+        payload, (bytes, bytearray)) else payload
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    workers = workers or (_os.cpu_count() or 2)
+    n_seg = max(1, min(workers * 4, buf.size // _SPEC_MIN_SEG))
+    if n_seg < 2 or n_chunks < 2:
+        return None  # too small to beat the serial scan
+    nbits = buf.size * 8
+    bounds = [buf.size * s // n_seg for s in range(n_seg)] + [buf.size]
+
+    def scan_segment(s: int):
+        start_bit = bounds[s] * 8
+        end_bit = bounds[s + 1] * 8
+        seg_bits = end_bit - start_bit
+        ckpt_cap = (seg_bits >> _SPEC_CKPT_SHIFT) + 2
+        rec = np.empty(_SPEC_REC_CAP, np.uint64)
+        ckpt_cnt = np.zeros(ckpt_cap, np.uint64)
+        ckpt_pos = np.full(ckpt_cap, start_bit, np.uint64)
+        cnt = ctypes.c_uint64(0)
+        exit_pos = lib.eg_scan_segment(
+            buf.ctypes.data, nbits, start_bit, end_bit,
+            rec.ctypes.data, _SPEC_REC_CAP,
+            ckpt_cnt.ctypes.data, ckpt_pos.ctypes.data, ckpt_cap,
+            _SPEC_CKPT_SHIFT, ctypes.byref(cnt),
+        )
+        return rec, ckpt_cnt, ckpt_pos, int(exit_pos), int(cnt.value)
+
+    with _TPE(workers) as pool:
+        segs = list(pool.map(scan_segment, range(n_seg)))
+
+    # Stitch: walk the true entry position through the segments.  Per
+    # segment: A = cumulative true count at entry, entry position p,
+    # (steps, j) = serial catch-up length and the speculative index at
+    # convergence (segment 0 is exact: steps=0, j=0).
+    A = [0]
+    meta = []  # (p_s, steps_s, j_s)
+    entry = 0
+    for s in range(n_seg):
+        rec, ckpt_cnt, ckpt_pos, exit_pos, cnt = segs[s]
+        end_bit = bounds[s + 1] * 8
+        if s + 1 < n_seg and exit_pos < end_bit:
+            return None  # stream ended inside an interior segment
+        if s == 0:
+            steps, j = 0, 0
+        else:
+            rlen = min(cnt, _SPEC_REC_CAP)
+            j = int(np.searchsorted(rec[:rlen], np.uint64(entry)))
+            if j < rlen and int(rec[j]) == entry:
+                steps = 0
+            else:
+                # handshake miss: serial catch-up inside this segment
+                match = ctypes.c_int64(-1)
+                pos_out = ctypes.c_uint64(0)
+                steps_out = ctypes.c_uint64(0)
+                rc = lib.eg_scan_catchup(
+                    buf.ctypes.data, nbits, entry, end_bit,
+                    rec.ctypes.data, rlen,
+                    ctypes.byref(match), ctypes.byref(pos_out),
+                    ctypes.byref(steps_out),
+                )
+                if rc != 0:
+                    return None  # data ran out: serial path owns EOF
+                steps = int(steps_out.value)
+                if match.value >= 0:
+                    j = int(match.value)
+                else:
+                    # walked the whole segment serially: exact by itself
+                    A.append(A[-1] + steps)
+                    meta.append((entry, steps, None))
+                    entry = int(pos_out.value)
+                    continue
+        A.append(A[-1] + steps + (cnt - j))
+        meta.append((entry, steps, j))
+        entry = exit_pos
+
+    # Boundary positions: chunk k starts after k*values_per_chunk true
+    # codewords.  Inside a segment, counts >= steps map onto the
+    # speculative walk (checkpoint + short rescan); earlier ones rescan
+    # from the entry.
+    import bisect
+
+    positions = []
+    for k in range(n_chunks):
+        g = k * values_per_chunk
+        if g > A[-1]:
+            return None  # stream too short: serial path owns EOF semantics
+        s = bisect.bisect_right(A, g) - 1
+        s = min(s, n_seg - 1)
+        m = g - A[s]
+        p_s, steps, j = meta[s]
+        if m < steps or j is None:
+            pos = scan_values(buf, m, p_s)
+        else:
+            rec, ckpt_cnt, ckpt_pos, _, _ = segs[s]
+            msp = j + (m - steps)
+            t = msp >> _SPEC_CKPT_SHIFT
+            if t == 0:
+                c0, q0 = 0, bounds[s] * 8
+            else:
+                c0, q0 = int(ckpt_cnt[t]), int(ckpt_pos[t])
+            pos = scan_values(buf, msp - c0, q0)
+        positions.append(pos)
+    return positions
+
+
+def decode_values_planar4_pair(data, n: int, bitpos0: int, bitpos1: int):
+    """Decode TWO independent n-value chunks in one interleaved native call.
+
+    The table walk is instruction-bound with a serial advance chain; the
+    multi-stream C decoder (eg_decode_planar4_multi) round-robins two
+    chunks' windows so their chains overlap in the out-of-order core —
+    measured ~1.26x one core's single-stream throughput.  Returns a pair of
+    (plane, exc_idx, exc_val, end_bitpos) tuples, exactly two sequential
+    decode_values_planar4 results.
+    """
+    assert n % 2 == 0, "planar4 needs an even value count"
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    lib = native.load()
+    cap = max(1024, n // 16)
+    while True:
+        planes = np.empty(n, np.uint8)
+        ei = np.empty(2 * cap, np.int32)
+        ev = np.empty(2 * cap, np.int32)
+        p = np.array([bitpos0, bitpos1], np.uint64)
+        cnts = np.zeros(2, np.uint64)
+        rc = lib.eg_decode_planar4_multi(
+            buf.ctypes.data, buf.size * 8, p.ctypes.data, 2, n,
+            planes.ctypes.data, ei.ctypes.data, ev.ctypes.data, cap,
+            cnts.ctypes.data,
+        )
+        if rc == -2:  # exception capacity; pathological content
+            cap *= 4
+            continue
+        if rc != 0:
+            raise EOFError("exp-golomb stream exhausted")
+        k0, k1 = int(cnts[0]), int(cnts[1])
+        half = n // 2
+        return (
+            (planes[:half], ei[:k0], ev[:k0], int(p[0])),
+            (planes[half:], ei[cap : cap + k1], ev[cap : cap + k1],
+             int(p[1])),
+        )
+
+
 def parallel_chunks(payload, values_per_chunk: int, n_chunks: int,
                     decode_fn, workers: int | None = None,
                     positions: list[int] | None = None):
@@ -139,16 +319,28 @@ def parallel_chunks(payload, values_per_chunk: int, n_chunks: int,
     sharded decoder, and the bench.
 
     ``positions`` (optional, len n_chunks): known chunk START bit offsets —
-    from a stream index member (docs/FORMAT.md) — which removes the serial
-    scan entirely: the scanner thread's ~1.5 ns/value walk is otherwise the
-    decode throughput ceiling once enough workers exist, because the scan
-    cannot be parallelized within one headerless stream.
+    from a stream index member (docs/FORMAT.md) or the speculative
+    parallel scan — which removes the serial scan entirely: every core
+    decodes (the scan thread needs no core of its own, so the default
+    worker count rises to cpu_count), and planar4 chunks are decoded two
+    per task through the interleaved pair decoder (~1.26x/core).
     """
     import os as _os
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    workers = workers or max(1, min(n_chunks, (_os.cpu_count() or 2) - 1))
-    if positions is not None:
+    if positions is None:
+        # Headerless stream: try the speculative parallel scan first — all
+        # cores discover the GOP boundaries together, then all cores
+        # decode.  None (tiny payload / truncation / no native lib) falls
+        # back to the serial scan-ahead below.
+        positions = speculative_positions(
+            payload, values_per_chunk, n_chunks, workers
+        )
+    have_index = positions is not None
+    if workers is None:
+        cores = _os.cpu_count() or 2
+        workers = max(1, min(n_chunks, cores if have_index else cores - 1))
+    if have_index:
         if len(positions) < n_chunks:
             raise ValueError(
                 f"index has {len(positions)} positions, need {n_chunks}"
@@ -156,22 +348,40 @@ def parallel_chunks(payload, values_per_chunk: int, n_chunks: int,
         positions = list(positions[:n_chunks])
     else:
         positions = [0]
+    pair = (have_index and decode_fn is decode_values_planar4
+            and values_per_chunk % 2 == 0 and native.load() is not None)
     futs: dict = {}
     with _TPE(workers) as pool:
         def ensure(k: int) -> None:
+            if k in futs or k >= n_chunks:
+                return
             while len(positions) <= k:
                 positions.append(
                     scan_values(payload, values_per_chunk, positions[-1])
                 )
-            if k not in futs:
-                futs[k] = pool.submit(
-                    decode_fn, payload, values_per_chunk, positions[k]
+            if pair and not (k & 1) and k + 1 < n_chunks:
+                while len(positions) <= k + 1:
+                    positions.append(
+                        scan_values(payload, values_per_chunk, positions[-1])
+                    )
+                f = pool.submit(
+                    decode_values_planar4_pair, payload, values_per_chunk,
+                    positions[k], positions[k + 1],
                 )
+                futs[k] = (f, 0)
+                futs[k + 1] = (f, 1)
+            else:
+                futs[k] = (pool.submit(
+                    decode_fn, payload, values_per_chunk, positions[k]
+                ), None)
 
+        lookahead = (2 * workers + 2) if pair else (workers + 1)
         for c in range(n_chunks):
-            for k in range(c, min(c + workers + 1, n_chunks)):
+            for k in range(c, min(c + lookahead, n_chunks)):
                 ensure(k)
-            yield futs.pop(c).result()
+            f, part = futs.pop(c)
+            r = f.result()
+            yield r if part is None else r[part]
 
 
 def _decode_planar_impl(data, n, bitpos, lib_symbol, plane_alloc, fallback):

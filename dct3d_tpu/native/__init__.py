@@ -87,12 +87,51 @@ def load():
         ]
         lib.eg_decode_planar4.restype = ctypes.c_int
         lib.eg_decode_planar4.argtypes = lib.eg_decode_planar.argtypes
+        lib.eg_decode_planar4_multi.restype = ctypes.c_int
+        lib.eg_decode_planar4_multi.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_uint64,  # nbits_avail
+            ctypes.c_void_p,  # positions (uint64[nstreams], in/out)
+            ctypes.c_int,     # nstreams
+            ctypes.c_size_t,  # n per stream
+            ctypes.c_void_p,  # planes (nstreams * n/2 bytes)
+            ctypes.c_void_p,  # exc_idx (nstreams * exc_cap)
+            ctypes.c_void_p,  # exc_val
+            ctypes.c_size_t,  # exc_cap
+            ctypes.c_void_p,  # exc_counts (uint64[nstreams])
+        ]
         lib.eg_scan.restype = ctypes.c_uint64
         lib.eg_scan.argtypes = [
             ctypes.c_void_p,
             ctypes.c_uint64,
             ctypes.c_uint64,
             ctypes.c_size_t,
+        ]
+        lib.eg_scan_segment.restype = ctypes.c_uint64
+        lib.eg_scan_segment.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_uint64,  # nbits_avail
+            ctypes.c_uint64,  # bitpos (speculative segment start)
+            ctypes.c_uint64,  # end_bit
+            ctypes.c_void_p,  # rec (uint64[rec_cap])
+            ctypes.c_size_t,  # rec_cap
+            ctypes.c_void_p,  # ckpt_cnt (uint64[ckpt_cap])
+            ctypes.c_void_p,  # ckpt_pos
+            ctypes.c_size_t,  # ckpt_cap
+            ctypes.c_int,     # ckpt_shift
+            ctypes.POINTER(ctypes.c_uint64),  # count_out
+        ]
+        lib.eg_scan_catchup.restype = ctypes.c_int
+        lib.eg_scan_catchup.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_uint64,  # nbits_avail
+            ctypes.c_uint64,  # bitpos
+            ctypes.c_uint64,  # limit_bit
+            ctypes.c_void_p,  # rec (sorted uint64[rec_len])
+            ctypes.c_size_t,  # rec_len
+            ctypes.POINTER(ctypes.c_int64),   # match index or -1
+            ctypes.POINTER(ctypes.c_uint64),  # pos_out
+            ctypes.POINTER(ctypes.c_uint64),  # steps_out
         ]
         lib.png_unfilter.restype = ctypes.c_int
         lib.png_unfilter.argtypes = [
@@ -109,10 +148,29 @@ def load():
             ctypes.c_size_t,
             ctypes.c_void_p,
         ]
+        _tune_malloc()
         _lib = lib
     except OSError as e:  # pragma: no cover
         print(f"dct3d_tpu: native codec unavailable ({e})", file=sys.stderr)
     return _lib
+
+
+def _tune_malloc() -> None:
+    """Raise glibc's mmap/trim thresholds so the multi-MB per-GOP host
+    buffers (decode planes, exception lists, turbo members) are served from
+    the reusable heap instead of fresh mmap regions — a fresh 16 MB mapping
+    costs ~4000 page faults that serialize on the kernel's mmap lock across
+    the decode worker pool (measured ~25% of a pair-decode call).  Traded
+    for bounded RSS retention at the high-water mark.  Opt out with
+    DCT3D_NO_MALLOPT=1."""
+    if os.environ.get("DCT3D_NO_MALLOPT"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 512 << 20)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 512 << 20)  # M_TRIM_THRESHOLD
+    except (OSError, AttributeError):  # pragma: no cover - non-glibc hosts
+        pass
 
 
 def byte_transpose(a):

@@ -61,35 +61,40 @@ EG_EXPORT int eg_encode(const int32_t *values, size_t n, uint8_t *out,
 }
 
 /* ------------------------------------------------------------------ */
-/* 12-bit window batch tables: one lookup decodes/skips EVERY complete */
-/* codeword in the next 12 stream bits (typical streams run 1-2.5      */
-/* bits/codeword, so ~5-8 codewords per hit vs one clz round each).    */
-/* The decode table stops early at values outside the int4 plane range */
-/* [-8, 7] (they ride the exception list via the scalar path) and at   */
-/* codewords that don't fit the window; count==0 means "scalar one".   */
+/* 14-bit window batch tables: one lookup decodes/skips EVERY complete */
+/* codeword in the next 14 stream bits (typical streams run 1-2.5      */
+/* bits/codeword, so ~6-11 codewords per hit).  The walk's bottleneck  */
+/* is the serial key->table->advance dependency chain, so the CHAIN-   */
+/* critical payload (bits consumed | count << 8) lives in its own      */
+/* 32 KB uint16 table that stays L1-resident; the decoded nibbles      */
+/* (off the chain — only the accumulator consumes them) ride a         */
+/* separate 128 KB table.  Entries with count == 0 ("scalar one":      */
+/* value outside the int4 plane range [-8, 7], or a codeword that      */
+/* does not fit the window) also have bits == 0, so the branchless     */
+/* fixed-step walkers below stall in place harmlessly on them.         */
 /* ------------------------------------------------------------------ */
-typedef struct {
-    uint64_t nibbles; /* value j of the window at bits [4j, 4j+4) */
-    uint8_t count;    /* complete in-range codewords (<= 12) */
-    uint8_t bits;     /* stream bits they consume (<= 12) */
-    uint8_t pad[6];
-} EgTab;
+#define EG_WIN 14
+#define EG_TAB_SIZE (1 << EG_WIN)
 
-static EgTab g_tab[4096];
-static uint8_t g_scan_bits[4096], g_scan_cnt[4096];
+static uint16_t g_meta[EG_TAB_SIZE];      /* bits | count << 8, [-8,7] only */
+static uint64_t g_nib[EG_TAB_SIZE];       /* value j at bits [4j, 4j+4) */
+static uint16_t g_scan_meta[EG_TAB_SIZE]; /* bits | count << 8, any value */
 
 __attribute__((constructor)) static void eg_build_tables(void) {
-    for (int key = 0; key < 4096; key++) {
-        /* bit j of the window (MSB-first) = (key >> (11-j)) & 1 */
+    for (int key = 0; key < EG_TAB_SIZE; key++) {
+        /* bit j of the window (MSB-first) = (key >> (EG_WIN-1-j)) & 1 */
         int pos = 0, k = 0;
         uint64_t nib = 0;
-        while (pos < 12 && k < 12) {
+        while (pos < EG_WIN && k < EG_WIN) {
             int z = 0;
-            while (pos + z < 12 && !((key >> (11 - (pos + z))) & 1)) z++;
-            if (pos + z >= 12 || pos + 2 * z + 1 > 12) break;
+            while (pos + z < EG_WIN &&
+                   !((key >> (EG_WIN - 1 - (pos + z))) & 1))
+                z++;
+            if (pos + z >= EG_WIN || pos + 2 * z + 1 > EG_WIN) break;
             uint32_t code = 0;
             for (int b = 0; b <= z; b++)
-                code = (code << 1) | ((key >> (11 - (pos + z + b))) & 1u);
+                code = (code << 1) |
+                       ((key >> (EG_WIN - 1 - (pos + z + b))) & 1u);
             uint32_t m = code - 1;
             int v = (m & 1) ? (int)((m + 1) >> 1) : -(int)(m >> 1);
             if (v < -8 || v > 7) break;
@@ -97,20 +102,20 @@ __attribute__((constructor)) static void eg_build_tables(void) {
             k++;
             pos += 2 * z + 1;
         }
-        g_tab[key].nibbles = nib;
-        g_tab[key].count = (uint8_t)k;
-        g_tab[key].bits = (uint8_t)pos;
+        g_meta[key] = (uint16_t)(pos | (k << 8));
+        g_nib[key] = nib;
         /* scan variant: same walk without the value restriction */
         int spos = 0, sk = 0;
-        while (spos < 12) {
+        while (spos < EG_WIN) {
             int z = 0;
-            while (spos + z < 12 && !((key >> (11 - (spos + z))) & 1)) z++;
-            if (spos + z >= 12 || spos + 2 * z + 1 > 12) break;
+            while (spos + z < EG_WIN &&
+                   !((key >> (EG_WIN - 1 - (spos + z))) & 1))
+                z++;
+            if (spos + z >= EG_WIN || spos + 2 * z + 1 > EG_WIN) break;
             sk++;
             spos += 2 * z + 1;
         }
-        g_scan_bits[key] = (uint8_t)spos;
-        g_scan_cnt[key] = (uint8_t)sk;
+        g_scan_meta[key] = (uint16_t)(spos | (sk << 8));
     }
 }
 
@@ -153,6 +158,97 @@ static inline int64_t decode_fast(const uint8_t *data, size_t cap_bytes,
     return (m & 1) ? (int64_t)((m + 1) >> 1) : -(int64_t)(m >> 1);
 }
 
+/* One BRANCHLESS window of the planar4 fast walk: exactly 4 table steps
+ * (4*EG_WIN = 56 bits always fit the >= 57 usable bits of a phase-shifted
+ * 64-bit window; count==0 entries have bits==0 and nib==0, so a stalled
+ * step is a no-op that later steps repeat harmlessly).  Data-dependent
+ * branches — the per-hit flush and the window-exit check of the old walk —
+ * mispredict every few hits and cost more than the work itself; here the
+ * flush is an unconditional 8-byte store plus a conditional-move advance.
+ *
+ * Caller guarantees i + 4*EG_WIN + 16 <= n (so the unconditional store
+ * stays inside plane[n/2]) and byte + 8 <= cap.  Invariants: *i - *accn is
+ * even and *dst == plane + (*i - *accn)/2.  Returns bits consumed, NEGATED
+ * when the window ended stalled (wide value / long zero run at the new
+ * position — the caller handles ONE codeword inline and re-enters). */
+static inline int eg_win4(const uint8_t *data, uint64_t pos,
+                          uint64_t *acc, int *accn, size_t *i,
+                          uint8_t **dst) {
+    uint64_t w = load_be64(data + (size_t)(pos >> 3)) << (pos & 7);
+    int used = 0;
+    uint64_t a = *acc; /* accn pending nibbles, nibble j at bits [4j,4j+4) */
+    int an = *accn;
+    size_t ii = *i;
+    uint8_t *d = *dst;
+    unsigned cnt = 1;
+    for (int s = 0; s < 4; s++) {
+        size_t key = (size_t)((w << used) >> (64 - EG_WIN));
+        unsigned m = g_meta[key];
+        cnt = m >> 8;
+        uint64_t add = g_nib[key];
+        int sh = 4 * an; /* 0..60 */
+        a |= add << sh;
+        /* nibbles spilling past the accumulator's 16 slots ((add>>1) >>
+         * (63-sh) is add >> (64-sh) without the undefined sh==0 case) */
+        uint64_t spill = (add >> 1) >> (63 - sh);
+        an += (int)cnt;
+        ii += cnt;
+        used += (int)(m & 0xFF);
+        /* flush: always store acc's 8 bytes (garbage tail bytes are plane
+         * bytes of values not yet decoded — every one is rewritten by a
+         * later flush or the scalar path's assign-then-OR pair); mask-
+         * select the post-flush accumulator so no branch can mispredict.
+         * (A clz run-skip variant that eats zero-value '1'-bit runs in
+         * bulk measured WORSE — same window bits, more instructions —
+         * and the walk is instruction-throughput-bound: 2026-08-20.) */
+        memcpy(d, &a, 8);
+        uint64_t fm = -(uint64_t)(an >> 4); /* an <= 15 + EG_WIN < 32 */
+        d += (size_t)(an >> 4) << 3;
+        a = (spill & fm) | (a & ~fm);
+        an &= 15;
+    }
+    *acc = a;
+    *accn = an;
+    *i = ii;
+    *dst = d;
+    return cnt ? used : -used;
+}
+
+/* Decode ONE codeword straight from a 64-bit window at `pos` and append
+ * its wrapping nibble to the eg_win4 accumulator (the inline stall
+ * handler: wide values would otherwise exit the fast loop into an
+ * out-of-line scalar call ~10x the cost).  Returns the value via *v_out
+ * (for the caller's exception bookkeeping); 0 => long zero run / window
+ * end / stream end — caller leaves the fast loop. */
+static inline int eg_slow_one(const uint8_t *data, size_t cap_bytes,
+                              uint64_t nbits_avail, uint64_t *pos,
+                              uint64_t *acc, int *accn, size_t *i,
+                              uint8_t **dst, int64_t *v_out) {
+    uint64_t p = *pos;
+    size_t byte = (size_t)(p >> 3);
+    if (byte + 8 > cap_bytes) return 0;
+    uint64_t w = load_be64(data + byte) << (p & 7);
+    if (w == 0) return 0;
+    int lz = __builtin_clzll(w);
+    int width = 2 * lz + 1;
+    if (width > 64 - (int)(p & 7) || p + (uint64_t)width > nbits_avail)
+        return 0;
+    uint64_t code = w >> (64 - width);
+    uint64_t m = code - 1;
+    int64_t v = (m & 1) ? (int64_t)((m + 1) >> 1) : -(int64_t)(m >> 1);
+    *pos = p + (uint64_t)width;
+    *acc |= (uint64_t)(v & 0xF) << (4 * *accn);
+    if (++*accn == 16) {
+        memcpy(*dst, acc, 8);
+        *dst += 8;
+        *acc = 0;
+        *accn = 0;
+    }
+    ++*i;
+    *v_out = v;
+    return 1;
+}
+
 /* ------------------------------------------------------------------ */
 /* Decode: read n values starting at bit *bitpos.  nbits_avail is the  */
 /* number of valid bits in `data`.  Returns 0 on success, -1 if the    */
@@ -165,24 +261,26 @@ EG_EXPORT int eg_decode(const uint8_t *data, uint64_t nbits_avail,
     size_t cap_bytes = (size_t)((nbits_avail + 7) / 8);
     for (size_t i = 0; i < n; i++) {
         /* batch fast path: decode every complete in-nibble codeword of
-         * the next 12 bits per table hit (same table as planar4).  Whole
-         * bytes only (nbits_avail >> 3), so a trailing partial byte's
-         * padding bits can never be consumed as codewords. */
-        while (i + 12 <= n) {
+         * the next EG_WIN bits per table hit (same table as planar4).
+         * Whole bytes only (nbits_avail >> 3), so a trailing partial
+         * byte's padding bits can never be consumed as codewords. */
+        while (i + EG_WIN <= n) {
             size_t byte = (size_t)(pos >> 3);
             if (byte + 8 > (size_t)(nbits_avail >> 3)) break;
             uint64_t w = load_be64(data + byte) << (pos & 7);
             int avail = 64 - (int)(pos & 7);
             int used = 0;
-            while (used + 12 <= avail && i + 12 <= n) {
-                EgTab e = g_tab[(w << used) >> 52];
-                if (!e.count) break;
-                uint64_t nib = e.nibbles;
-                for (int j = 0; j < e.count; j++)
+            while (used + EG_WIN <= avail && i + EG_WIN <= n) {
+                size_t key = (w << used) >> (64 - EG_WIN);
+                unsigned m = g_meta[key];
+                unsigned cnt = m >> 8;
+                if (!cnt) break;
+                uint64_t nib = g_nib[key];
+                for (unsigned j = 0; j < cnt; j++)
                     out[i + j] =
                         (int32_t)(((int)((nib >> (4 * j)) & 0xF) ^ 8) - 8);
-                used += e.bits;
-                i += e.count;
+                used += (int)(m & 0xFF);
+                i += cnt;
             }
             if (!used) break;
             pos += (uint64_t)used;
@@ -252,7 +350,7 @@ EG_EXPORT int eg_decode_planar(const uint8_t *data, uint64_t nbits_avail,
     size_t nexc = 0;
     size_t i = 0;
     while (i < n) {
-        /* fast path: batch-decode the 12-bit window's complete in-nibble
+        /* fast path: batch-decode the 16-bit window's complete in-nibble
          * codewords per table hit (values in [-8,7] are also in int8, so
          * they never hit the exception list), then drain wider-but-int8
          * codewords with the per-codeword clz loop */
@@ -261,15 +359,17 @@ EG_EXPORT int eg_decode_planar(const uint8_t *data, uint64_t nbits_avail,
             uint64_t w = load_be64(data + byte) << (pos & 7);
             int avail = 64 - (int)(pos & 7);
             int used = 0;
-            while (used + 12 <= avail && i + 12 <= n) {
-                EgTab e = g_tab[(w << used) >> 52];
-                if (!e.count) break;
-                uint64_t nib = e.nibbles;
-                for (int j = 0; j < e.count; j++)
+            while (used + EG_WIN <= avail && i + EG_WIN <= n) {
+                size_t key = (w << used) >> (64 - EG_WIN);
+                unsigned m = g_meta[key];
+                unsigned cnt = m >> 8;
+                if (!cnt) break;
+                uint64_t nib = g_nib[key];
+                for (unsigned j = 0; j < cnt; j++)
                     plane[i + j] =
                         (int8_t)(((int)((nib >> (4 * j)) & 0xF) ^ 8) - 8);
-                used += e.bits;
-                i += e.count;
+                used += (int)(m & 0xFF);
+                i += cnt;
             }
             while (i < n) {
                 uint64_t ww = w << used;
@@ -334,36 +434,45 @@ EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
     size_t nexc = 0;
     size_t i = 0;
     while (i < n) {
-        /* fast path: one 12-bit table hit per ~5-8 codewords.  Each hit
-         * merges up to 12 nibbles with ONE unaligned 8-byte store
-         * (little-endian hosts; nibble j of the entry lands at plane
-         * nibble i+j).  The store's zeroed tail bytes are plane bytes of
-         * values not yet decoded, which later iterations (re)write — and
-         * the i + 16 <= n guard keeps it inside plane[n/2]. */
+        /* fast path: branchless 4-step windows (eg_win4, ~0.3-0.5
+         * ns/value).  Little-endian hosts only (the flush lays
+         * accumulator nibble j at plane nibble i+j); big-endian builds
+         * take the endian-safe scalar path. */
 #if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
-        /* the uint64 nibble store below lays entry nibble j at plane
-         * nibble i+j only on little-endian hosts; big-endian builds take
-         * the (endian-safe) scalar path instead */
-        size_t byte = (size_t)(pos >> 3);
-        if (byte + 8 <= cap_bytes && i + 16 <= n) {
-            uint64_t w = load_be64(data + byte) << (pos & 7);
-            int avail = 64 - (int)(pos & 7);
-            int used = 0;
-            while (used + 12 <= avail && i + 16 <= n) {
-                EgTab e = g_tab[(w << used) >> 52];
-                if (!e.count) break;
-                size_t o = i >> 1;
-                int par = (int)(i & 1);
-                uint64_t v = e.nibbles << (4 * par);
-                if (par) v |= (uint64_t)(plane[o] & 0x0F);
-                memcpy(plane + o, &v, 8);
-                used += e.bits;
-                i += e.count;
+        if (!(i & 1) && i + 4 * EG_WIN + 16 <= n &&
+            (pos >> 3) + 8 <= cap_bytes) {
+            uint64_t acc = 0;
+            int accn = 0; /* pending nibbles in acc (< 16 after flush) */
+            uint8_t *dst = plane + (i >> 1);
+            size_t i_enter = i;
+            while (i + 4 * EG_WIN + 16 <= n &&
+                   (pos >> 3) + 8 <= cap_bytes) {
+                int used = eg_win4(data, pos, &acc, &accn, &i, &dst);
+                if (used > 0) {
+                    pos += (uint64_t)used;
+                    continue;
+                }
+                pos += (uint64_t)(-used);
+                /* stalled: one wide codeword, handled inline */
+                int64_t v;
+                if (!eg_slow_one(data, cap_bytes, nbits_avail, &pos, &acc,
+                                 &accn, &i, &dst, &v))
+                    break; /* long zero run / stream end: scalar path */
+                if (v < -8 || v > 7) {
+                    if (nexc >= exc_cap) { *bitpos = start; return -2; }
+                    exc_idx[nexc] = (int32_t)(i - 1);
+                    exc_val[nexc] = (int32_t)v;
+                    nexc++;
+                }
             }
-            if (used > 0) {
-                pos += (uint64_t)used;
-                continue;
+            /* flush pending nibbles; an odd count leaves the last byte's
+             * high nibble 0 for the scalar path to OR into */
+            uint64_t lo = (uint64_t)acc;
+            for (int b = (accn + 1) >> 1; b > 0; b--) {
+                *dst++ = (uint8_t)lo;
+                lo >>= 8;
             }
+            if (i != i_enter) continue;
         }
 #endif
         /* scalar: window tail, long zero run, out-of-nibble value
@@ -393,6 +502,135 @@ EG_EXPORT int eg_decode_planar4(const uint8_t *data, uint64_t nbits_avail,
     return 0;
 }
 
+/* ------------------------------------------------------------------ */
+/* Interleaved multi-stream planar4 decode.  The table walk is a       */
+/* serial load->advance dependency chain (~15-20 cycles/hit, load      */
+/* latency bound); decoding S INDEPENDENT streams round-robin at       */
+/* window granularity overlaps S chains in the out-of-order window,    */
+/* so one core sustains ~S hits per chain latency.  Streams are        */
+/* independent spans of the same payload (consecutive GOPs, from the   */
+/* stream index or the speculative scan).                              */
+/*                                                                     */
+/* Stream k decodes n values from bit positions[k] into                */
+/* planes + k*(n/2), exceptions into exc_idx/exc_val + k*exc_cap with  */
+/* counts in exc_counts[k].  Returns 0 ok, -1 some stream exhausted,   */
+/* -2 some stream overflowed exc_cap (positions[] then undefined;      */
+/* callers retry).                                                     */
+/* ------------------------------------------------------------------ */
+#define EG_MAX_STREAMS 8
+
+typedef struct {
+    uint64_t pos;
+    size_t i;
+    uint64_t acc;
+    int accn;
+    uint8_t *dst;
+    size_t nexc;
+    int done;
+} EgMState;
+
+EG_EXPORT int eg_decode_planar4_multi(const uint8_t *data,
+                                      uint64_t nbits_avail,
+                                      uint64_t *positions, int nstreams,
+                                      size_t n, uint8_t *planes,
+                                      int32_t *exc_idx, int32_t *exc_val,
+                                      size_t exc_cap,
+                                      uint64_t *exc_counts) {
+    size_t cap_bytes = (size_t)(nbits_avail >> 3);
+    EgMState st[EG_MAX_STREAMS];
+    if (nstreams < 1 || nstreams > EG_MAX_STREAMS) return -3;
+    for (int k = 0; k < nstreams; k++) {
+        st[k].pos = positions[k];
+        st[k].i = 0;
+        st[k].acc = 0;
+        st[k].accn = 0;
+        st[k].dst = planes + (size_t)k * (n >> 1);
+        st[k].nexc = 0;
+        st[k].done = (n == 0);
+    }
+    int live = nstreams;
+    while (live > 0) {
+        for (int k = 0; k < nstreams; k++) {
+            EgMState *s = &st[k];
+            if (s->done) continue;
+#if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+            /* one branchless window of the fast path (eg_win4).  Entry
+             * needs i - accn even (the accumulator's base nibble index is
+             * byte-aligned); scalar writes bypass acc, so check both
+             * parities. */
+            if (!((s->i ^ (size_t)s->accn) & 1) &&
+                s->i + 4 * EG_WIN + 16 <= n &&
+                (s->pos >> 3) + 8 <= cap_bytes) {
+                int used = eg_win4(data, s->pos, &s->acc, &s->accn, &s->i,
+                                   &s->dst);
+                if (used > 0) {
+                    s->pos += (uint64_t)used;
+                    continue; /* stay on the fast path */
+                }
+                s->pos += (uint64_t)(-used);
+                int64_t v;
+                if (eg_slow_one(data, cap_bytes, nbits_avail, &s->pos,
+                                &s->acc, &s->accn, &s->i, &s->dst, &v)) {
+                    if (v < -8 || v > 7) {
+                        if (s->nexc >= exc_cap) return -2;
+                        exc_idx[(size_t)k * exc_cap + s->nexc] =
+                            (int32_t)(s->i - 1);
+                        exc_val[(size_t)k * exc_cap + s->nexc] = (int32_t)v;
+                        s->nexc++;
+                    }
+                    continue;
+                }
+            }
+#endif
+            /* flush pending nibbles before any scalar/terminal handling */
+            if (s->accn > 0) {
+                uint64_t lo = (uint64_t)s->acc;
+                for (int b = (s->accn + 1) >> 1; b > 0; b--) {
+                    *s->dst++ = (uint8_t)lo;
+                    lo >>= 8;
+                }
+                /* an odd flush leaves the last byte half-filled; step dst
+                 * back so the scalar path's OR lands in it */
+                if (s->accn & 1) s->dst--;
+                s->acc = 0;
+                s->accn = 0;
+            }
+            if (s->i >= n) {
+                s->done = 1;
+                live--;
+                positions[k] = s->pos;
+                exc_counts[k] = s->nexc;
+                continue;
+            }
+            /* scalar: one value (window tail, long zero run, wide value
+             * or the last few) */
+            int32_t one;
+            uint64_t p2 = s->pos;
+            if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) return -1;
+            s->pos = p2;
+            uint8_t nib = (uint8_t)(one & 0xF);
+            if (s->i & 1)
+                *s->dst++ |= (uint8_t)(nib << 4);
+            else
+                *s->dst = nib;
+            if (one < -8 || one > 7) {
+                if (s->nexc >= exc_cap) return -2;
+                exc_idx[(size_t)k * exc_cap + s->nexc] = (int32_t)s->i;
+                exc_val[(size_t)k * exc_cap + s->nexc] = (int32_t)one;
+                s->nexc++;
+            }
+            s->i++;
+            if (s->i >= n) {
+                s->done = 1;
+                live--;
+                positions[k] = s->pos;
+                exc_counts[k] = s->nexc;
+            }
+        }
+    }
+    return 0;
+}
+
 /* Scan without materializing values: returns the bit position after
  * skipping n codewords, or UINT64_MAX if the stream ran out.  Used by the
  * parallel decoder to find GOP bit boundaries cheaply (codec/decoder.py).
@@ -406,18 +644,33 @@ EG_EXPORT uint64_t eg_scan(const uint8_t *data, uint64_t nbits_avail,
     size_t i = 0;
     size_t cap_bytes = (size_t)(nbits_avail >> 3); /* whole bytes only */
     while (i < n) {
+        /* branchless fast walk: exactly 4 table steps per 64-bit window
+         * (4*EG_WIN = 56 bits always available; stalled steps are no-ops)
+         * — the per-hit exit branches of the careful walk below mispredict
+         * every few hits and dominate its cost. */
+        while (i + 4 * EG_WIN <= n && (pos >> 3) + 8 <= cap_bytes) {
+            uint64_t w = load_be64(data + (size_t)(pos >> 3)) << (pos & 7);
+            int used = 0;
+            for (int s = 0; s < 4; s++) {
+                unsigned m = g_scan_meta[(w << used) >> (64 - EG_WIN)];
+                i += m >> 8;
+                used += (int)(m & 0xFF);
+            }
+            if (!used) break; /* wide codeword / long zero run */
+            pos += (uint64_t)used;
+        }
+        if (i >= n) break;
         size_t byte = (size_t)(pos >> 3);
         if (byte + 8 <= cap_bytes) {
             uint64_t w = load_be64(data + byte) << (pos & 7);
             int avail = 64 - (int)(pos & 7);
             int used = 0;
-            /* 12-bit table hits skip ~5-8 codewords each; per-codeword clz
-             * only for the window tail / the last <12 values. */
-            while (used + 12 <= avail) {
-                unsigned key = (unsigned)((w << used) >> 52);
-                unsigned cnt = g_scan_cnt[key];
+            /* careful walk: window tail / the last few values */
+            while (used + EG_WIN <= avail) {
+                unsigned m = g_scan_meta[(w << used) >> (64 - EG_WIN)];
+                unsigned cnt = m >> 8;
                 if (!cnt || i + cnt > n) break;
-                used += g_scan_bits[key];
+                used += (int)(m & 0xFF);
                 i += cnt;
             }
             while (i < n) {
@@ -454,6 +707,163 @@ EG_EXPORT uint64_t eg_scan(const uint8_t *data, uint64_t nbits_avail,
         i++;
     }
     return pos;
+}
+
+/* Scan ONE codeword at *pos; 1 = ok (*pos advanced), 0 = data ran out. */
+static inline int eg_scan_one(const uint8_t *data, uint64_t nbits_avail,
+                              size_t cap_bytes, uint64_t *pos) {
+    uint64_t p = *pos;
+    size_t byte = (size_t)(p >> 3);
+    if (byte + 8 <= cap_bytes) {
+        uint64_t w = load_be64(data + byte) << (p & 7);
+        if (w != 0) {
+            int lz = __builtin_clzll(w);
+            int width = 2 * lz + 1;
+            if (width <= 64 - (int)(p & 7) &&
+                p + (uint64_t)width <= nbits_avail) {
+                *pos = p + (uint64_t)width;
+                return 1;
+            }
+        }
+    }
+    /* bit-by-bit (window tail / long zero run / buffer end) */
+    int zeros = 0;
+    while (1) {
+        if (p >= nbits_avail) return 0;
+        uint8_t b = data[p >> 3];
+        int off = (int)(p & 7);
+        uint8_t rest = (uint8_t)(b << off);
+        if (rest != 0) {
+            int lz = __builtin_clz((uint32_t)rest) - 24;
+            int in_byte = 8 - off;
+            if (lz < in_byte) {
+                zeros += lz;
+                p += (uint64_t)lz;
+                break;
+            }
+        }
+        zeros += 8 - off;
+        p += (uint64_t)(8 - off);
+    }
+    p += (uint64_t)(zeros + 1);
+    if (p > nbits_avail) return 0;
+    *pos = p;
+    return 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* Speculative segment scan (parallel boundary discovery for the       */
+/* headerless stream).  Walk codewords from `bitpos` — ASSUMED to be a */
+/* codeword start; workers guess byte boundaries and the Python stitch */
+/* validates by position-handshake — until the first start >= end_bit. */
+/*                                                                     */
+/* Records the first rec_cap visited start positions in rec[] (the     */
+/* handshake targets: if the TRUE walk enters this segment at rec[j],  */
+/* the true walk from there IS this walk, exactly), and a              */
+/* (count, position) checkpoint whenever the codeword count crosses a  */
+/* multiple of 1 << ckpt_shift (boundary lookup later rescans at most  */
+/* one checkpoint interval).  ckpt_shift must be >= 6 (one window      */
+/* consumes < 64 codewords, so at most one crossing per step).         */
+/*                                                                     */
+/* Returns the exit position (first start >= end_bit) and the count of */
+/* starts visited in [bitpos, exit) via *count_out.  If the data runs  */
+/* out first (final segment / truncated stream), returns the last      */
+/* reachable start with the count up to it.                            */
+/* ------------------------------------------------------------------ */
+EG_EXPORT uint64_t eg_scan_segment(const uint8_t *data, uint64_t nbits_avail,
+                                   uint64_t bitpos, uint64_t end_bit,
+                                   uint64_t *rec, size_t rec_cap,
+                                   uint64_t *ckpt_cnt, uint64_t *ckpt_pos,
+                                   size_t ckpt_cap, int ckpt_shift,
+                                   uint64_t *count_out) {
+    uint64_t pos = bitpos;
+    uint64_t cnt = 0;
+    size_t cap_bytes = (size_t)(nbits_avail >> 3);
+    if (ckpt_cap > 0) {
+        ckpt_cnt[0] = 0;
+        ckpt_pos[0] = bitpos;
+    }
+    /* phase 1: per-codeword walk recording the handshake positions */
+    while (cnt < rec_cap && pos < end_bit) {
+        rec[cnt] = pos;
+        if (!eg_scan_one(data, nbits_avail, cap_bytes, &pos)) {
+            *count_out = cnt;
+            return pos;
+        }
+        cnt++;
+    }
+    /* phase 2: branchless fast windows with checkpoint recording */
+    while (pos < end_bit) {
+        while (pos + 4 * EG_WIN <= end_bit &&
+               (pos >> 3) + 8 <= cap_bytes) {
+            uint64_t w = load_be64(data + (size_t)(pos >> 3)) << (pos & 7);
+            int used = 0;
+            uint64_t cnt0 = cnt, pos0 = pos;
+            for (int s = 0; s < 4; s++) {
+                unsigned m = g_scan_meta[(w << used) >> (64 - EG_WIN)];
+                cnt += m >> 8;
+                used += (int)(m & 0xFF);
+            }
+            if (!used) break; /* wide codeword / long zero run */
+            pos += (uint64_t)used;
+            if ((cnt0 >> ckpt_shift) != (cnt >> ckpt_shift)) {
+                uint64_t t = (cnt0 >> ckpt_shift) + 1;
+                if (t < ckpt_cap) {
+                    ckpt_cnt[t] = cnt0;
+                    ckpt_pos[t] = pos0;
+                }
+            }
+        }
+        if (pos >= end_bit) break;
+        /* careful: one codeword (window tail / stall / near end_bit) */
+        uint64_t pos0 = pos;
+        if (!eg_scan_one(data, nbits_avail, cap_bytes, &pos)) {
+            *count_out = cnt;
+            return pos0;
+        }
+        if (((cnt >> ckpt_shift) != ((cnt + 1) >> ckpt_shift))) {
+            uint64_t t = (cnt >> ckpt_shift) + 1;
+            if (t < ckpt_cap) {
+                ckpt_cnt[t] = cnt;
+                ckpt_pos[t] = pos0;
+            }
+        }
+        cnt++;
+    }
+    *count_out = cnt;
+    return pos;
+}
+
+/* Catch-up walk for a failed handshake: scan from `bitpos` one codeword
+ * at a time until the position equals an entry of the sorted rec[] array
+ * (returns its index via *match, position unchanged semantics: *pos_out =
+ * converged position) or until >= limit_bit (returns -1 via *match,
+ * *pos_out = first start >= limit_bit).  *steps_out = codewords consumed
+ * from bitpos to *pos_out.  Returns 0, or -1 if the data ran out. */
+EG_EXPORT int eg_scan_catchup(const uint8_t *data, uint64_t nbits_avail,
+                              uint64_t bitpos, uint64_t limit_bit,
+                              const uint64_t *rec, size_t rec_len,
+                              int64_t *match, uint64_t *pos_out,
+                              uint64_t *steps_out) {
+    uint64_t pos = bitpos;
+    uint64_t steps = 0;
+    size_t cap_bytes = (size_t)(nbits_avail >> 3);
+    size_t r = 0;
+    while (pos < limit_bit) {
+        while (r < rec_len && rec[r] < pos) r++;
+        if (r < rec_len && rec[r] == pos) {
+            *match = (int64_t)r;
+            *pos_out = pos;
+            *steps_out = steps;
+            return 0;
+        }
+        if (!eg_scan_one(data, nbits_avail, cap_bytes, &pos)) return -1;
+        steps++;
+    }
+    *match = -1;
+    *pos_out = pos;
+    *steps_out = steps;
+    return 0;
 }
 
 /* ------------------------------------------------------------------ */
