@@ -222,27 +222,31 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     decode_compute_fps = 8 * dcfg.gop_size / (d10 - d2)
 
     # Host entropy stage alone: GOP-parallel scan + planar4 decode pool.
+    # Warmup + best-of like every other stage here: the first pass pays
+    # one-time page faults on the multi-MB plane buffers (the heap then
+    # retains them — see native._tune_malloc), which is process-lifetime
+    # cost, not stage throughput.
     n_gops = t // dcfg.gop_size
-    t0 = time.perf_counter()
-    for _ in entropy.parallel_chunks(
-        np.frombuffer(payload, np.uint8), cpg, n_gops,
-        entropy.decode_values_planar4,
-    ):
-        pass
-    entropy_fps = t / (time.perf_counter() - t0)
+    pay8 = np.frombuffer(payload, np.uint8)
 
-    # Same stage with the seekable index (encode --index): no serial scan,
-    # all cores decode — the production host-entropy figure.
+    def entropy_pass(positions=None) -> float:
+        t0 = time.perf_counter()
+        for _ in entropy.parallel_chunks(
+            pay8, cpg, n_gops, entropy.decode_values_planar4,
+            positions=positions,
+        ):
+            pass
+        return t / (time.perf_counter() - t0)
+
+    entropy_pass()  # warmup
+    entropy_fps = max(entropy_pass() for _ in range(3))
+
+    # Same stage with the seekable index (encode --index): no speculative
+    # scan risk at all — the production host-entropy figure.
     from dct3d_tpu.parallel.multihost import gop_positions
 
     positions = gop_positions(gop_bit_ends, n_gops, cfg.gop_size, t)
-    t0 = time.perf_counter()
-    for _ in entropy.parallel_chunks(
-        np.frombuffer(payload, np.uint8), cpg, n_gops,
-        entropy.decode_values_planar4, positions=positions,
-    ):
-        pass
-    entropy_indexed_fps = t / (time.perf_counter() - t0)
+    entropy_indexed_fps = max(entropy_pass(positions) for _ in range(3))
 
     return {
         "encode_fps": enc_fps,

@@ -47,7 +47,7 @@ def _cfg_from_args(args) -> CodecConfig:
         zlib_level=level,
         deflate_workers=0 if getattr(args, "parity", False) else args.deflate_workers,
         compute_dtype=_norm_dtype(getattr(args, "dtype", "float32")),
-        pack_bits_per_value=getattr(args, "pack_bits", None) or 6,
+        pack_bits_per_value=getattr(args, "pack_bits", None) or 4,
     )
 
 
@@ -102,10 +102,12 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--pack-bits", type=int, default=None, metavar="N",
-        help="per-group device pack-buffer budget, bits/value (default 6; "
-        "4 measures 13%% faster encode on typical content at identical "
-        "bytes — buffer-sizing only; dense content overflows and retries "
-        "worst-case, so keep 6 for noisy sources; PERFORMANCE.md)",
+        help="starting per-group device pack-buffer budget, bits/value "
+        "(default 4 — 13%% faster encode than 6 on typical content at "
+        "identical bytes; buffer-sizing only).  Content that overflows "
+        "retries worst-case and after 2 consecutive overflows the budget "
+        "climbs permanently (N -> 6 -> worst case), so noisy sources "
+        "settle automatically (PERFORMANCE.md)",
     )
     p.add_argument(
         "--dtype", default="float32",

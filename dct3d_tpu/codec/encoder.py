@@ -84,15 +84,32 @@ class StreamingEncoder:
         self._abs_end = 0
         # Consecutive budget-overflow retries (written by the drainer, read
         # by push — a benign race: at worst a couple of extra tight
-        # dispatches).  At >= 2 the driver switches PERMANENTLY to the
-        # worst-case buffer: noisy content then encodes once per GOP
-        # instead of twice, and the big program is already compiled by the
-        # retry that tripped the switch.  Bytes are identical either way
-        # (the budget sizes buffers, not bits).
+        # dispatches).  At >= 2 the driver climbs the budget LADDER
+        # permanently: the configured per-group budget (default 4 — 13%
+        # faster than 6 on typical content, PERFORMANCE.md round 3), then
+        # 6 (still the Pallas level-1 kernel), then the worst-case buffer.
+        # Noisy content settles at a rung that fits instead of
+        # double-encoding forever; bytes are identical at every rung (the
+        # budget sizes buffers, not bits).
         self._overflow_streak = 0
-        self._wide = False
+        base = self.cfg.pack_bits_per_value
+        self._ladder: list[int | None] = [base] + (
+            [6] if base < 6 else []
+        ) + [None]
+        self._level = 0
 
     # -- internal ------------------------------------------------------------
+
+    def _climb(self, avg_bits: float) -> None:
+        """Advance the budget ladder past rungs the measured stream average
+        already rules out (near-lossless content at ~8-10 bits/value jumps
+        straight to the worst-case rung instead of burning two more
+        double-encodes discovering that 6 overflows too)."""
+        self._level += 1
+        while (self._level < len(self._ladder) - 1
+               and self._ladder[self._level] is not None
+               and self._ladder[self._level] <= avg_bits):
+            self._level += 1
 
     def _drain_gop(self, frames_dev, carry_in, gop) -> bytes:
         """Drainer thread: fetch packed bytes (bucketed slice) and deflate.
@@ -113,8 +130,10 @@ class StreamingEncoder:
         nbytes = total_bits // 8 + 1
         if nbytes > gop.packed.shape[0] or bool(gop.overflow):
             self._overflow_streak += 1
-            if self._overflow_streak >= 2:
-                self._wide = True
+            if (self._overflow_streak >= 2
+                    and self._level < len(self._ladder) - 1):
+                self._climb(total_bits / frames_dev.size)
+                self._overflow_streak = 0
             gop = encode_step(
                 frames_dev,
                 self.ctx.enc_t,
@@ -176,12 +195,19 @@ class StreamingEncoder:
                 frames = delta
             with self.timer.stage("dispatch", frames.nbytes):
                 frames_dev = jnp.asarray(frames)
-                if self._wide:  # settled on the worst-case buffer
+                budget = self._ladder[self._level]
+                if budget is None:  # settled on the worst-case buffer
                     max_bytes = self.ctx.max_packed_bytes_worst_case(
                         frames.size
                     )
                 else:
-                    max_bytes = self.ctx.max_packed_bytes(frames.size)
+                    # Middle rungs widen the stream buffer alongside the
+                    # group budget — content that blew the group budget has
+                    # also outgrown the 2-bit/value stream average.
+                    max_bytes = max(
+                        self.ctx.max_packed_bytes(frames.size),
+                        budget * frames.size // 8 + 64 if self._level else 0,
+                    )
                 gop = encode_step(
                     frames_dev,
                     self.ctx.enc_t,
@@ -189,7 +215,8 @@ class StreamingEncoder:
                     carry_in[1],
                     max_bytes=max_bytes,
                     cfg=self.cfg,
-                    tight=not self._wide,
+                    tight=budget is not None,
+                    pack_bits=budget,
                 )
             self._carry = (gop.carry_code, gop.carry_bits)
             self._out.append(

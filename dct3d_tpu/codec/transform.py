@@ -122,10 +122,13 @@ def _frames_to_q(frames, enc_t, cfg):
 
 
 def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
-                 tight=True):
+                 tight=True, pack_bits=None):
     q = _frames_to_q(frames, enc_t, cfg)
-    w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)
-               if tight else None)
+    if pack_bits is not None:
+        w_words = bitpack.budget_w_words(256, pack_bits)
+    else:
+        w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)
+                   if tight else None)
     max_width = bitpack.max_codeword_bits(cfg.cube_size)
     if q.size % 256 == 0:
         # Fast path: the carry rides as a bit offset and the packer derives
@@ -153,9 +156,11 @@ def _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
                       overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("max_bytes", "cfg", "tight"))
+@functools.partial(
+    jax.jit, static_argnames=("max_bytes", "cfg", "tight", "pack_bits")
+)
 def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg,
-                tight=True):
+                tight=True, pack_bits=None):
     """Encode a (T, H, W) uint8 frame batch into packed Exp-Golomb bytes.
 
     carry_code/carry_bits: the partial trailing byte of the previous call
@@ -163,10 +168,13 @@ def encode_step(frames, enc_t, carry_code, carry_bits, *, max_bytes, cfg,
     GOPs exactly like the C encoder's buffer carry (encoder.c:266-271).
 
     tight=True uses budget-capped pack buffers (fast path; may flag
-    overflow); tight=False is the worst-case retry shape.
+    overflow); tight=False is the worst-case retry shape.  pack_bits
+    overrides the per-group budget explicitly (the drivers' adaptive
+    ladder passes its middle rungs here); it never affects bytes, only
+    buffer sizes and the overflow flag.
     """
     return _encode_core(frames, enc_t, carry_code, carry_bits, max_bytes, cfg,
-                        tight=tight)
+                        tight=tight, pack_bits=pack_bits)
 
 
 def _finish_frames(pixels, cfg, height, width, perm: bool = False):

@@ -45,9 +45,13 @@ class CodecConfig:
     deflate_workers: int = 0
     #: Static per-GROUP bit-pack buffer budget, bits per coefficient (sets
     #: the Pallas/einsum level-1 buffer width).  Typical streams need 1-2;
-    #: pathological batches that exceed it are retried automatically with a
-    #: worst-case buffer (see codec/transform.py).
-    pack_bits_per_value: int = 6
+    #: 4 runs the encode step 13% faster than 6 with identical bytes
+    #: (PERFORMANCE.md round 3).  Pathological batches that exceed it are
+    #: retried automatically with a worst-case buffer, and after 2
+    #: consecutive overflow retries the drivers climb a budget LADDER
+    #: (this value -> 6 -> worst case) permanently, so noisy content
+    #: settles instead of double-encoding forever (codec/encoder.py).
+    pack_bits_per_value: int = 4
     #: Whole-STREAM packed-output buffer budget, bits per coefficient.
     #: Level-2 placement cost (and the packed buffer itself) scales with
     #: this static size, so it is kept tighter than the per-group budget:

@@ -36,7 +36,7 @@ from .mesh import GOP_AXIS, TILE_AXIS
 
 
 def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
-                  tight=True):
+                  tight=True, pack_bits=None):
     """Per-device body: transform, codewords, offset-aligned bit pack."""
     n_tile = mesh_shape[1]
     cubes = framing.frames_to_cubes(frames, cfg).astype(enc_t.dtype)
@@ -59,8 +59,11 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
     # bytes land on global byte boundaries (a lead offset in pack_values;
     # a zero pseudo-codeword in the pack_bits fallback).
     max_width = bitpack.max_codeword_bits(cfg.cube_size)
-    w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)
-               if tight else None)
+    if pack_bits is not None:
+        w_words = bitpack.budget_w_words(256, pack_bits)
+    else:
+        w_words = (bitpack.budget_w_words(256, cfg.pack_bits_per_value)
+                   if tight else None)
     if q.size % 256 == 0:
         packed, total_bits, _, overflow = bitpack.pack_values(
             q.reshape(-1), jnp.uint32(0), phase, max_bytes,
@@ -95,7 +98,8 @@ def _encode_shard(frames, enc_t, carry_bits, *, cfg, max_bytes, mesh_shape,
 
 @functools.lru_cache(maxsize=None)
 def _jitted_encode_step(mesh: Mesh, cfg: CodecConfig, max_bytes: int,
-                        mesh_shape: tuple, tight: bool):
+                        mesh_shape: tuple, tight: bool,
+                        pack_bits: int | None = None):
     """Process-wide cache of the jitted sharded encode step (Mesh and the
     frozen CodecConfig are both hashable).  CheckpointingEncoder builds a
     fresh ShardedEncoder per member; without this cache every member would
@@ -103,7 +107,7 @@ def _jitted_encode_step(mesh: Mesh, cfg: CodecConfig, max_bytes: int,
     fn = shard_map(
         functools.partial(
             _encode_shard, cfg=cfg, max_bytes=max_bytes,
-            mesh_shape=mesh_shape, tight=tight,
+            mesh_shape=mesh_shape, tight=tight, pack_bits=pack_bits,
         ),
         mesh=mesh,
         in_specs=(P(GOP_AXIS, TILE_AXIS, None), P(), P()),
@@ -153,17 +157,22 @@ class ShardedEncoder:
         #: contract as StreamingEncoder.gop_bit_ends); complete after push.
         self.gop_bit_ends: list[int] = []
         self._abs_end = 0
-        # Same adaptive budget switch as StreamingEncoder: after 2
-        # consecutive overflow retries, dispatch every later step with the
-        # worst-case buffer directly — noisy content above the budget then
-        # encodes once per step instead of twice.  Bytes are identical
-        # either way (the budget sizes buffers, not bits).
+        # Same adaptive budget ladder as StreamingEncoder: after 2
+        # consecutive overflow retries, climb permanently (configured
+        # budget -> 6 -> worst case) — noisy content above the budget then
+        # encodes once per step instead of twice.  Bytes are identical at
+        # every rung (the budget sizes buffers, not bits).
         self._overflow_streak = 0
-        self._wide = False
+        base = self.cfg.pack_bits_per_value
+        self._ladder: list[int | None] = [base] + (
+            [6] if base < 6 else []
+        ) + [None]
+        self._level = 0
 
-    def _step_fn(self, max_bytes: int, tight: bool = True):
+    def _step_fn(self, max_bytes: int, tight: bool = True,
+                 pack_bits: int | None = None):
         return _jitted_encode_step(
-            self.mesh, self.cfg, max_bytes, self._mesh_shape, tight
+            self.mesh, self.cfg, max_bytes, self._mesh_shape, tight, pack_bits
         )
 
     def push(self, frames: np.ndarray) -> bytes:
@@ -185,14 +194,17 @@ class ShardedEncoder:
         shard_vals = self.cfg.gop_size * (h // n_tile) * w
 
         def step_fn():
-            # Re-checked per step (the drainer can trip _wide mid-push):
-            # once settled on the worst-case buffer, every later step
-            # dispatches wide directly instead of double-encoding.
-            if self._wide:
+            # Re-checked per step (assembly can climb the ladder mid-push):
+            # once settled on a wider rung, every later step dispatches
+            # there directly instead of double-encoding.
+            budget = self._ladder[self._level]
+            if budget is None:
                 return self._step_fn(4 * shard_vals + 64, tight=False)
-            return self._step_fn(
-                self.cfg.stream_budget_bits_per_value * shard_vals // 8 + 64
+            max_bytes = max(
+                self.cfg.stream_budget_bits_per_value * shard_vals // 8 + 64,
+                budget * shard_vals // 8 + 64 if self._level else 0,
             )
+            return self._step_fn(max_bytes, pack_bits=budget)
 
         # Pipeline: the sink bit-phase carry chains ON DEVICE, so step k+1
         # dispatches while step k's buffers are still in flight; host
@@ -229,8 +241,20 @@ class ShardedEncoder:
         )
         if bool(np.asarray(ovf)) or span_over:
             self._overflow_streak += 1
-            if self._overflow_streak >= 2:
-                self._wide = True
+            if (self._overflow_streak >= 2
+                    and self._level < len(self._ladder) - 1):
+                # Skip rungs the worst shard's measured average already
+                # rules out (same logic as StreamingEncoder._climb).
+                shard_vals = frames_sharded.size // int(
+                    np.prod(self._mesh_shape)
+                )
+                avg_bits = float(bits_h.max()) / shard_vals
+                self._level += 1
+                while (self._level < len(self._ladder) - 1
+                       and self._ladder[self._level] is not None
+                       and self._ladder[self._level] <= avg_bits):
+                    self._level += 1
+                self._overflow_streak = 0
             worst = self._step_fn(
                 4 * int(frames_sharded.size) // int(np.prod(self._mesh_shape))
                 + 64,

@@ -198,8 +198,8 @@ def test_checkpoint_mesh_rejects_misaligned_resume(tmp_path, mesh21):
 
 
 def test_sharded_encoder_widens_after_repeated_overflow(mesh21, rng):
-    """Noise above the stream budget: the sharded encoder must settle on
-    the worst-case buffer (like StreamingEncoder) and stay byte-exact."""
+    """Noise above the stream budget: the sharded encoder must climb its
+    budget ladder (like StreamingEncoder) and stay byte-exact."""
     from dct3d_tpu import encode_video
     from dct3d_tpu.parallel.sharding import ShardedEncoder
 
@@ -207,7 +207,7 @@ def test_sharded_encoder_widens_after_repeated_overflow(mesh21, rng):
     enc = ShardedEncoder(64, 64, mesh21, CodecConfig())
     chunks = [enc.push(noise[i : i + 16]) for i in range(0, 48, 16)]
     chunks.append(enc.finish())
-    assert enc._wide
+    assert enc._level > 0  # settled on a wider rung
     assert b"".join(chunks) == encode_video(
         noise, CodecConfig(stream_bits_per_value=6)
     )

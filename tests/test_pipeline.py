@@ -177,8 +177,25 @@ def test_stream_budget_default_derivation():
     # bytes (tools/ab_stream_budget.py; typical content is ~1.2).
     assert CodecConfig().stream_budget_bits_per_value == 2
     # Near-lossless streams genuinely run wide: fall back to the group budget.
-    assert CodecConfig(quant_strength=0).stream_budget_bits_per_value == 6
+    assert CodecConfig(quant_strength=0).stream_budget_bits_per_value == 4
     assert CodecConfig(stream_bits_per_value=5).stream_budget_bits_per_value == 5
+
+
+def test_pack_budget_ladder_skips_ruled_out_rungs():
+    """Near-lossless content (~8-10 bits/value) must jump straight past the
+    6-bit rung to the worst-case buffer — the measured stream average
+    already rules 6 out, so stopping there would burn two more
+    double-encodes per clip discovering that."""
+    from conftest import synthetic_video
+
+    clip = synthetic_video(32, 64, 64, seed=9)
+    enc = StreamingEncoder(64, 64, CodecConfig(quant_strength=0))
+    out = enc.push(clip) + enc.finish()
+    assert enc._ladder[enc._level] is None, (
+        f"settled at rung {enc._ladder[enc._level]}, expected worst-case"
+    )
+    assert out == encode_video(clip, CodecConfig(quant_strength=0,
+                                                 stream_bits_per_value=32))
 
 
 def test_extreme_coefficients_through_device_pack():
@@ -373,13 +390,15 @@ def test_exact_dc_quant_arithmetic():
 
 
 def test_noisy_stream_widens_after_repeated_retries(rng):
-    """Pure noise at the default budget (~3.3 bits/value > 2) overflows
-    every GOP; after two retries the driver must settle on the worst-case
-    buffer (one encode per GOP) and the bytes must stay exact."""
+    """Pure noise at the default budgets (~3.3 bits/value > stream 2;
+    low-frequency groups > pack 4) overflows every GOP; after two retries
+    the driver must climb the budget ladder permanently (one encode per
+    GOP afterwards) and the bytes must stay exact across the switch."""
     from dct3d_tpu.codec.encoder import StreamingEncoder
 
     noise = rng.integers(0, 256, (32, 64, 64), dtype=np.uint8)
     enc = StreamingEncoder(64, 64, CodecConfig())
     got = enc.push(noise) + enc.finish()
-    assert enc._wide  # the adaptive switch tripped
+    assert enc._level > 0  # the adaptive ladder climbed
+    assert enc._overflow_streak == 0  # and the settled rung fits
     assert got == encode_video(noise, CodecConfig(stream_bits_per_value=6))

@@ -301,3 +301,16 @@ def test_sharded_overflow_retries_worst_case(tight_cfg):
     enc = ShardedEncoder(64, 64, m, cfg)
     got = enc.push(clip) + enc.finish()
     assert got == want
+
+
+def test_sharded_budget_ladder_climbs_on_noise():
+    """Sustained overflow must climb the sharded driver's budget ladder
+    permanently (same machinery as StreamingEncoder) with byte identity
+    to the single-device stream across the switch."""
+    m = _mesh_or_skip(2, 2)
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (64, 64, 64), dtype=np.uint8)
+    enc = ShardedEncoder(64, 64, m, CodecConfig())
+    got = enc.push(noise) + enc.finish()
+    assert enc._level > 0  # the ladder climbed mid-stream
+    assert got == encode_video(noise, CodecConfig())
