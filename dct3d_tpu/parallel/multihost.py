@@ -210,6 +210,25 @@ def encode_multihost(
     Exp-Golomb carry state — the container is the deliberate extension point
     over the (single-process) reference format.
     """
+    return gather_ordered_bytes(
+        encode_local_members(local_frames, width, height, mesh, cfg,
+                             index=index, turbo=turbo)
+    )
+
+
+def encode_local_members(
+    local_frames: np.ndarray,
+    width: int,
+    height: int,
+    mesh,
+    cfg: CodecConfig | None = None,
+    index: bool = False,
+    turbo: bool = False,
+) -> bytes:
+    """This host's member-framed container fragment for its frame span —
+    the per-host half of encode_multihost (pure local compute, no DCN).
+    Exposed so measurement/simulation tools can separate local encode cost
+    from the ordered gather."""
     from ..codec.encoder import StreamingEncoder
     from .sharding import ShardedEncoder
 
@@ -232,7 +251,7 @@ def encode_multihost(
         if t_all > t_main:
             te = TurboEncoder(width, height, cfg)
             members += te.push(local_frames[t_main:t_all]) + te.finish()
-        return gather_ordered_bytes(members)
+        return members
     members = b""
     if t_main:
         enc = ShardedEncoder(width, height, mesh, cfg)
@@ -252,7 +271,7 @@ def encode_multihost(
         members += _member(tail, t_all - t_main)
         if index:
             members += make_index_member(tenc.gop_bit_ends)
-    return gather_ordered_bytes(members)
+    return members
 
 
 def decode_multihost_container(

@@ -1,0 +1,204 @@
+"""Multi-host scaling measurement on CPU (N in {1, 2, 4} processes).
+
+Measures what tools/multihost_sim.py only argued: actual whole-clip
+throughput at N host processes vs 1 — STRONG scaling on one fixed
+machine: the clip and the machine's cores are fixed, N jax.distributed
+processes split the frame spans, and ideal behavior is FLAT fps across
+N (efficiency = fps_N / fps_1).  Any serial cross-host stage (the
+ordered member gather, barrier skew, span imbalance) shows up directly
+as efficiency loss.  CLEARLY A SIMULATION: real DCN latency/bandwidth is
+not modeled; what this validates is that the framework adds no serial
+cross-host stage that would break the BASELINE >=80% 1->N target.
+
+Methodology note (measured 2026-08-20): pinning each process to ONE core
+via taskset — the "per-host resources scale with N" model — measures an
+artifact, not scaling: each process carries Gloo/XLA service threads
+that spin during collectives, and on a single shared core they starve
+the compute thread (~50% flat loss at N=2, independent of clip size;
+giving the same processes 2 cores each restored 70-92%).  Real hosts
+run many cores; OS scheduling across the fixed core set is the honest
+single-machine stand-in.
+
+Phases, all barrier-aligned and warmed up before timing:
+  ref_encode    encode_multihost (reference-profile members + gather)
+  turbo_encode  encode_multihost(turbo=True)
+  decode        each process decodes ITS member of the phase-1 container
+  checkpoint    per-process CheckpointingEncoder: half the span, close
+                (simulated interruption), resume, finish, gather files
+
+Usage: python tools/multihost_bench.py [T H W]     # default 128 96 96
+       python tools/multihost_bench.py worker I N PORT OUT T H W
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(idx: int, nproc: int, port: int, out: str,
+           t: int, h: int, w: int) -> None:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=1"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=nproc,
+            process_id=idx,
+        )
+    sys.path.insert(0, REPO)
+    import numpy as np
+
+    from dct3d_tpu import CodecConfig, psnr
+    from dct3d_tpu.codec.checkpoint import CheckpointingEncoder
+    from dct3d_tpu.codec.decoder import decode_video
+    from dct3d_tpu.io import synthetic
+    from dct3d_tpu.parallel import multihost
+    from dct3d_tpu.parallel.mesh import make_mesh
+
+    cfg = CodecConfig()
+    clip = synthetic.moving_gradient(t, h, w, seed=3)
+    lo, hi = multihost.host_frame_span(t, cfg, idx, nproc)
+    span = clip[lo:hi]
+    mesh = make_mesh(gop=1, tile=1, devices=jax.local_devices())
+
+    def barrier(tag: str) -> None:
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
+    walls: dict[str, float] = {}
+    container = None
+
+    # --- phase 1: reference-profile encode -------------------------------
+    warm = span[: 2 * cfg.gop_size]
+    multihost.encode_local_members(warm, w, h, mesh, cfg)  # compile warmup
+    barrier("p1")
+    t0 = time.perf_counter()
+    container = multihost.encode_multihost(span, w, h, t, mesh, cfg)
+    barrier("p1done")
+    walls["ref_encode"] = time.perf_counter() - t0
+
+    # --- phase 2: turbo encode -------------------------------------------
+    multihost.encode_local_members(warm, w, h, mesh, cfg, turbo=True)
+    barrier("p2")
+    t0 = time.perf_counter()
+    multihost.encode_multihost(span, w, h, t, mesh, cfg, turbo=True)
+    barrier("p2done")
+    walls["turbo_encode"] = time.perf_counter() - t0
+
+    # --- phase 3: per-process container decode ---------------------------
+    cpath = out + ".container"
+    if idx == 0:
+        with open(cpath, "wb") as f:
+            f.write(container)
+    barrier("p3ready")
+    members = [
+        m for m in multihost.split_members(open(cpath, "rb").read())
+        if m[2] == multihost.MEMBER_TEMPORAL
+    ]
+    assert len(members) == nproc, (len(members), nproc)
+    frames_i, payload_i, _ = members[idx]
+    decode_video(payload_i, w, h, min(frames_i, 2 * cfg.gop_size), cfg)
+    barrier("p3")
+    t0 = time.perf_counter()
+    video_i = decode_video(payload_i, w, h, frames_i, cfg)
+    barrier("p3done")
+    walls["decode"] = time.perf_counter() - t0
+    # pixel-exactness of the distributed decode vs the span source
+    assert video_i.shape[0] == hi - lo
+    p = psnr(span, video_i)
+    assert p > 30.0, p
+
+    # --- phase 4: checkpoint + resume across processes -------------------
+    ck = out + f".ck{idx}"
+    for stale in (ck, ck + ".meta"):
+        if os.path.exists(stale):
+            os.remove(stale)
+    half = (span.shape[0] // (2 * cfg.gop_size)) * cfg.gop_size
+    barrier("p4")
+    t0 = time.perf_counter()
+    with CheckpointingEncoder(ck, w, h, cfg, checkpoint_gops=1) as enc:
+        enc.push(span[:half])
+    # simulated interruption: a fresh encoder resumes from disk state
+    with CheckpointingEncoder(ck, w, h, cfg, checkpoint_gops=1) as enc:
+        assert enc.frames_done == half, (enc.frames_done, half)
+        enc.push(span[half:])
+    fragment = open(ck, "rb").read()
+    assembled = multihost.gather_ordered_bytes(fragment)
+    barrier("p4done")
+    walls["checkpoint"] = time.perf_counter() - t0
+    if idx == 0:
+        video = multihost.decode_multihost_container(assembled, w, h, cfg)
+        ref = multihost.decode_multihost_container(container, w, h, cfg)
+        assert np.array_equal(video, ref), "checkpointed decode diverged"
+
+    with open(f"{out}.r{idx}.json", "w") as f:
+        json.dump(walls, f)
+
+
+def run_n(nproc: int, t: int, h: int, w: int) -> dict[str, float]:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out = tempfile.mktemp(prefix=f"mhb{nproc}_")
+    procs = []
+    for i in range(nproc):
+        cmd = [sys.executable, os.path.abspath(__file__), "worker",
+               str(i), str(nproc), str(port), out,
+               str(t), str(h), str(w)]
+        procs.append(subprocess.Popen(cmd))
+    rc = [p.wait(timeout=1800) for p in procs]
+    assert rc == [0] * nproc, rc
+    walls: dict[str, float] = {}
+    for i in range(nproc):
+        with open(f"{out}.r{i}.json") as f:
+            for k, v in json.load(f).items():
+                walls[k] = max(walls.get(k, 0.0), v)
+    return walls
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+               sys.argv[5], int(sys.argv[6]), int(sys.argv[7]),
+               int(sys.argv[8]))
+        return 0
+    t, h, w = (int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 else (
+        128, 96, 96)
+    results = {}
+    for n in (1, 2, 4):
+        results[n] = run_n(n, t, h, w)
+        print(f"N={n}: " + "  ".join(
+            f"{k} {t / v:7.1f} fps" for k, v in results[n].items()
+        ), flush=True)
+    print(f"\nclip {t}x{h}x{w}, fixed machine, OS-scheduled (CPU strong-"
+          "scaling simulation; ideal flat fps, efficiency = fps_N / fps_1)")
+    print(f"{'phase':14s}  {'N=1 fps':>9s}"
+          + "".join(f"  N={n}: fps    eff" for n in (2, 4)))
+    for k in results[1]:
+        f1 = t / results[1][k]
+        row = f"{k:14s}  {f1:9.1f}"
+        for n in (2, 4):
+            fn = t / results[n][k]
+            row += f"  {fn:9.1f} {100 * fn / f1:5.1f}%"
+        print(row)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,6 +67,61 @@ def worker(idx: int, nproc: int, port: int, out: str) -> None:
     tdata = multihost.encode_multihost(
         clip[lo:hi], 64, 64, total, mesh, cfg, turbo=True
     )
+    # --- distributed decode: every process decodes ITS temporal member of
+    # the shared container and must reproduce the full decode's span
+    # EXACTLY (round-4; the scaling bench times this same path).
+    from jax.experimental import multihost_utils
+
+    from dct3d_tpu.codec.decoder import decode_video
+
+    if idx == 0:
+        with open(out + ".full", "wb") as f:
+            f.write(data)
+    multihost_utils.sync_global_devices("container_written")
+    full_container = open(out + ".full", "rb").read()
+    temporal = [
+        m for m in multihost.split_members(full_container)
+        if m[2] == multihost.MEMBER_TEMPORAL
+    ]
+    # A host may emit main + tail members (gop-mesh remainder): decode
+    # every member whose frame span falls inside [lo, hi).
+    full = multihost.decode_multihost_container(full_container, 64, 64, cfg)
+    at = 0
+    for frames_i, payload_i, _ in temporal:
+        if lo <= at and at + frames_i <= hi:
+            mine = decode_video(payload_i, 64, 64, frames_i, cfg)
+            assert np.array_equal(mine, full[at : at + frames_i]), (
+                f"process {idx}: distributed member decode diverged from "
+                "the full-container decode"
+            )
+        at += frames_i
+    assert at == total, (at, total)
+    # --- checkpoint + resume across processes: each host checkpoints its
+    # span with a simulated interruption, resumes, and the spliced
+    # per-host files decode to the same pixels as the plain container.
+    from dct3d_tpu.codec.checkpoint import CheckpointingEncoder
+
+    ck = out + f".ck{idx}"
+    for stale in (ck, ck + ".meta"):
+        if os.path.exists(stale):
+            os.remove(stale)
+    span = clip[lo:hi]
+    half = (span.shape[0] // (2 * cfg.gop_size)) * cfg.gop_size
+    with CheckpointingEncoder(ck, 64, 64, cfg, checkpoint_gops=1) as enc:
+        enc.push(span[:half])
+    with CheckpointingEncoder(ck, 64, 64, cfg, checkpoint_gops=1) as enc:
+        assert enc.frames_done == half, (enc.frames_done, half)
+        enc.push(span[half:])
+    assembled = multihost.gather_ordered_bytes(open(ck, "rb").read())
+    if idx == 0:
+        ck_video = multihost.decode_multihost_container(
+            assembled, 64, 64, cfg
+        )
+        assert np.array_equal(ck_video, full), (
+            "cross-process checkpoint-resume decode diverged"
+        )
+        print("process 0: distributed decode + checkpoint-resume exact",
+              flush=True)
     if idx == 0:
         assert data is not None
         with open(out, "wb") as f:
