@@ -47,7 +47,10 @@ import numpy as np
 
 from ..config import CodecConfig
 from ..ops import exceptions
-from ..parallel.multihost import MEMBER_INDEX, _member, split_members
+from ..parallel.multihost import (
+    MEMBER_BLUE, MEMBER_GREEN, MEMBER_INDEX, MEMBER_RED, MEMBER_TEMPORAL,
+    _member, split_members,
+)
 from .transform import TransformContext, _frames_to_q
 from .decoder import _dispatch_planar4, _undelta
 
@@ -62,6 +65,51 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 MEMBER_TURBO = 5
 #: turbo RGB channel members (red, green, blue), one per GOP per channel
 MEMBER_TURBO_RGB = (6, 7, 8)
+
+#: Per-GOP escape hatch for content the nibble wire degenerates on
+#: (near-lossless quants: most coefficients exceed [-8, 7] and flood the
+#: int32-delta + int16 exception streams, measured -9% bpp vs the
+#: reference format at quant 0, BASELINE.md).  When a GOP's exception
+#: count crosses this fraction of its coefficients, the encoder ALSO
+#: builds the GOP as a self-contained reference-profile member
+#: (Exp-Golomb + DEFLATE) and ships whichever is smaller, tagged with the
+#: corresponding reference member type — so a turbo container may
+#: interleave reference members and decode auto-routes per member.
+#: Typical content runs 0.2-1.5% exceptions and never triggers the probe.
+FALLBACK_EXC_FRAC = 0.02
+#: turbo member type -> its reference-profile fallback member type
+_FALLBACK_TYPE = {
+    MEMBER_TURBO: MEMBER_TEMPORAL,
+    MEMBER_TURBO_RGB[0]: MEMBER_RED,
+    MEMBER_TURBO_RGB[1]: MEMBER_GREEN,
+    MEMBER_TURBO_RGB[2]: MEMBER_BLUE,
+}
+_REF_TYPES = frozenset(_FALLBACK_TYPE.values())
+
+
+def _pick_member(raw_gop: np.ndarray, payload: bytes, n_exc: int, t: int,
+                 member_type: int, cfg: CodecConfig, ctx, warn) -> bytes:
+    """Emit the GOP as a turbo member, or as a reference-profile member
+    when the turbo wire degenerates (see FALLBACK_EXC_FRAC).  The probe
+    compares ACTUAL encoded sizes, so the choice is content-measured, and
+    it is a pure function of (GOP pixels, cfg) — the sharded turbo
+    encoder makes the identical choice, preserving the mesh-vs-single
+    byte-identity invariant."""
+    if n_exc <= FALLBACK_EXC_FRAC * raw_gop.size:
+        return _member(payload, t, member_type)
+    import dataclasses
+
+    from .encoder import encode_video
+
+    # Serial sink: deterministic reference-layout bytes regardless of the
+    # caller's deflate worker pool.
+    ref = encode_video(
+        raw_gop, dataclasses.replace(cfg, deflate_workers=0), ctx
+    )
+    if len(ref) < len(payload):
+        warn()
+        return _member(ref, t, _FALLBACK_TYPE[member_type])
+    return _member(payload, t, member_type)
 
 
 def _plane_and_tables(qp, slots: int, wire: bool = False):
@@ -306,8 +354,21 @@ class TurboEncoder:
             max_workers=resolve_workers(self.cfg.deflate_workers)
         )
         self._out: collections.deque = collections.deque()
+        self._warned_fallback = False
 
-    def _drain_gop(self, frames_dev, t) -> bytes:
+    def _warn_fallback(self) -> None:
+        if not self._warned_fallback:  # benign race: at worst two notes
+            self._warned_fallback = True
+            import sys
+
+            print(
+                "note: turbo wire degenerate on this content (exceptions "
+                f"above {FALLBACK_EXC_FRAC:.0%} of coefficients); affected "
+                "GOPs ship as reference-profile members (decode "
+                "auto-routes per member)", file=sys.stderr,
+            )
+
+    def _drain_gop(self, frames_dev, t, raw) -> bytes:
         plane, dc, lidx, vals, counts, overflow = encode_step_turbo(
             frames_dev, self.ctx.enc_t_pair, cfg=self.cfg, slots=self.slots,
             wire=True,
@@ -321,7 +382,8 @@ class TurboEncoder:
         payload = _member_payload(
             np.asarray(plane), np.asarray(dc), idx, val, self.cfg, wire=True
         )
-        return _member(payload, t, self.member_type)
+        return _pick_member(raw, payload, idx.size, t, self.member_type,
+                            self.cfg, self.ctx, self._warn_fallback)
 
     def push(self, frames: np.ndarray) -> bytes:
         t = frames.shape[0]
@@ -334,7 +396,8 @@ class TurboEncoder:
             raise ValueError("frame geometry mismatch")
         gop = self.cfg.gop_size
         for i in range(0, t, gop):
-            batch = frames[i : i + gop]
+            raw = frames[i : i + gop]
+            batch = raw
             if self.cfg.transport_delta:
                 delta = np.empty_like(batch)
                 delta[0] = batch[0]
@@ -342,7 +405,7 @@ class TurboEncoder:
                 batch = delta
             frames_dev = jnp.asarray(batch)
             self._out.append(
-                self._drainer.submit(self._drain_gop, frames_dev, gop)
+                self._drainer.submit(self._drain_gop, frames_dev, gop, raw)
             )
             if len(self._out) > self.max_inflight:
                 self._out[0].result()
@@ -497,21 +560,40 @@ class TurboShardedEncoder:
             )
             npg = self.width * self.height * self.cfg.gop_size
             cpg = npg // self.cfg.cube_size  # cubes per GOP
+            gop = self.cfg.gop_size
             futs = []
             for g in range(n_gop):
                 lo, hi = np.searchsorted(idx, [g * npg, (g + 1) * npg])
-                futs.append(self._pool.submit(
+                futs.append((self._pool.submit(
                     _member_payload,
                     plane_h[g].transpose(1, 0, 2).reshape(hc, -1),
                     dc_h[g * cpg : (g + 1) * cpg],
                     idx[lo:hi] - g * npg, val[lo:hi], self.cfg, True,
-                ))
+                ), int(hi - lo), frames[i + g * gop : i + (g + 1) * gop]))
             out.extend(
-                _member(f.result(), self.cfg.gop_size, self.member_type)
-                for f in futs
+                # Same content-measured fallback as TurboEncoder (exception
+                # lists and payload bytes are identical across the mesh
+                # invariant, so the CHOICE is identical too — members stay
+                # byte-identical to the single-device encoder's).
+                _pick_member(raw_gop, f.result(), n_exc, gop,
+                             self.member_type, self.cfg, self.ctx,
+                             self._warn_fallback)
+                for f, n_exc, raw_gop in futs
             )
             self.frames_encoded += step_t
         return b"".join(out)
+
+    def _warn_fallback(self) -> None:
+        if not getattr(self, "_warned_fallback", False):
+            self._warned_fallback = True
+            import sys
+
+            print(
+                "note: turbo wire degenerate on this content (exceptions "
+                f"above {FALLBACK_EXC_FRAC:.0%} of coefficients); affected "
+                "GOPs ship as reference-profile members (decode "
+                "auto-routes per member)", file=sys.stderr,
+            )
 
     def drain(self) -> bytes:
         """push() already blocks on every member future before returning,
@@ -620,7 +702,10 @@ class TurboShardedDecoder:
 
     def decode(self, data: bytes,
                member_type: int = MEMBER_TURBO) -> np.ndarray:
-        members = [m for m in split_members(data) if m[2] == member_type]
+        members = [
+            m for m in split_members(data)
+            if m[2] in (member_type, _FALLBACK_TYPE[member_type])
+        ]
         if not members:
             raise ValueError(
                 f"not a turbo container (no type-{member_type} members)"
@@ -628,9 +713,11 @@ class TurboShardedDecoder:
         n_gop, n_tile = self._mesh_shape
         gop = self.cfg.gop_size
         n_steps = len(members) // n_gop
-        # Step offsets assume one GOP per member (what every turbo encoder
-        # emits); anything else decodes via the general path.
-        if any(m[0] != gop for m in members[: n_steps * n_gop]):
+        # Step offsets assume one GOP per member of turbo type (what every
+        # turbo encoder emits); reference-profile fallback members (see
+        # FALLBACK_EXC_FRAC) or odd sizes decode via the general path.
+        if any(m[0] != gop or m[2] != member_type
+               for m in members[: n_steps * n_gop]):
             n_steps = 0
         cube = self.cfg.cube_size
         step_t = gop * n_gop
@@ -684,14 +771,22 @@ class TurboShardedDecoder:
 
 
 def is_turbo_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
+    """Turbo containers may interleave reference-profile fallback members
+    (MEMBER_TEMPORAL) for GOPs where the nibble wire degenerates — see
+    FALLBACK_EXC_FRAC.  A container where EVERY GOP fell back carries no
+    type-5 member at all and is, by construction, a plain temporal
+    container (routed as such)."""
     types = {m[2] for m in members}
-    return MEMBER_TURBO in types and types <= {MEMBER_TURBO, MEMBER_INDEX}
+    return MEMBER_TURBO in types and types <= {
+        MEMBER_TURBO, MEMBER_TEMPORAL, MEMBER_INDEX
+    }
 
 
 def is_turbo_rgb_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
     types = {m[2] for m in members}
     return bool(types & set(MEMBER_TURBO_RGB)) and \
-        types <= set(MEMBER_TURBO_RGB)
+        types <= set(MEMBER_TURBO_RGB) | {MEMBER_RED, MEMBER_GREEN,
+                                          MEMBER_BLUE}
 
 
 def encode_turbo_rgb_video(
@@ -742,7 +837,8 @@ def decode_turbo_rgb_video(
     ctx = ctx or TransformContext(cfg)
     members = split_members(data)
     by_type = {
-        t: [m for m in members if m[2] == t] for t in MEMBER_TURBO_RGB
+        t: [m for m in members if m[2] in (t, _FALLBACK_TYPE[t])]
+        for t in MEMBER_TURBO_RGB
     }
     if not all(by_type.values()):
         raise ValueError("not a turbo-rgb container (missing channels)")
@@ -773,7 +869,13 @@ def decode_turbo_container(
 
     cfg = cfg or CodecConfig()
     ctx = ctx or TransformContext(cfg)
-    members = [m for m in split_members(data) if m[2] == member_type]
+    members = [
+        m for m in split_members(data)
+        if m[2] in (member_type, _FALLBACK_TYPE[member_type])
+    ]
+    # No turbo-typed member at all is still legal when every GOP fell back
+    # to its reference-profile type (see FALLBACK_EXC_FRAC) — that
+    # container decodes here OR through the plain temporal route.
     if not members:
         raise ValueError(
             f"not a turbo container (no type-{member_type} members)"
@@ -790,7 +892,14 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
     The inflate lookahead is bounded (not ``pool.map`` over every member):
     an hour of 1080p is ~10K members whose inflated planes would otherwise
     all materialize in host RAM before the first device dispatch retires.
+
+    Members may interleave reference-profile fallback types (see
+    FALLBACK_EXC_FRAC): those decode through the full reference path
+    (decode_video — host Exp-Golomb entropy + its own device dispatch) on
+    the same pool slot and land directly in the output.
     """
+    from .decoder import decode_video
+
     out = np.empty(
         (sum(m[0] for m in members), height, width), np.uint8
     )
@@ -803,9 +912,17 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
     a0 = 0
     cube = cfg.cube_size
     lookahead = max(4, 2 * getattr(pool, "_max_workers", 2))
+
+    def _submit(m):
+        t_m, payload, mtype = m
+        if mtype in _REF_TYPES:
+            return pool.submit(
+                decode_video, payload, width, height, t_m, cfg, ctx
+            )
+        return pool.submit(_parse_payload, payload, cube, True)
+
     inflight: collections.deque = collections.deque(
-        pool.submit(_parse_payload, m[1], cube, True)
-        for m in members[:lookahead]
+        _submit(m) for m in members[:lookahead]
     )
     nxt = len(inflight)
 
@@ -814,13 +931,15 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
         while inflight:
             planar = inflight.popleft().result()
             if nxt < len(members):
-                inflight.append(
-                    pool.submit(_parse_payload, members[nxt][1], cube, True)
-                )
+                inflight.append(_submit(members[nxt]))
                 nxt += 1
             yield planar
 
-    for (t, _, _), planar in zip(members, parsed_in_order()):
+    for (t, _, mtype), planar in zip(members, parsed_in_order()):
+        if mtype in _REF_TYPES:
+            out[a0 : a0 + t] = planar  # already decoded frames
+            a0 += t
+            continue
         fd = _dispatch_planar4(planar, ctx, cfg, height, width, wire=True)
         fd.copy_to_host_async()
         pending.append((a0, t, fd))

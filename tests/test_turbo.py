@@ -574,3 +574,102 @@ def test_turbo_without_zstandard_falls_back_to_zlib(monkeypatch):
     np.testing.assert_array_equal(got, want)
     # the fallback wire really is zlib (no zstd magic anywhere)
     assert turbo._ZSTD_MAGIC not in data
+
+
+def test_turbo_quant0_falls_back_per_gop():
+    """Near-lossless content floods the exception streams (-9% bpp vs the
+    reference format at quant 0, BASELINE.md); affected GOPs must ship as
+    reference-profile members chosen by MEASURED size, so the turbo
+    container never exceeds the reference rate beyond the 16-byte member
+    headers — and decodes pixel-identical through auto-routing."""
+    cfg = CodecConfig(quant_strength=0)
+    clip = synthetic_video(24, 64, 64, seed=77)
+    data = turbo.encode_turbo_video(clip, cfg)
+    members = multihost.split_members(data)
+    types = [m[2] for m in members]
+    assert multihost.MEMBER_TEMPORAL in types, types  # fallback triggered
+    # rate: at worst the reference stream + per-member framing (16-byte
+    # header + independent-DEFLATE restart) — closes the -9% corner to
+    # well under 1%
+    ref = encode_video(clip, cfg)
+    assert len(data) <= len(ref) + 128 * len(members), (
+        len(data), len(ref)
+    )
+    # pixels identical to the reference profile's decode
+    want = decode_video(ref, 64, 64, 24, cfg)
+    got = turbo.decode_turbo_container(data, 64, 64, cfg)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_turbo_mixed_container_auto_detected():
+    """A hybrid turbo container (some GOPs fell back) must still be
+    routed as turbo by the detectors and the CLI info kind."""
+    cfg = CodecConfig(quant_strength=0)
+    clip = synthetic_video(16, 64, 64, seed=78)
+    data = turbo.encode_turbo_video(clip, cfg)
+    members = multihost.split_members(data)
+    types = {m[2] for m in members}
+    if turbo.MEMBER_TURBO in types and multihost.MEMBER_TEMPORAL in types:
+        assert turbo.is_turbo_container(members)
+    elif types <= {multihost.MEMBER_TEMPORAL}:
+        # every GOP fell back: a plain temporal container, by design
+        assert not turbo.is_turbo_container(members)
+        assert multihost.container_kind(members) == "temporal"
+
+
+def test_turbo_typical_content_never_falls_back():
+    """The fallback probe must not fire on typical content (exceptions
+    run 0.2-1.5% there): the fast path is unchanged."""
+    cfg = CodecConfig()
+    clip = synthetic_video(16, 64, 64, seed=79)
+    data = turbo.encode_turbo_video(clip, cfg)
+    assert all(
+        m[2] == turbo.MEMBER_TURBO
+        for m in multihost.split_members(data)
+    )
+
+
+def test_turbo_sharded_quant0_byte_identical():
+    """The sharded turbo encoder must make the identical per-GOP fallback
+    choice (same measured sizes) so mesh-vs-single byte identity holds at
+    the degenerate corner too."""
+    import jax
+
+    from dct3d_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    m = mesh_lib.make_mesh(gop=2, tile=2, devices=jax.devices()[:4])
+    cfg = CodecConfig(quant_strength=0)
+    clip = synthetic_video(16, 64, 64, seed=80)
+    want = turbo.encode_turbo_video(clip, cfg)
+    enc = turbo.TurboShardedEncoder(64, 64, m, cfg)
+    got = enc.push(clip) + enc.finish()
+    assert got == want
+    # and the sharded decoder reads the hybrid container
+    dec = turbo.TurboShardedDecoder(64, 64, m, cfg)
+    np.testing.assert_array_equal(
+        dec.decode(got), turbo.decode_turbo_container(want, 64, 64, cfg)
+    )
+
+
+def test_turbo_rgb_quant0_roundtrip():
+    """RGB turbo at quant 0: per-channel fallback members (types 1/2/3)
+    are detected and decode pixel-identical to the rgb reference."""
+    cfg = CodecConfig(quant_strength=0)
+    rng = np.random.default_rng(81)
+    clip = synthetic_video(8, 64, 64, seed=81)
+    rgbclip = np.stack(
+        [clip, np.roll(clip, 1, axis=1), np.roll(clip, 2, axis=2)], axis=-1
+    )
+    data = turbo.encode_turbo_rgb_video(rgbclip, cfg)
+    members = multihost.split_members(data)
+    assert turbo.is_turbo_rgb_container(members) or all(
+        m[2] in (1, 2, 3) for m in members
+    )
+    if turbo.is_turbo_rgb_container(members):
+        got = turbo.decode_turbo_rgb_video(data, 64, 64, cfg)
+        from dct3d_tpu.codec.rgb_codec import encode_rgb_video, decode_rgb_video
+
+        want = decode_rgb_video(encode_rgb_video(rgbclip, cfg), 64, 64, cfg)
+        np.testing.assert_array_equal(got, want)
