@@ -407,3 +407,75 @@ def test_cli_pack_bits_is_byte_neutral(tmp_path):
     assert cli.main(["encode", src, f"{d}/b.bin", "64", "64",
                      "--deflate-workers", "0", "--pack-bits", "4"]) == 0
     assert open(f"{d}/a.bin", "rb").read() == open(f"{d}/b.bin", "rb").read()
+
+
+def test_cli_stdin_pad_streams_constant_rss(tmp_path, monkeypatch):
+    """`encode - ... --pad` pads per batch — bounded reads (the _OnDemand
+    pipe fails on any unbounded read), output byte-identical to the
+    file-input padded encode (VERDICT r3 #7)."""
+    w, h = 30, 21  # not block multiples -> pads to 32x24
+    fsz = w * h
+    total = 17 * fsz  # trims to 16 frames
+
+    class _Std:
+        buffer = _OnDemand(total)
+
+    monkeypatch.setattr(cli.sys, "stdin", _Std)
+    enc_pipe = str(tmp_path / "p.bin")
+    assert cli.main(["encode", "-", enc_pipe, str(w), str(h), "--pad"]) == 0
+    monkeypatch.undo()
+
+    src = str(tmp_path / "s.raw")
+    with open(src, "wb") as f:
+        f.write(_OnDemand(total, chunk=1 << 30).read(17 * fsz))
+    enc_file = str(tmp_path / "f.bin")
+    assert cli.main(["encode", src, enc_file, str(w), str(h), "--pad"]) == 0
+    assert open(enc_pipe, "rb").read() == open(enc_file, "rb").read()
+
+
+def test_cli_stdin_index_streams_constant_rss(tmp_path, monkeypatch):
+    """`encode - out.d3i ... --index` streams the pipe (bounded reads) and
+    patches the member header's frame count + length at finish: the
+    container must be byte-identical to the file-input indexed encode and
+    decode with NO frame count (VERDICT r3 #7)."""
+    w = h = 32
+    fsz = w * h
+    total = 24 * fsz
+
+    class _Std:
+        buffer = _OnDemand(total)
+
+    monkeypatch.setattr(cli.sys, "stdin", _Std)
+    enc_pipe = str(tmp_path / "p.d3i")
+    assert cli.main(["encode", "-", enc_pipe, "32", "32", "--index"]) == 0
+    monkeypatch.undo()
+
+    src = str(tmp_path / "s.raw")
+    with open(src, "wb") as f:
+        f.write(_OnDemand(total, chunk=1 << 30).read(total))
+    enc_file = str(tmp_path / "f.d3i")
+    assert cli.main(["encode", src, enc_file, "32", "32", "--index"]) == 0
+    assert open(enc_pipe, "rb").read() == open(enc_file, "rb").read()
+    # container self-describes frames: decode without a count
+    dec = str(tmp_path / "d.raw")
+    assert cli.main(["decode", enc_pipe, dec, "32", "32"]) == 0
+    assert os.path.getsize(dec) == total
+
+
+def test_cli_stdin_rgb_warns_about_buffering(tmp_path, monkeypatch, capsys):
+    """--rgb with a pipe legitimately buffers (channel passes) but must
+    say so loudly instead of silently eating RAM."""
+    import io
+
+    w = h = 16
+    raw = (np.arange(8 * h * w * 3) % 251).astype(np.uint8).tobytes()
+
+    class _Buf:
+        buffer = io.BytesIO(raw)
+
+    monkeypatch.setattr(cli.sys, "stdin", _Buf)
+    enc = str(tmp_path / "p.d3c")
+    assert cli.main(["encode", "-", enc, "16", "16", "--rgb"]) == 0
+    monkeypatch.undo()
+    err = capsys.readouterr().err
+    assert "buffers the WHOLE pipe" in err
