@@ -287,11 +287,56 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     sharded turbo decode (codec/turbo.py), where `height` is the tile's
     local height.  One body so every planar4 path keeps the identical
     split-matmul summation order (the transparency invariant)."""
+    hc = cfg.cube_size // 2
     if wire:
+        # The wire's byte order never materializes: un-bitcasting the word
+        # transpose back to plane bytes costs ~3.2 ms/GOP at 1080p in XLA
+        # layout copies (tools/profile_decode_stages.py round 4).  Instead
+        # peel nibbles ELEMENTWISE from the i32 word rows (block k = byte k
+        # of every word), scatter exceptions in the word-grouped order, and
+        # restore natural pair order with the exact one-hot matmul
+        # (ops/relayout.pair_unscramble) — integers are exact in f32/bf16
+        # one-hot products, so the dequant matmul sees operands
+        # BIT-IDENTICAL to the flat-plane path (same values, same
+        # summation order; the transparency invariant holds).
         from ..ops.bitpack import _tpu_backend
-        from ..ops.relayout import wire_to_plane
 
-        plane = wire_to_plane(plane, use_pallas=_tpu_backend())
+        wt = relayout.wire_words(plane, use_pallas=_tpu_backend())
+        cubes = wt.shape[0]
+        lo_p = jnp.concatenate(
+            [(((wt >> (8 * k)) & 0xF) ^ 8) - 8 for k in range(4)], axis=1)
+        hi_p = jnp.concatenate(
+            [(((wt >> (8 * k + 4)) & 0xF) ^ 8) - 8 for k in range(4)],
+            axis=1)
+        # Natural flat coefficient index -> word-grouped (permuted) slot.
+        cube_i = exc_idx // cfg.cube_size
+        r = exc_idx % cfg.cube_size
+        p = r >> 1
+        pidx = cube_i * hc + (hc // 4) * (p % 4) + p // 4
+        nperm = cubes * hc
+        e_even = jnp.where((r & 1) == 0, pidx, nperm)
+        e_odd = jnp.where((r & 1) == 1, pidx, nperm)
+        # Scatter into fresh sentinel buffers (natural layout — scattering
+        # into the shift-derived operands forces a layout copy) and merge
+        # elementwise; INT32_MIN cannot be a real coefficient (quantized
+        # magnitudes are < 2^23).
+        sent = jnp.int32(-(2 ** 31))
+        de = jnp.full((nperm,), sent, jnp.int32).at[e_even].set(
+            exc_val, mode="drop", unique_indices=True).reshape(cubes, hc)
+        do = jnp.full((nperm,), sent, jnp.int32).at[e_odd].set(
+            exc_val, mode="drop", unique_indices=True).reshape(cubes, hc)
+        lo_p = jnp.where(de == sent, lo_p, de)
+        hi_p = jnp.where(do == sent, hi_p, do)
+        perm, dec_me, dec_mo = _perm_decode(cfg, height, width,
+                                            dec_me, dec_mo)
+        unscr = jnp.asarray(relayout.pair_unscramble(cfg.cube_size),
+                            dec_me.dtype)
+        lo_n = jnp.dot(lo_p.astype(dec_me.dtype), unscr,
+                       precision=_PRECISION)
+        hi_n = jnp.dot(hi_p.astype(dec_mo.dtype), unscr,
+                       precision=_PRECISION)
+        pixels = _dequant_matmul(lo_n, hi_n, dec_me, dec_mo)
+        return _finish_frames(pixels, cfg, height, width, perm=perm)
     b = plane.astype(jnp.int32)
     lo = (((b & 0xF) ^ 8) - 8).reshape(-1)
     hi = ((((b >> 4) & 0xF) ^ 8) - 8).reshape(-1)
@@ -300,7 +345,6 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     e_odd = jnp.where((exc_idx & 1) == 1, exc_idx >> 1, half)
     lo = lo.at[e_even].set(exc_val, mode="drop", unique_indices=True)
     hi = hi.at[e_odd].set(exc_val, mode="drop", unique_indices=True)
-    hc = cfg.cube_size // 2
     perm, dec_me, dec_mo = _perm_decode(cfg, height, width, dec_me, dec_mo)
     pixels = _dequant_matmul(
         lo.reshape(-1, hc), hi.reshape(-1, hc), dec_me, dec_mo

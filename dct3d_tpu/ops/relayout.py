@@ -127,16 +127,17 @@ def plane_to_wire(plane, use_pallas: bool = True, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
-def wire_to_plane(wire, use_pallas: bool = True, interpret: bool = False):
-    """(hc, cubes) uint8 wire layout -> (cubes, hc) uint8 transport nibble
-    plane ON DEVICE — the exact inverse of plane_to_wire, by the same word
-    trick run backwards: pack wire rows 4k..4k+3 into i32 word rows with
-    elementwise shifts, 2-D word transpose, bitcast the words back to 4
-    plane bytes each.
+def wire_words(wire, use_pallas: bool = True, interpret: bool = False):
+    """(hc, cubes) uint8 wire layout -> (cubes, hc/4) i32 WORD rows ON
+    DEVICE: word j of cube row c packs plane bytes 4j..4j+3 LE — the word
+    transpose half of plane_to_wire run backwards, stopping BEFORE the
+    byte peel.
 
-    Replaces the decode drain's host byte_transpose (turbo._parse_payload)
-    when the decode step ingests the wire layout directly
-    (decode_step_planar4(..., wire=True))."""
+    The decode step consumes these words directly (elementwise nibble
+    shifts + the exact one-hot pair unscramble, codec/transform.py):
+    materializing the byte-order plane from the bitcast costs ~1.6 ms/GOP
+    per nibble half at 1080p in XLA layout copies
+    (tools/profile_decode_stages.py round 4), the words cost nothing."""
     hc, cubes = wire.shape
     w32 = hc // 4
     w4 = wire.reshape(w32, 4, cubes).astype(jnp.int32)
@@ -160,7 +161,40 @@ def wire_to_plane(wire, use_pallas: bool = True, interpret: bool = False):
         )(words)[:cubes]
     else:
         wt = words.T  # (cubes, w32)
+    return wt
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def wire_to_plane(wire, use_pallas: bool = True, interpret: bool = False):
+    """(hc, cubes) uint8 wire layout -> (cubes, hc) uint8 transport nibble
+    plane ON DEVICE — the exact inverse of plane_to_wire, by the same word
+    trick run backwards: pack wire rows 4k..4k+3 into i32 word rows with
+    elementwise shifts, 2-D word transpose, bitcast the words back to 4
+    plane bytes each.
+
+    Kept for layout tests and host-side tooling; the decode step itself
+    consumes wire_words (the bitcast back to byte order here is where the
+    ~3.2 ms/GOP of layout copies came from)."""
+    hc, cubes = wire.shape
+    wt = wire_words(wire, use_pallas=use_pallas, interpret=interpret)
     return jax.lax.bitcast_convert_type(wt, jnp.uint8).reshape(cubes, hc)
+
+
+def pair_unscramble(cube_size: int = 512) -> np.ndarray:
+    """P with P[64*(p%4) + p//4, p] = 1 for pair index p: restores natural
+    coefficient-pair order from the word-grouped nibble blocks the decode
+    step peels off wire_words (block k holds byte k of every word).
+
+    Applied as an exact one-hot matmul (integers below 2^24 are exact in
+    f32 products with 0/1, and each output column has a single nonzero
+    term), so the downstream dequant matmul sees operands BIT-IDENTICAL
+    to the flat-plane path — the same trick unscramble_matrix plays for
+    the encode relayout."""
+    hw = cube_size // 2  # pairs per cube
+    p = np.arange(hw)
+    m = np.zeros((hw, hw), np.float32)
+    m[(hw // 4) * (p % 4) + p // 4, p] = 1.0
+    return m
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -99,3 +99,44 @@ def test_inv_sigma_roundtrip():
     # perm[:, j] = pixels[:, inv[j]]  <=>  perm[:, s[c]] = pixels[:, c]
     x = np.random.default_rng(1).integers(0, 255, (3, 512))
     np.testing.assert_array_equal(x[:, inv][:, s], x)
+
+
+def test_pair_unscramble_restores_natural_order():
+    """lo_p[:, (hw/4)*(p%4) + p/4] == lo_nat[:, p] — the one-hot matmul
+    (exact on integers) must equal the gather formulation exactly."""
+    hw = 256
+    p = np.arange(hw)
+    perm_col = (hw // 4) * (p % 4) + p // 4
+    m = relayout.pair_unscramble(512)
+    x = np.random.default_rng(3).integers(-130560, 130560, (7, hw))
+    scrambled = np.zeros_like(x)
+    scrambled[:, perm_col] = x  # x in natural order -> word-grouped slots
+    got = scrambled.astype(np.float32) @ m
+    np.testing.assert_array_equal(got, x.astype(np.float32))
+
+
+@pytest.mark.parametrize("t,h,w", [(8, 32, 64), (8, 16, 16)])
+def test_wire_decode_step_matches_flat(rng, t, h, w):
+    """decode_step_planar4(wire=True) on the wire layout must emit frames
+    BYTE-identical to the flat-plane path: the word-grouped nibble peel +
+    exact pair unscramble (round 4) may not perturb a single pixel, with
+    exceptions landing on every parity and cube (transparency invariant;
+    TPU-side twin: tools/validate_wire_decode_tpu.py)."""
+    from dct3d_tpu.codec.transform import TransformContext, decode_step_planar4
+
+    cfg = CodecConfig()
+    ctx = TransformContext(cfg)
+    n = t * h * w
+    plane = rng.integers(0, 256, n // 2, dtype=np.uint16).astype(np.uint8)
+    n_exc = max(64, n // 128)
+    exc_idx = np.sort(
+        rng.choice(n, n_exc, replace=False)).astype(np.int32)
+    exc_val = rng.integers(-130560, 130560, n_exc).astype(np.int32)
+    wire = np.ascontiguousarray(plane.reshape(-1, cfg.cube_size // 2).T)
+    f_flat = np.asarray(decode_step_planar4(
+        jnp.asarray(plane), jnp.asarray(exc_idx), jnp.asarray(exc_val),
+        ctx.dec_me, ctx.dec_mo, cfg=cfg, height=h, width=w))
+    f_wire = np.asarray(decode_step_planar4(
+        jnp.asarray(wire), jnp.asarray(exc_idx), jnp.asarray(exc_val),
+        ctx.dec_me, ctx.dec_mo, cfg=cfg, height=h, width=w, wire=True))
+    np.testing.assert_array_equal(f_flat, f_wire)
