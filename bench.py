@@ -129,8 +129,48 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         return time.perf_counter() - t0
 
     chain(1)  # warmup (compile + remote program load)
-    t2, t10 = chain(2), chain(10)
-    compute_fps = 8 * cfg.gop_size / (t10 - t2)  # slope: relay latency out
+    # Best-of-3 slopes, like every other stage here: the first slope in a
+    # fresh process still pays device-side warmup (program caches, relay
+    # ramp) — measured ~1.5x on the decode train — which is process
+    # lifetime cost, not throughput (tools/proto_multigop_decode.py).
+    compute_fps = max(
+        8 * cfg.gop_size / (chain(10) - chain(2)) for _ in range(3)
+    )
+
+    # Relay-load-IMMUNE device throughput: K carry-chained steps inside ONE
+    # program (production semantics — GOPs chain through the carry), with
+    # the packed buffer forced live via a data-dependent element so XLA
+    # cannot dead-code the pack pipeline.  The dispatch trains above pay
+    # per-launch RPC that scales with tunnel congestion (measured 7.0-8.5
+    # ms/GOP for the same device work); this one cannot.
+    def make_inprog(k: int):
+        @jax.jit
+        def f(frames):
+            def body(i, acc):
+                g = encode_step(frames, ctx.enc_t, acc[0], acc[1],
+                                max_bytes=mb, cfg=cfg)
+                live = g.packed[
+                    (g.total_bits % jnp.int32(g.packed.shape[0]))
+                ].astype(jnp.uint32)
+                return (g.carry_code ^ live, g.carry_bits)
+
+            c = jax.lax.fori_loop(
+                0, k, body, (jnp.uint32(0), jnp.int32(0)))
+            return c[0] + c[1].astype(jnp.uint32)
+
+        return f
+
+    def run_prog(f) -> float:
+        jax.device_get(f(fj))  # warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(f(fj))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    f2, f10 = make_inprog(2), make_inprog(10)
+    compute_device_fps = 8 * cfg.gop_size / (run_prog(f10) - run_prog(f2))
 
     # Turbo (planar) profile: compute slope of its encode step (no bit-pack
     # stage) + its rate.  Uses the same device-resident input chain trick.
@@ -147,8 +187,9 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         return time.perf_counter() - t0
 
     tchain(1)
-    tt2, tt10 = tchain(2), tchain(10)
-    turbo_compute_fps = 8 * cfg.gop_size / (tt10 - tt2)
+    turbo_compute_fps = max(
+        8 * cfg.gop_size / (tchain(10) - tchain(2)) for _ in range(3)
+    )
     tenc = TurboEncoder(w, h, cfg)
     turbo_data = tenc.push(frames) + tenc.finish()
     turbo_bpp = metrics.bits_per_pixel(len(turbo_data), w, h, t)
@@ -218,8 +259,35 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         return time.perf_counter() - t0
 
     dchain(1)
-    d2, d10 = dchain(2), dchain(10)
-    decode_compute_fps = 8 * dcfg.gop_size / (d10 - d2)
+    decode_compute_fps = max(
+        8 * dcfg.gop_size / (dchain(10) - dchain(2)) for _ in range(3)
+    )
+
+    # Turbo decode device step (wire member -> frames), same methodology,
+    # on the REAL first turbo member of the container encoded above.
+    from dct3d_tpu.codec.turbo import _parse_payload, split_members, MEMBER_TURBO
+    from dct3d_tpu.codec.transform import decode_step_planar4
+
+    tm = next(m for m in split_members(turbo_data) if m[2] == MEMBER_TURBO)
+    tplane, tidx, tval = _parse_payload(tm[1], dcfg.cube_size, wire=True)
+    tei, tev = _pad_exceptions(tplane.size * 2, np.asarray(tidx),
+                               np.asarray(tval))
+    tp, tpi, tpv = jnp.asarray(np.asarray(tplane)), jnp.asarray(tei), \
+        jnp.asarray(tev)
+
+    def tdchain(steps: int) -> float:
+        fd = None
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            fd = decode_step_planar4(tp, tpi, tpv, ctx.dec_me, ctx.dec_mo,
+                                     cfg=dcfg, height=h, width=w, wire=True)
+        jax.device_get(fd[0, 0, 0])
+        return time.perf_counter() - t0
+
+    tdchain(1)
+    turbo_decode_compute_fps = max(
+        8 * dcfg.gop_size / (tdchain(10) - tdchain(2)) for _ in range(3)
+    )
 
     # Host entropy stage alone: GOP-parallel scan + planar4 decode pool.
     # Warmup + best-of like every other stage here: the first pass pays
@@ -252,10 +320,12 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         "encode_fps": enc_fps,
         "decode_fps": dec_fps,
         "compute_fps": compute_fps,
+        "compute_device_fps": compute_device_fps,
         "decode_compute_fps": decode_compute_fps,
         "decode_entropy_fps": entropy_fps,
         "decode_entropy_indexed_fps": entropy_indexed_fps,
         "turbo_compute_fps": turbo_compute_fps,
+        "turbo_decode_compute_fps": turbo_decode_compute_fps,
         "turbo_parse_fps": turbo_parse_fps,
         "turbo_member_build_fps": turbo_member_build_fps,
         "turbo_bpp": turbo_bpp,
@@ -310,12 +380,16 @@ def main() -> int:
         "detail": {
             "decode_fps": round(r["decode_fps"], 2),
             "compute_fps": round(r["compute_fps"], 2),
+            "compute_device_fps": round(r["compute_device_fps"], 2),
             "decode_compute_fps": round(r["decode_compute_fps"], 2),
             "decode_entropy_fps": round(r["decode_entropy_fps"], 2),
             "decode_entropy_indexed_fps": round(
                 r["decode_entropy_indexed_fps"], 2
             ),
             "turbo_compute_fps": round(r["turbo_compute_fps"], 2),
+            "turbo_decode_compute_fps": round(
+                r["turbo_decode_compute_fps"], 2
+            ),
             "turbo_parse_fps": round(r["turbo_parse_fps"], 2),
             "turbo_member_build_fps": round(
                 r["turbo_member_build_fps"], 2
