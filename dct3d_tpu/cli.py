@@ -189,6 +189,14 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         help="decode: crop the decoded frames back to WxH (pairs with "
         "encode --pad)",
     )
+    p.add_argument(
+        "--range", default=None, metavar="A:B", dest="frame_range",
+        help="decode: random-access decode of frames [A, B) only — turbo "
+        "containers skip non-covering members outright; reference-profile "
+        "streams skip the prefix's entropy+transform (scan-free with an "
+        "encode --index container).  The reference decoder can only walk "
+        "from frame 0 (decoder.c:207)",
+    )
 
 
 def _make_cli_mesh(spec: str):
@@ -661,11 +669,38 @@ def cmd_decode(args) -> int:
         print("--rgb decode needs a D3MH container (produced by encode "
               "--rgb); this input is a raw grayscale stream", file=sys.stderr)
         return 2
-    if head != b"D3MH" and args.frames is None:
-        print("decode requires an explicit frame count (headerless stream, "
-              "as in the reference: Decoder.java:18)", file=sys.stderr)
+    frame_range = None
+    if args.frame_range is not None:
+        a, _, b = args.frame_range.partition(":")
+        try:
+            frame_range = (int(a), int(b))
+            if not (0 <= frame_range[0] < frame_range[1]):
+                raise ValueError
+        except ValueError:
+            print(f"--range expects A:B with 0 <= A < B, got "
+                  f"{args.frame_range!r}", file=sys.stderr)
+            return 2
+        if args.frames is not None:
+            print("--range and an explicit frame count are mutually "
+                  "exclusive", file=sys.stderr)
+            return 2
+        if args.mesh:
+            print("note: --range decodes single-device; ignoring --mesh",
+                  file=sys.stderr)
+            args.mesh = None
+    if (head != b"D3MH" and args.frames is None
+            and frame_range is None):
+        print("decode requires an explicit frame count or --range "
+              "(headerless stream, as in the reference: Decoder.java:18)",
+              file=sys.stderr)
         return 2
     t0 = time.perf_counter()
+    if frame_range is not None:
+        video = _decode_range(args, data, head, width, height, cfg,
+                              frame_range)
+        if video is None:
+            return 2
+        return _write_decoded(args, video, width, height, t0)
     if head == b"D3MH":
         # Route by the container's member type tags, not the --rgb flag:
         # tagged containers self-describe (ADVICE r1); the flag only decides
@@ -777,6 +812,40 @@ def cmd_decode(args) -> int:
             gops_per_batch=args.gops_per_batch,
         )
     return _write_decoded(args, video, width, height, t0)
+
+
+def _decode_range(args, data, head, width, height, cfg, frame_range):
+    """--range A:B routing for cmd_decode; returns frames or None + error.
+
+    Raw streams and temporal containers go through
+    decoder.decode_frame_range (prefix skipped after one inflate pass,
+    scan-free with an index member); turbo containers skip non-covering
+    members outright.  RGB containers are out of scope (three interleaved
+    channel streams — use --frames + slicing)."""
+    a, b = frame_range
+    if head != b"D3MH":
+        from .codec.decoder import decode_frame_range
+
+        return decode_frame_range(data, width, height, a, b, cfg)
+    from .codec.turbo import (
+        decode_turbo_range, is_turbo_container, is_turbo_rgb_container,
+    )
+    from .parallel.multihost import (
+        container_kind, decode_container_range, split_members,
+    )
+
+    members = split_members(data)
+    if is_turbo_container(members):
+        return decode_turbo_range(data, width, height, a, b, cfg)
+    if is_turbo_rgb_container(members) or container_kind(members) == "rgb":
+        print("--range does not support RGB containers (three interleaved "
+              "channel streams); decode fully and slice", file=sys.stderr)
+        return None
+    if container_kind(members) != "temporal":
+        print(f"unrecognized member type tags {[m[2] for m in members]}",
+              file=sys.stderr)
+        return None
+    return decode_container_range(data, width, height, a, b, cfg)
 
 
 def _write_decoded(args, video, width, height, t0) -> int:

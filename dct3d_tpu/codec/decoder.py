@@ -236,6 +236,103 @@ def decode_video(
     return out
 
 
+def decode_frame_range(
+    data: bytes,
+    width: int,
+    height: int,
+    start: int,
+    stop: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+    positions: list[int] | None = None,
+    entropy_workers: int | None = None,
+) -> np.ndarray:
+    """Random-access decode of the half-open frame range [start, stop).
+
+    Only the covering GOPs run the host entropy stage and the device
+    inverse transform — the capability the reference's design forecloses
+    (its decoder must walk every codeword from byte 0, decoder.c:207-236;
+    GOPs here are temporally independent by construction, README).  The
+    skipped prefix costs one inflate pass (the single zlib stream is not
+    byte-seekable, encoder.c:139) plus, without an index, a boundary scan
+    (speculative parallel — ~10x cheaper than entropy-decoding the
+    prefix); with ``positions`` from an ``--index`` container the skip is
+    scan-free.
+
+    Returns (stop - start, H, W) pixels identical to the same slice of
+    decode_video's output; raises EOFError when the stream ends before
+    ``stop`` and ValueError on corrupt input (the decode error contract).
+    """
+    import zlib
+
+    cfg = cfg or CodecConfig()
+    ctx = ctx or TransformContext(cfg)
+    if not (0 <= start < stop):
+        raise ValueError(f"bad frame range [{start}, {stop})")
+    fpg = cfg.gop_size
+    g0, g1 = start // fpg, -(-stop // fpg)
+    from .. import native
+
+    if native.load() is None:
+        # Pure-Python fallback: decode from the start and slice (correct,
+        # no skip — the scan needs the C library).
+        video = decode_video(data, width, height, g1 * fpg, cfg, ctx)
+        return video[start : stop]
+    cpg = width * height * fpg
+    z = zlib.decompressobj()
+    try:
+        payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt bitstream: {e}") from e
+    if positions is not None:
+        if len(positions) < g1:
+            raise ValueError(
+                f"index has {len(positions)} positions, need {g1}"
+            )
+        span = list(positions[g0:g1])
+    else:
+        spec = entropy.speculative_positions(payload, cpg, g1,
+                                             entropy_workers)
+        if spec is not None:
+            span = spec[g0:g1]
+        else:
+            pos, span = 0, []
+            for g in range(g1):
+                if g >= g0:
+                    span.append(pos)
+                if g + 1 < g1:
+                    nxt = entropy.scan_values(payload, cpg, pos)
+                    if nxt is None:
+                        raise EOFError(
+                            "bitstream too short for requested frame range"
+                        )
+                    pos = nxt
+    out = np.empty(((g1 - g0) * fpg, height, width), np.uint8)
+    pending: collections.deque = collections.deque()
+
+    def drain_one():
+        a0, fd = pending.popleft()
+        out[a0 * fpg : (a0 + 1) * fpg] = _undelta(np.asarray(fd), cfg)
+
+    try:
+        for k, (plane, ei, ev, _pos) in enumerate(entropy.parallel_chunks(
+            payload, cpg, g1 - g0, entropy.decode_values_planar4,
+            entropy_workers, positions=span,
+        )):
+            frames_dev = _dispatch_planar4(
+                (plane, ei, ev), ctx, cfg, height, width
+            )
+            frames_dev.copy_to_host_async()
+            pending.append((k, frames_dev))
+            if len(pending) >= 3:
+                drain_one()
+    except EOFError:
+        raise EOFError("bitstream too short for requested frame range")
+    while pending:
+        drain_one()
+    return out[start - g0 * fpg : stop - g0 * fpg]
+
+
 def decode_stream(
     chunks: Iterable[bytes],
     width: int,

@@ -886,6 +886,58 @@ def decode_turbo_container(
         return _decode_members(members, pool, width, height, cfg, ctx)
 
 
+def decode_turbo_range(
+    data: bytes,
+    width: int,
+    height: int,
+    start: int,
+    stop: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+    inflate_workers: int | None = None,
+) -> np.ndarray:
+    """Random-access decode of frames [start, stop) from a turbo container.
+
+    Members are self-delimiting and independent (one GOP each, including
+    any reference-profile fallback members), so the skipped prefix costs
+    NOTHING — not even an inflate pass (unlike the reference profile's
+    single zlib stream, codec/decoder.decode_frame_range).  Pixels are
+    identical to the same slice of decode_turbo_container's output.
+    """
+    import os
+
+    cfg = cfg or CodecConfig()
+    ctx = ctx or TransformContext(cfg)
+    if not (0 <= start < stop):
+        raise ValueError(f"bad frame range [{start}, {stop})")
+    covering = []
+    a0 = 0
+    for m in split_members(data):
+        if m[2] not in (MEMBER_TURBO, _FALLBACK_TYPE[MEMBER_TURBO]):
+            continue
+        if a0 + m[0] > start and a0 < stop:
+            if not covering:
+                first_a0 = a0
+            covering.append(m)
+        a0 += m[0]
+        if a0 >= stop:
+            break
+    if a0 < stop:
+        raise EOFError(
+            f"container holds {a0} frames, range [{start}, {stop}) "
+            "reaches past the end"
+        )
+    if not covering:
+        raise ValueError(
+            f"not a turbo container (no type-{MEMBER_TURBO} members)"
+        )
+    with ThreadPoolExecutor(
+        inflate_workers or max(1, min(len(covering), (os.cpu_count() or 2)))
+    ) as pool:
+        span = _decode_members(covering, pool, width, height, cfg, ctx)
+    return span[start - first_a0 : stop - first_a0]
+
+
 def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
     """Inflate members on `pool`, dispatch inverse transforms, assemble.
 

@@ -274,6 +274,64 @@ def encode_local_members(
     return members
 
 
+def decode_container_range(
+    data: bytes,
+    width: int,
+    height: int,
+    start: int,
+    stop: int,
+    cfg: CodecConfig | None = None,
+) -> np.ndarray:
+    """Random-access decode of frames [start, stop) from a temporal
+    container (single- or multi-stream, with or without index members).
+
+    Each covering stream member decodes only its local sub-range
+    (codec.decoder.decode_frame_range — scan-free when the member carries
+    an index); members wholly before/after the range are never touched.
+    Pixels are identical to the same slice of decode_multihost_container.
+    """
+    from ..codec.decoder import decode_frame_range
+    from ..codec.transform import TransformContext
+
+    cfg = cfg or CodecConfig()
+    if not (0 <= start < stop):
+        raise ValueError(f"bad frame range [{start}, {stop})")
+    streams: list[tuple[int, bytes, list[int] | None]] = []
+    for frames, payload, mtype in split_members(data):
+        if mtype == MEMBER_INDEX and streams:
+            f, p, _ = streams[-1]
+            streams[-1] = (f, p, parse_index(payload))
+        elif mtype == MEMBER_TEMPORAL:
+            streams.append((frames, payload, None))
+    if not streams:
+        raise ValueError("container has no temporal stream members")
+    total = sum(f for f, _, _ in streams)
+    if stop > total:
+        raise EOFError(
+            f"container holds {total} frames, range [{start}, {stop}) "
+            "reaches past the end"
+        )
+    ctx = TransformContext(cfg)
+    parts: list[np.ndarray] = []
+    a0 = 0
+    for frames, payload, ends in streams:
+        lo, hi = max(start, a0), min(stop, a0 + frames)
+        if lo < hi:
+            positions = None
+            if ends is not None:
+                positions = gop_positions(
+                    ends, frames // cfg.gop_size, cfg.gop_size, frames
+                )
+            parts.append(decode_frame_range(
+                payload, width, height, lo - a0, hi - a0, cfg, ctx,
+                positions=positions,
+            ))
+        a0 += frames
+        if a0 >= stop:
+            break
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
 def decode_multihost_container(
     data: bytes,
     width: int,

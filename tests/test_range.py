@@ -1,0 +1,143 @@
+"""Random-access decode (--range A:B): only the covering GOPs/members run.
+
+Pinned: every range path emits pixels IDENTICAL to the same slice of the
+full decode (reference profile raw stream, indexed + multi-member temporal
+containers, turbo containers incl. fallback members), and the decode error
+contract holds for out-of-bounds ranges.  The reference decoder can only
+walk from frame 0 (3d-DCT-video-encoding-OpenCL/decoder.c:207-236); GOP
+temporal independence makes seeking a pure skip here."""
+
+import numpy as np
+import pytest
+
+from dct3d_tpu import CodecConfig, decode_video, encode_video
+from dct3d_tpu.codec import turbo
+from dct3d_tpu.codec.decoder import decode_frame_range
+from dct3d_tpu.parallel import multihost
+
+from conftest import synthetic_video
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return synthetic_video(40, 32, 40, seed=11)
+
+
+@pytest.fixture(scope="module")
+def stream(clip):
+    cfg = CodecConfig()
+    return encode_video(clip, cfg), decode_video(
+        encode_video(clip, cfg), 40, 32, 40, cfg
+    )
+
+
+@pytest.mark.parametrize("a,b", [(0, 8), (3, 13), (8, 16), (17, 40), (39, 40)])
+def test_raw_stream_range_matches_full(stream, a, b):
+    data, full = stream
+    got = decode_frame_range(data, 40, 32, a, b)
+    np.testing.assert_array_equal(got, full[a:b])
+
+
+def test_raw_stream_range_with_index_positions(clip, stream):
+    """positions from an index member: scan-free skip, same pixels."""
+    from dct3d_tpu.codec.encoder import StreamingEncoder
+
+    data, full = stream
+    cfg = CodecConfig()
+    enc = StreamingEncoder(40, 32, cfg)
+    chunks = [enc.push(clip[j : j + cfg.gop_size])
+              for j in range(0, 40, cfg.gop_size)]
+    chunks.append(enc.finish())
+    assert b"".join(chunks) == data
+    positions = multihost.gop_positions(
+        enc.gop_bit_ends, 5, cfg.gop_size, 40
+    )
+    got = decode_frame_range(data, 40, 32, 11, 29, positions=positions)
+    np.testing.assert_array_equal(got, full[11:29])
+    with pytest.raises(ValueError):  # short index
+        decode_frame_range(data, 40, 32, 11, 29, positions=positions[:2])
+
+
+def test_range_errors(stream):
+    data, _ = stream
+    with pytest.raises(ValueError):
+        decode_frame_range(data, 40, 32, 5, 5)
+    with pytest.raises(EOFError):
+        decode_frame_range(data, 40, 32, 36, 48)
+
+
+def test_container_range_indexed_and_multimember(clip):
+    cfg = CodecConfig()
+    # Two spans -> two stream members, first with an index member (exactly
+    # what a 2-host encode emits).
+    from dct3d_tpu.codec.encoder import StreamingEncoder
+
+    parts = []
+    offsets = [(0, 24), (24, 40)]
+    for i, (a, b) in enumerate(offsets):
+        enc = StreamingEncoder(40, 32, cfg)
+        chunks = [enc.push(clip[j : j + cfg.gop_size])
+                  for j in range(a, b, cfg.gop_size)]
+        chunks.append(enc.finish())
+        parts.append(multihost._member(b"".join(chunks), b - a))
+        if i == 0:
+            parts.append(multihost.make_index_member(enc.gop_bit_ends))
+    data = b"".join(parts)
+    full = multihost.decode_multihost_container(data, 40, 32, cfg)
+    for a, b in [(0, 40), (3, 30), (20, 28), (25, 40), (10, 26)]:
+        got = multihost.decode_container_range(data, 40, 32, a, b, cfg)
+        np.testing.assert_array_equal(got, full[a:b])
+    with pytest.raises(EOFError):
+        multihost.decode_container_range(data, 40, 32, 39, 41, cfg)
+
+
+def test_turbo_range_matches_full(clip):
+    cfg = CodecConfig()
+    data = turbo.encode_turbo_video(clip, cfg)
+    full = turbo.decode_turbo_container(data, 40, 32, cfg)
+    for a, b in [(0, 8), (3, 13), (16, 40), (39, 40)]:
+        got = turbo.decode_turbo_range(data, 40, 32, a, b, cfg)
+        np.testing.assert_array_equal(got, full[a:b])
+    with pytest.raises(EOFError):
+        turbo.decode_turbo_range(data, 40, 32, 32, 48, cfg)
+    with pytest.raises(ValueError):
+        turbo.decode_turbo_range(data, 40, 32, 8, 8, cfg)
+
+
+def test_cli_range(tmp_path, clip):
+    from dct3d_tpu.cli import main
+
+    src = tmp_path / "src.raw"
+    src.write_bytes(clip.tobytes())
+    enc = tmp_path / "enc.bin"
+    dec_full = tmp_path / "full.raw"
+    dec_rng = tmp_path / "rng.raw"
+    assert main(["encode", str(src), str(enc), "40", "32"]) in (0, None)
+    assert main(["decode", str(enc), str(dec_full), "40", "32", "40"]) \
+        in (0, None)
+    assert main(["decode", str(enc), str(dec_rng), "40", "32",
+                 "--range", "5:21"]) in (0, None)
+    full = np.frombuffer(dec_full.read_bytes(), np.uint8).reshape(40, 32, 40)
+    got = np.frombuffer(dec_rng.read_bytes(), np.uint8).reshape(-1, 32, 40)
+    np.testing.assert_array_equal(got, full[5:21])
+    # --range + explicit frame count is ambiguous -> usage error
+    assert main(["decode", str(enc), str(dec_rng), "40", "32", "16",
+                 "--range", "5:21"]) == 2
+    # bad spec
+    assert main(["decode", str(enc), str(dec_rng), "40", "32",
+                 "--range", "7:7"]) == 2
+
+
+def test_turbo_range_with_fallback_members():
+    """Quant-0 turbo containers interleave reference-profile fallback
+    members (test_turbo_quant0_falls_back_per_gop); --range must decode
+    across the member-type seam identically."""
+    cfg = CodecConfig(quant_strength=0)
+    clip = synthetic_video(24, 64, 64, seed=77)
+    data = turbo.encode_turbo_video(clip, cfg)
+    types = [m[2] for m in multihost.split_members(data)]
+    assert multihost.MEMBER_TEMPORAL in types, types
+    full = turbo.decode_turbo_container(data, 64, 64, cfg)
+    for a, b in [(0, 24), (5, 19), (9, 16)]:
+        got = turbo.decode_turbo_range(data, 64, 64, a, b, cfg)
+        np.testing.assert_array_equal(got, full[a:b])

@@ -54,6 +54,17 @@ def run() -> None:
     main(["decode", f"{W}/enc_i.d3v", f"{W}/dec_i.raw", "320", "240"])
     assert rd(f"{W}/dec_i.raw") == rd(f"{W}/dec.raw")
 
+    # random-access decode: raw stream, indexed container, turbo — the
+    # ranges must equal the full decode's slice byte-for-byte
+    fpx = 320 * 240
+    full = rd(f"{W}/dec.raw")
+    main(["decode", f"{W}/enc.bin", f"{W}/dec_r.raw", "320", "240",
+          "--range", "5:21"])
+    assert rd(f"{W}/dec_r.raw") == full[5 * fpx : 21 * fpx]
+    main(["decode", f"{W}/enc_i.d3v", f"{W}/dec_ir.raw", "320", "240",
+          "--range", "11:29"])
+    assert rd(f"{W}/dec_ir.raw") == full[11 * fpx : 29 * fpx]
+
     # turbo: identical pixels, auto-detected decode
     main(["encode", f"{W}/src.raw", f"{W}/enc_t.d3t", "320", "240",
           "--turbo"])
@@ -61,6 +72,10 @@ def run() -> None:
     assert ti["kind"] == "turbo" and ti["frames"] == 32, ti
     main(["decode", f"{W}/enc_t.d3t", f"{W}/dec_t.raw", "320", "240"])
     assert rd(f"{W}/dec_t.raw") == rd(f"{W}/dec.raw")
+
+    main(["decode", f"{W}/enc_t.d3t", f"{W}/dec_tr.raw", "320", "240",
+          "--range", "8:24"])
+    assert rd(f"{W}/dec_tr.raw") == full[8 * fpx : 24 * fpx]
 
     # turbo zlib wire: same pixels, codec sniffed per stream on decode
     main(["encode", f"{W}/src.raw", f"{W}/enc_tz.d3t", "320", "240",
