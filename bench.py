@@ -264,12 +264,11 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     )
 
     # Turbo decode device step (wire member -> frames), same methodology,
-    # on the REAL first turbo member of the container encoded above.
-    from dct3d_tpu.codec.turbo import _parse_payload, split_members, MEMBER_TURBO
+    # reusing the first turbo member already parsed for the drain stages
+    # above (wire_plane / exc_i / exc_v).
     from dct3d_tpu.codec.transform import decode_step_planar4
 
-    tm = next(m for m in split_members(turbo_data) if m[2] == MEMBER_TURBO)
-    tplane, tidx, tval = _parse_payload(tm[1], dcfg.cube_size, wire=True)
+    tplane, tidx, tval = wire_plane, exc_i, exc_v
     tei, tev = _pad_exceptions(tplane.size * 2, np.asarray(tidx),
                                np.asarray(tval))
     tp, tpi, tpv = jnp.asarray(np.asarray(tplane)), jnp.asarray(tei), \

@@ -837,7 +837,9 @@ def _decode_range(args, data, head, width, height, cfg, frame_range):
     members = split_members(data)
     if is_turbo_container(members):
         return decode_turbo_range(data, width, height, a, b, cfg)
-    if is_turbo_rgb_container(members) or container_kind(members) == "rgb":
+    if (is_turbo_rgb_container(members) or container_kind(members) == "rgb"
+            or args.rgb):  # incl. legacy all-zero-tag 3-member RGB, which
+        # only the flag identifies (see cmd_decode's as_rgb routing)
         print("--range does not support RGB containers (three interleaved "
               "channel streams); decode fully and slice", file=sys.stderr)
         return None

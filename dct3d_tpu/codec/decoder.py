@@ -179,15 +179,22 @@ def decode_video(
     removes the serial scan — workers jump straight to their GOP, so the
     entropy stage scales with cores instead of capping at scan speed.
     """
-    import zlib
-
     cfg = cfg or CodecConfig()
     ctx = ctx or TransformContext(cfg)
     t = frames - frames % cfg.gop_size
     n_gops = t // cfg.gop_size
     cpg = width * height * cfg.gop_size
-    out = np.empty((t, height, width), dtype=np.uint8)
     fpg = cfg.gop_size
+    from .. import native
+
+    if n_gops > 1 and native.load() is not None:
+        # The range decoder with [0, t) IS the full decode (one shared
+        # pipeline body; the range path stays pinned to this one).
+        return decode_frame_range(
+            data, width, height, 0, t, cfg, ctx, positions=positions,
+            entropy_workers=entropy_workers, gops_per_batch=gops_per_batch,
+        )
+    out = np.empty((t, height, width), dtype=np.uint8)
     window = max(2, gops_per_batch)
     pending: collections.deque = collections.deque()
 
@@ -195,42 +202,19 @@ def decode_video(
         a0, fd = pending.popleft()
         out[a0 * fpg : (a0 + 1) * fpg] = _undelta(np.asarray(fd), cfg)
 
-    from .. import native
-
-    if n_gops > 1 and native.load() is not None:
-        z = zlib.decompressobj()
-        try:
-            payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
-        except zlib.error as e:
-            raise ValueError(f"corrupt bitstream: {e}") from e
-        try:
-            for g0, (plane, ei, ev, _pos) in enumerate(entropy.parallel_chunks(
-                payload, cpg, n_gops, entropy.decode_values_planar4,
-                entropy_workers, positions=positions,
-            )):
-                frames_dev = _dispatch_planar4(
-                    (plane, ei, ev), ctx, cfg, height, width
-                )
-                frames_dev.copy_to_host_async()
-                pending.append((g0, frames_dev))
-                if len(pending) >= window:
-                    drain_one()
-        except EOFError:
+    # No native library (or a single GOP): serial streaming route.
+    dec = StreamingDecoder(width, height, cfg, ctx)
+    dec.feed(data)
+    dec.feed_eof()
+    for g0 in range(n_gops):
+        planar = dec.source.try_read_planar4(cpg)
+        if planar is None:
             raise EOFError("bitstream too short for requested frame count")
-    else:
-        # No native library: serial streaming route.
-        dec = StreamingDecoder(width, height, cfg, ctx)
-        dec.feed(data)
-        dec.feed_eof()
-        for g0 in range(n_gops):
-            planar = dec.source.try_read_planar4(cpg)
-            if planar is None:
-                raise EOFError("bitstream too short for requested frame count")
-            frames_dev = _dispatch_planar4(planar, ctx, cfg, height, width)
-            frames_dev.copy_to_host_async()
-            pending.append((g0, frames_dev))
-            if len(pending) >= window:
-                drain_one()
+        frames_dev = _dispatch_planar4(planar, ctx, cfg, height, width)
+        frames_dev.copy_to_host_async()
+        pending.append((g0, frames_dev))
+        if len(pending) >= window:
+            drain_one()
     while pending:
         drain_one()
     return out
@@ -246,6 +230,7 @@ def decode_frame_range(
     ctx: TransformContext | None = None,
     positions: list[int] | None = None,
     entropy_workers: int | None = None,
+    gops_per_batch: int = 4,
 ) -> np.ndarray:
     """Random-access decode of the half-open frame range [start, stop).
 
@@ -254,15 +239,17 @@ def decode_frame_range(
     (its decoder must walk every codeword from byte 0, decoder.c:207-236;
     GOPs here are temporally independent by construction, README).  The
     skipped prefix costs one inflate pass (the single zlib stream is not
-    byte-seekable, encoder.c:139) plus, without an index, a boundary scan
-    (speculative parallel — ~10x cheaper than entropy-decoding the
-    prefix); with ``positions`` from an ``--index`` container the skip is
-    scan-free.
+    byte-seekable, encoder.c:139) plus, without an index, a boundary scan;
+    with ``positions`` from an ``--index`` container the skip is scan-free.
+
+    This is ALSO the full-decode pipeline: decode_video's native path is
+    decode_frame_range(0, t) — one body, so the two cannot diverge.
 
     Returns (stop - start, H, W) pixels identical to the same slice of
     decode_video's output; raises EOFError when the stream ends before
     ``stop`` and ValueError on corrupt input (the decode error contract).
     """
+    import os
     import zlib
 
     cfg = cfg or CodecConfig()
@@ -275,7 +262,8 @@ def decode_frame_range(
 
     if native.load() is None:
         # Pure-Python fallback: decode from the start and slice (correct,
-        # no skip — the scan needs the C library).
+        # no skip — the scan needs the C library).  No recursion:
+        # decode_video only delegates here when the library IS present.
         video = decode_video(data, width, height, g1 * fpg, cfg, ctx)
         return video[start : stop]
     cpg = width * height * fpg
@@ -290,9 +278,22 @@ def decode_frame_range(
                 f"index has {len(positions)} positions, need {g1}"
             )
         span = list(positions[g0:g1])
+    elif g0 == 0:
+        # Full-prefix ranges need no pre-scan: parallel_chunks overlaps
+        # its own boundary discovery (speculative or scan-ahead) with the
+        # GOP decode workers.
+        span = None
     else:
-        spec = entropy.speculative_positions(payload, cpg, g1,
-                                             entropy_workers)
+        # Prefix skip.  The speculative scan covers the WHOLE payload
+        # across all cores; the serial walk touches only the g1-GOP
+        # prefix on one.  Pick by estimated work (payload carries
+        # ~1.2 bits/value on typical streams -> ~payload_bytes*6.7
+        # values total).
+        workers = entropy_workers or (os.cpu_count() or 2)
+        spec = None
+        if g1 * cpg * workers > payload.size * 6.7:
+            spec = entropy.speculative_positions(payload, cpg, g1,
+                                                 entropy_workers)
         if spec is not None:
             span = spec[g0:g1]
         else:
@@ -308,6 +309,7 @@ def decode_frame_range(
                         )
                     pos = nxt
     out = np.empty(((g1 - g0) * fpg, height, width), np.uint8)
+    window = max(2, gops_per_batch)
     pending: collections.deque = collections.deque()
 
     def drain_one():
@@ -324,10 +326,10 @@ def decode_frame_range(
             )
             frames_dev.copy_to_host_async()
             pending.append((k, frames_dev))
-            if len(pending) >= 3:
+            if len(pending) >= window:
                 drain_one()
     except EOFError:
-        raise EOFError("bitstream too short for requested frame range")
+        raise EOFError("bitstream too short for requested frames")
     while pending:
         drain_one()
     return out[start - g0 * fpg : stop - g0 * fpg]

@@ -912,9 +912,11 @@ def decode_turbo_range(
         raise ValueError(f"bad frame range [{start}, {stop})")
     covering = []
     a0 = 0
+    saw_member = False
     for m in split_members(data):
         if m[2] not in (MEMBER_TURBO, _FALLBACK_TYPE[MEMBER_TURBO]):
             continue
+        saw_member = True
         if a0 + m[0] > start and a0 < stop:
             if not covering:
                 first_a0 = a0
@@ -922,14 +924,16 @@ def decode_turbo_range(
         a0 += m[0]
         if a0 >= stop:
             break
+    if not saw_member:
+        # Wrong container type, not truncation: the decode error contract
+        # wants ValueError here (decode_turbo_container agrees).
+        raise ValueError(
+            f"not a turbo container (no type-{MEMBER_TURBO} members)"
+        )
     if a0 < stop:
         raise EOFError(
             f"container holds {a0} frames, range [{start}, {stop}) "
             "reaches past the end"
-        )
-    if not covering:
-        raise ValueError(
-            f"not a turbo container (no type-{MEMBER_TURBO} members)"
         )
     with ThreadPoolExecutor(
         inflate_workers or max(1, min(len(covering), (os.cpu_count() or 2)))

@@ -141,3 +141,40 @@ def test_turbo_range_with_fallback_members():
     for a, b in [(0, 24), (5, 19), (9, 16)]:
         got = turbo.decode_turbo_range(data, 64, 64, a, b, cfg)
         np.testing.assert_array_equal(got, full[a:b])
+
+
+def test_turbo_range_wrong_container_raises_valueerror(clip):
+    """A container with no turbo-or-fallback members (e.g. RGB channel
+    types) is a wrong TYPE, not truncation: ValueError (matching
+    decode_turbo_container), never EOFError.  (A plain temporal container
+    IS legal turbo input — the every-GOP-fell-back case.)"""
+    cfg = CodecConfig()
+    ch = encode_video(clip[:8], cfg)
+    rgbish = b"".join(
+        multihost._member(ch, 8, t)
+        for t in (multihost.MEMBER_RED, multihost.MEMBER_GREEN,
+                  multihost.MEMBER_BLUE)
+    )
+    with pytest.raises(ValueError):
+        turbo.decode_turbo_range(rgbish, 40, 32, 0, 8, cfg)
+    # the every-GOP-fell-back container decodes fine through the range API
+    plain = multihost._member(encode_video(clip, cfg), 40)
+    got = turbo.decode_turbo_range(plain, 40, 32, 3, 13, cfg)
+    np.testing.assert_array_equal(
+        got, decode_video(encode_video(clip, cfg), 40, 32, 40, cfg)[3:13]
+    )
+
+
+def test_cli_range_rejects_legacy_rgb(tmp_path, clip):
+    """Legacy all-zero-tag 3-member RGB containers are identified only by
+    the --rgb flag; --range must refuse them instead of concatenating the
+    channel streams as grayscale frames."""
+    from dct3d_tpu.cli import main
+
+    cfg = CodecConfig()
+    ch = encode_video(clip[:8], cfg)
+    legacy = b"".join(multihost._member(ch, 8, 0) for _ in range(3))
+    p = tmp_path / "legacy.d3v"
+    p.write_bytes(legacy)
+    assert main(["decode", str(p), str(tmp_path / "o.raw"), "40", "32",
+                 "--rgb", "--range", "0:4"]) == 2

@@ -8,8 +8,8 @@ the same code the drivers run — unlike the older profile_decode_bisect.py,
 which predates the perm fast path.
 
 Method: device-resident chained fori_loop (K iterations in ONE program),
-slope between K=2 and K=8 removes the ~26-40 ms relay RPC latency
-(CLAUDE.md).  Each stage prefix ends in a scalar so XLA cannot fuse the
+slope between K1 and K2 (see constants below) removes the ~26-40 ms relay
+RPC latency (CLAUDE.md).  Each stage prefix ends in a scalar so XLA cannot fuse the
 truncated tail away differently between runs; `full` materializes frames.
 """
 

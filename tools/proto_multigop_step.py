@@ -60,11 +60,19 @@ def main():
             def body(i, carry):
                 g = _encode_core(frames, ctx.enc_t, carry[0], carry[1],
                                  mb, cfg)
-                return (g.carry_code, g.carry_bits)
+                # Force the packed buffer LIVE with a data-dependent
+                # element, or XLA dead-codes the whole level-2 pack and
+                # the slope reads ~1.1 ms/GOP (the bogus first version of
+                # this probe — see PERFORMANCE.md round 4 / bench.py
+                # compute_device_fps).
+                live = g.packed[
+                    (g.total_bits % jnp.int32(g.packed.shape[0]))
+                ].astype(jnp.uint32)
+                return (g.carry_code ^ live, g.carry_bits)
 
             c = jax.lax.fori_loop(
                 0, k, body, (jnp.uint32(0), jnp.int32(0)))
-            return c[1]
+            return c[0] + c[1].astype(jnp.uint32)
 
         return f
 
