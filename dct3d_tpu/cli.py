@@ -837,15 +837,27 @@ def _decode_range(args, data, head, width, height, cfg, frame_range):
     members = split_members(data)
     if is_turbo_container(members):
         return decode_turbo_range(data, width, height, a, b, cfg)
-    if (is_turbo_rgb_container(members) or container_kind(members) == "rgb"
-            or args.rgb):  # incl. legacy all-zero-tag 3-member RGB, which
-        # only the flag identifies (see cmd_decode's as_rgb routing)
-        print("--range does not support RGB containers (three interleaved "
-              "channel streams); decode fully and slice", file=sys.stderr)
-        return None
-    if container_kind(members) != "temporal":
+    if is_turbo_rgb_container(members):
+        from .codec.turbo import decode_turbo_rgb_range
+
+        return decode_turbo_rgb_range(data, width, height, a, b, cfg)
+    kind = container_kind(members)
+    n_streams = sum(
+        1 for m in members if m[2] != 4  # MEMBER_INDEX
+    )
+    if kind == "rgb" or (args.rgb and kind == "temporal" and n_streams == 3):
+        # incl. legacy all-zero-tag 3-member RGB, which only the flag
+        # identifies (see cmd_decode's as_rgb routing)
+        from .codec.rgb_codec import decode_rgb_range
+
+        return decode_rgb_range(data, width, height, a, b, cfg)
+    if kind != "temporal":
         print(f"unrecognized member type tags {[m[2] for m in members]}",
               file=sys.stderr)
+        return None
+    if args.rgb:
+        print(f"--rgb requested but this container holds {n_streams} "
+              "temporal member(s)", file=sys.stderr)
         return None
     return decode_container_range(data, width, height, a, b, cfg)
 

@@ -115,3 +115,56 @@ def decode_rgb_video(
         for frames, payload, ends in channels
     ]
     return np.stack(planes, axis=-1)
+
+
+def decode_rgb_range(
+    data: bytes,
+    width: int,
+    height: int,
+    start: int,
+    stop: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> np.ndarray:
+    """Random-access decode of frames [start, stop) from an RGB container
+    -> (stop-start, H, W, 3): each channel member decodes only its
+    covering GOPs (codec.decoder.decode_frame_range; scan-free when the
+    channel carries an index member)."""
+    from .decoder import decode_frame_range
+    from ..parallel.multihost import (
+        MEMBER_INDEX, container_kind, gop_positions, parse_index,
+        split_members,
+    )
+
+    cfg = cfg or CodecConfig()
+    members = split_members(data)
+    channels: list[tuple[int, bytes, list[int] | None]] = []
+    for frames, payload, mtype in members:
+        if mtype == MEMBER_INDEX and channels:
+            f, p, _ = channels[-1]
+            channels[-1] = (f, p, parse_index(payload))
+        elif mtype != MEMBER_INDEX:
+            channels.append((frames, payload, None))
+    if len(channels) != 3:
+        raise ValueError(f"expected 3 channel members, found {len(channels)}")
+    if container_kind(members) == "unknown":
+        raise ValueError(
+            f"unexpected member type tags {[m[2] for m in members]}; "
+            "not an RGB container"
+        )
+    total = min(f for f, _, _ in channels)
+    if stop > total:
+        raise EOFError(
+            f"container holds {total} frames, range [{start}, {stop}) "
+            "reaches past the end"
+        )
+    planes = [
+        decode_frame_range(
+            payload, width, height, start, stop, cfg, ctx,
+            positions=None if ends is None else gop_positions(
+                ends, frames // cfg.gop_size, cfg.gop_size, frames
+            ),
+        )
+        for frames, payload, ends in channels
+    ]
+    return np.stack(planes, axis=-1)

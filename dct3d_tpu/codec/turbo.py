@@ -886,6 +886,28 @@ def decode_turbo_container(
         return _decode_members(members, pool, width, height, cfg, ctx)
 
 
+def decode_turbo_rgb_range(
+    data: bytes,
+    width: int,
+    height: int,
+    start: int,
+    stop: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> np.ndarray:
+    """Random-access decode of frames [start, stop) from a turbo-rgb
+    container -> (stop-start, H, W, 3): each channel skips its
+    non-covering members (decode_turbo_range per channel type)."""
+    cfg = cfg or CodecConfig()
+    ctx = ctx or TransformContext(cfg)
+    planes = [
+        decode_turbo_range(data, width, height, start, stop, cfg, ctx,
+                           member_type=t)
+        for t in MEMBER_TURBO_RGB
+    ]
+    return np.stack(planes, axis=-1)
+
+
 def decode_turbo_range(
     data: bytes,
     width: int,
@@ -895,6 +917,7 @@ def decode_turbo_range(
     cfg: CodecConfig | None = None,
     ctx: TransformContext | None = None,
     inflate_workers: int | None = None,
+    member_type: int = MEMBER_TURBO,
 ) -> np.ndarray:
     """Random-access decode of frames [start, stop) from a turbo container.
 
@@ -903,6 +926,7 @@ def decode_turbo_range(
     NOTHING — not even an inflate pass (unlike the reference profile's
     single zlib stream, codec/decoder.decode_frame_range).  Pixels are
     identical to the same slice of decode_turbo_container's output.
+    ``member_type`` selects a turbo-rgb channel (decode_turbo_rgb_range).
     """
     import os
 
@@ -914,7 +938,7 @@ def decode_turbo_range(
     a0 = 0
     saw_member = False
     for m in split_members(data):
-        if m[2] not in (MEMBER_TURBO, _FALLBACK_TYPE[MEMBER_TURBO]):
+        if m[2] not in (member_type, _FALLBACK_TYPE[member_type]):
             continue
         saw_member = True
         if a0 + m[0] > start and a0 < stop:
@@ -928,7 +952,7 @@ def decode_turbo_range(
         # Wrong container type, not truncation: the decode error contract
         # wants ValueError here (decode_turbo_container agrees).
         raise ValueError(
-            f"not a turbo container (no type-{MEMBER_TURBO} members)"
+            f"not a turbo container (no type-{member_type} members)"
         )
     if a0 < stop:
         raise EOFError(

@@ -165,16 +165,46 @@ def test_turbo_range_wrong_container_raises_valueerror(clip):
     )
 
 
-def test_cli_range_rejects_legacy_rgb(tmp_path, clip):
+def test_rgb_range_matches_full():
+    """RGB containers (reference profile, with and without index; turbo-rgb;
+    legacy all-zero tags via the CLI flag) decode ranges identical to the
+    full decode's slice."""
+    from dct3d_tpu.codec import rgb_codec
+
+    cfg = CodecConfig()
+    rgb = np.stack(
+        [synthetic_video(24, 32, 40, seed=s) for s in (1, 2, 3)], axis=-1
+    )
+    data = rgb_codec.encode_rgb_video(rgb, cfg, index=True)
+    full = rgb_codec.decode_rgb_video(data, 40, 32, cfg)
+    for a, b in [(0, 24), (5, 19), (9, 16)]:
+        got = rgb_codec.decode_rgb_range(data, 40, 32, a, b, cfg)
+        np.testing.assert_array_equal(got, full[a:b])
+    with pytest.raises(EOFError):
+        rgb_codec.decode_rgb_range(data, 40, 32, 20, 30, cfg)
+
+    tdata = turbo.encode_turbo_rgb_video(rgb, cfg)
+    tfull = turbo.decode_turbo_rgb_video(tdata, 40, 32, cfg)
+    for a, b in [(3, 13), (16, 24)]:
+        got = turbo.decode_turbo_rgb_range(tdata, 40, 32, a, b, cfg)
+        np.testing.assert_array_equal(got, tfull[a:b])
+
+
+def test_cli_range_legacy_rgb(tmp_path, clip):
     """Legacy all-zero-tag 3-member RGB containers are identified only by
-    the --rgb flag; --range must refuse them instead of concatenating the
+    the --rgb flag; --range must decode them as RGB, never concatenate the
     channel streams as grayscale frames."""
     from dct3d_tpu.cli import main
+    from dct3d_tpu.codec import rgb_codec
 
     cfg = CodecConfig()
     ch = encode_video(clip[:8], cfg)
     legacy = b"".join(multihost._member(ch, 8, 0) for _ in range(3))
     p = tmp_path / "legacy.d3v"
     p.write_bytes(legacy)
-    assert main(["decode", str(p), str(tmp_path / "o.raw"), "40", "32",
-                 "--rgb", "--range", "0:4"]) == 2
+    out = tmp_path / "o.rgb"
+    assert main(["decode", str(p), str(out), "40", "32",
+                 "--rgb", "--range", "2:6"]) in (0, None)
+    full = rgb_codec.decode_rgb_video(legacy, 40, 32, cfg)
+    got = np.frombuffer(out.read_bytes(), np.uint8).reshape(-1, 32, 40, 3)
+    np.testing.assert_array_equal(got, full[2:6])

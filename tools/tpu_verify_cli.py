@@ -100,6 +100,14 @@ def run() -> None:
     assert info(f"{W}/ct.d3t")["kind"] == "turbo-rgb"
     main(["decode", f"{W}/ct.d3t", f"{W}/ct_dec.rgb", "64", "64"])
     assert rd(f"{W}/ct_dec.rgb") == rd(f"{W}/c_dec.rgb")
+    # RGB random access, both profiles
+    fpx3 = 64 * 64 * 3
+    main(["decode", f"{W}/c.d3v", f"{W}/c_r.rgb", "64", "64",
+          "--range", "4:12"])
+    assert rd(f"{W}/c_r.rgb") == rd(f"{W}/c_dec.rgb")[4 * fpx3 : 12 * fpx3]
+    main(["decode", f"{W}/ct.d3t", f"{W}/ct_r.rgb", "64", "64",
+          "--range", "6:14"])
+    assert rd(f"{W}/ct_r.rgb") == rd(f"{W}/c_dec.rgb")[6 * fpx3 : 14 * fpx3]
 
     # turbo worst-case retry (quant 0 -> dense exceptions -> argsort path)
     main(["capture", f"{W}/n.raw", "64", "48", "8", "--kind", "blocks"])
