@@ -208,3 +208,22 @@ def test_cli_range_legacy_rgb(tmp_path, clip):
     full = rgb_codec.decode_rgb_video(legacy, 40, 32, cfg)
     got = np.frombuffer(out.read_bytes(), np.uint8).reshape(-1, 32, 40, 3)
     np.testing.assert_array_equal(got, full[2:6])
+
+
+def test_range_fuzz_error_contract(stream, rng):
+    """--range inherits the decode error contract: corrupt -> ValueError,
+    truncated -> EOFError; raw zlib exceptions never escape."""
+    data, _ = stream
+    # (Cutting just the 2-byte adler tail leaves a complete payload and
+    # legitimately decodes, matching decode_video — so cut well inside.)
+    for cut in (1, len(data) // 3, 2 * len(data) // 3):
+        with pytest.raises((EOFError, ValueError)):
+            decode_frame_range(data[:cut], 40, 32, 17, 40)
+    buf = bytearray(data)
+    for _ in range(8):
+        i = int(rng.integers(0, len(buf)))
+        buf[i] ^= int(rng.integers(1, 256))
+    try:
+        decode_frame_range(bytes(buf), 40, 32, 17, 40)
+    except (ValueError, EOFError):
+        pass  # either contract error is fine; anything else must not escape
