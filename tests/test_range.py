@@ -227,3 +227,53 @@ def test_range_fuzz_error_contract(stream, rng):
         decode_frame_range(bytes(buf), 40, 32, 17, 40)
     except (ValueError, EOFError):
         pass  # either contract error is fine; anything else must not escape
+
+
+def test_cli_range_checkpointed_container(tmp_path, clip):
+    """--range across a checkpointed container's member seams (one member
+    per --checkpoint-every span) equals the full decode's slice — both
+    profiles."""
+    from dct3d_tpu.cli import main
+    from dct3d_tpu.io import rawvideo
+
+    src = str(tmp_path / "src.raw")
+    rawvideo.write_video(src, clip)
+    for tag, flags in (("p", []), ("t", ["--turbo"])):
+        out = str(tmp_path / f"ck_{tag}.d3mh")
+        assert main(["encode", src, out, "40", "32",
+                     "--checkpoint-every", "2", *flags]) == 0
+        full = str(tmp_path / f"full_{tag}.raw")
+        rng_ = str(tmp_path / f"rng_{tag}.raw")
+        assert main(["decode", out, full, "40", "32"]) == 0
+        # 12:28 spans the member boundary at frame 16 (2 GOPs/member)
+        assert main(["decode", out, rng_, "40", "32",
+                     "--range", "12:28"]) in (0, None)
+        fb = open(full, "rb").read()
+        assert open(rng_, "rb").read() == fb[12 * 1280 : 28 * 1280]
+
+
+def test_cli_range_with_crop_and_y4m(tmp_path):
+    """--range composes with --pad/--crop and with .y4m output."""
+    from dct3d_tpu.cli import main
+    from dct3d_tpu.io import rawvideo
+
+    clip = synthetic_video(16, 30, 36, seed=9)  # needs --pad (not /8)
+    src = str(tmp_path / "src.raw")
+    rawvideo.write_video(src, clip)
+    enc = str(tmp_path / "e.bin")
+    assert main(["encode", src, enc, "36", "30", "--pad"]) == 0
+    full = str(tmp_path / "full.raw")
+    assert main(["decode", enc, full, "40", "32", "16",
+                 "--crop", "36x30"]) == 0
+    rng_ = str(tmp_path / "rng.raw")
+    assert main(["decode", enc, rng_, "40", "32",
+                 "--range", "4:12", "--crop", "36x30"]) in (0, None)
+    fb = open(full, "rb").read()
+    fpx = 36 * 30
+    assert open(rng_, "rb").read() == fb[4 * fpx : 12 * fpx]
+    # y4m output of a range
+    y4m = str(tmp_path / "r.y4m")
+    assert main(["decode", enc, y4m, "40", "32",
+                 "--range", "4:12", "--crop", "36x30"]) in (0, None)
+    head = open(y4m, "rb").read(60)
+    assert head.startswith(b"YUV4MPEG2") and b"W36 H30" in head
