@@ -11,7 +11,7 @@ over GOP/tile meshes.
 
 from .config import CodecConfig, DEFAULT_CONFIG
 from .codec.encoder import StreamingEncoder, encode_stream, encode_video
-from .codec.auto import decode_auto
+from .codec.auto import decode_auto, decode_auto_range
 from .codec.turbo import decode_turbo_container, encode_turbo_video
 from .codec.decoder import StreamingDecoder, decode_stream, decode_video
 from .codec.checkpoint import CheckpointingEncoder
@@ -33,6 +33,7 @@ __all__ = [
     "encode_video",
     "decode_video",
     "decode_auto",
+    "decode_auto_range",
     "encode_turbo_video",
     "decode_turbo_container",
     "encode_rgb_video",

@@ -62,3 +62,49 @@ def decode_auto(
                 f"unrecognized member type tags {[m[2] for m in members]}"
             )
     return out if frames is None else out[:frames]
+
+
+def decode_auto_range(
+    data: bytes,
+    width: int,
+    height: int,
+    start: int,
+    stop: int,
+    cfg: CodecConfig | None = None,
+) -> np.ndarray:
+    """Random-access twin of decode_auto: frames [start, stop) from any
+    framework output, routed by content exactly like ``cli.py decode
+    --range`` — only the covering GOPs/members run (see
+    decoder.decode_frame_range).  Raw headerless streams need no frame
+    count here: the range bounds the work, EOFError past the end.
+
+    Legacy all-zero-tag 3-member RGB containers are indistinguishable
+    from 3-span temporal containers without the CLI's --rgb flag; they
+    decode as concatenated temporal spans here, same as decode_auto.
+    """
+    from ..parallel.multihost import decode_container_range, split_members
+    from .decoder import decode_frame_range
+    from .rgb_codec import decode_rgb_range
+    from .turbo import (
+        decode_turbo_range, decode_turbo_rgb_range,
+        is_turbo_container, is_turbo_rgb_container,
+    )
+
+    cfg = cfg or CodecConfig()
+    if data[:4] != MEMBER_MAGIC:
+        return decode_frame_range(data, width, height, start, stop, cfg)
+    members = split_members(data)
+    if is_turbo_container(members):
+        return decode_turbo_range(data, width, height, start, stop, cfg)
+    if is_turbo_rgb_container(members):
+        return decode_turbo_rgb_range(data, width, height, start, stop, cfg)
+    from ..parallel.multihost import container_kind
+
+    kind = container_kind(members)
+    if kind == "rgb":
+        return decode_rgb_range(data, width, height, start, stop, cfg)
+    if kind == "temporal":
+        return decode_container_range(data, width, height, start, stop, cfg)
+    raise ValueError(
+        f"unrecognized member type tags {[m[2] for m in members]}"
+    )

@@ -277,3 +277,27 @@ def test_cli_range_with_crop_and_y4m(tmp_path):
                  "--range", "4:12", "--crop", "36x30"]) in (0, None)
     head = open(y4m, "rb").read(60)
     assert head.startswith(b"YUV4MPEG2") and b"W36 H30" in head
+
+
+def test_decode_auto_range_routes_all_forms(clip):
+    """decode_auto_range routes raw / temporal / turbo / rgb forms like the
+    CLI and equals decode_auto's slice."""
+    from dct3d_tpu import decode_auto, decode_auto_range
+    from dct3d_tpu.codec import rgb_codec
+
+    cfg = CodecConfig()
+    rgb = np.stack(
+        [synthetic_video(16, 32, 40, seed=s) for s in (4, 5, 6)], axis=-1
+    )
+    forms = [
+        encode_video(clip, cfg),
+        multihost._member(encode_video(clip, cfg), 40),
+        turbo.encode_turbo_video(clip, cfg),
+        rgb_codec.encode_rgb_video(rgb, cfg),
+        turbo.encode_turbo_rgb_video(rgb, cfg),
+    ]
+    for data in forms:
+        full = decode_auto(data, 40, 32, frames=None if data[:4] == b"D3MH"
+                           else 40, cfg=cfg)
+        got = decode_auto_range(data, 40, 32, 3, 11, cfg=cfg)
+        np.testing.assert_array_equal(got, full[3:11])
