@@ -817,49 +817,39 @@ def cmd_decode(args) -> int:
 def _decode_range(args, data, head, width, height, cfg, frame_range):
     """--range A:B routing for cmd_decode; returns frames or None + error.
 
-    Raw streams and temporal containers go through
-    decoder.decode_frame_range (prefix skipped after one inflate pass,
-    scan-free with an index member); turbo containers skip non-covering
-    members outright.  RGB containers are out of scope (three interleaved
-    channel streams — use --frames + slicing)."""
+    One routing body lives in codec.auto.decode_auto_range; this adds only
+    what the library twin cannot know: the --rgb flag that identifies
+    legacy all-zero-tag 3-member RGB containers, and CLI-style printed
+    errors for unrecognized tags."""
     a, b = frame_range
-    if head != b"D3MH":
-        from .codec.decoder import decode_frame_range
+    from .codec.auto import decode_auto_range
 
-        return decode_frame_range(data, width, height, a, b, cfg)
-    from .codec.turbo import (
-        decode_turbo_range, is_turbo_container, is_turbo_rgb_container,
-    )
-    from .parallel.multihost import (
-        container_kind, decode_container_range, split_members,
-    )
+    if head == b"D3MH":
+        from .codec.turbo import is_turbo_container, is_turbo_rgb_container
+        from .parallel.multihost import (
+            MEMBER_INDEX, container_kind, split_members,
+        )
 
-    members = split_members(data)
-    if is_turbo_container(members):
-        return decode_turbo_range(data, width, height, a, b, cfg)
-    if is_turbo_rgb_container(members):
-        from .codec.turbo import decode_turbo_rgb_range
+        members = split_members(data)
+        if not (is_turbo_container(members)
+                or is_turbo_rgb_container(members)):
+            kind = container_kind(members)
+            if kind == "unknown":
+                print(f"unrecognized member type tags "
+                      f"{[m[2] for m in members]}", file=sys.stderr)
+                return None
+            if args.rgb and kind == "temporal":
+                n_streams = sum(
+                    1 for m in members if m[2] != MEMBER_INDEX
+                )
+                if n_streams != 3:
+                    print(f"--rgb requested but this container holds "
+                          f"{n_streams} temporal member(s)", file=sys.stderr)
+                    return None
+                from .codec.rgb_codec import decode_rgb_range
 
-        return decode_turbo_rgb_range(data, width, height, a, b, cfg)
-    kind = container_kind(members)
-    n_streams = sum(
-        1 for m in members if m[2] != 4  # MEMBER_INDEX
-    )
-    if kind == "rgb" or (args.rgb and kind == "temporal" and n_streams == 3):
-        # incl. legacy all-zero-tag 3-member RGB, which only the flag
-        # identifies (see cmd_decode's as_rgb routing)
-        from .codec.rgb_codec import decode_rgb_range
-
-        return decode_rgb_range(data, width, height, a, b, cfg)
-    if kind != "temporal":
-        print(f"unrecognized member type tags {[m[2] for m in members]}",
-              file=sys.stderr)
-        return None
-    if args.rgb:
-        print(f"--rgb requested but this container holds {n_streams} "
-              "temporal member(s)", file=sys.stderr)
-        return None
-    return decode_container_range(data, width, height, a, b, cfg)
+                return decode_rgb_range(data, width, height, a, b, cfg)
+    return decode_auto_range(data, width, height, a, b, cfg)
 
 
 def _write_decoded(args, video, width, height, t0) -> int:

@@ -71,22 +71,11 @@ def encode_rgb_video(
     return b"".join(out)
 
 
-def decode_rgb_video(
-    data: bytes,
-    width: int,
-    height: int,
-    cfg: CodecConfig | None = None,
-    ctx: TransformContext | None = None,
-) -> np.ndarray:
-    """D3MH container (3 members) -> (T, H, W, 3) uint8 interleaved RGB."""
-    from ..parallel.multihost import (
-        MEMBER_INDEX, container_kind, gop_positions, parse_index,
-        split_members,
-    )
+def _collect_channels(members):
+    """Channel members with their index members attached (type 4 describes
+    the member preceding it); validates the 3-channel shape and tags."""
+    from ..parallel.multihost import MEMBER_INDEX, container_kind, parse_index
 
-    cfg = cfg or CodecConfig()
-    members = split_members(data)
-    # Attach index members (type 4) to the channel member each describes.
     channels: list[tuple[int, bytes, list[int] | None]] = []
     for frames, payload, mtype in members:
         if mtype == MEMBER_INDEX and channels:
@@ -96,15 +85,29 @@ def decode_rgb_video(
             channels.append((frames, payload, None))
     if len(channels) != 3:
         raise ValueError(f"expected 3 channel members, found {len(channels)}")
-    kind = container_kind(members)
     # kind == 'temporal' (all-zero tags): legacy (round-1) RGB container
     # predating type tags — caller asked for RGB and it has exactly 3
     # members, so honor it.
-    if kind == "unknown":
+    if container_kind(members) == "unknown":
         raise ValueError(
             f"unexpected member type tags {[m[2] for m in members]}; "
             "not an RGB container"
         )
+    return channels
+
+
+def decode_rgb_video(
+    data: bytes,
+    width: int,
+    height: int,
+    cfg: CodecConfig | None = None,
+    ctx: TransformContext | None = None,
+) -> np.ndarray:
+    """D3MH container (3 members) -> (T, H, W, 3) uint8 interleaved RGB."""
+    from ..parallel.multihost import gop_positions, split_members
+
+    cfg = cfg or CodecConfig()
+    channels = _collect_channels(split_members(data))
     planes = [
         decode_video(
             payload, width, height, frames, cfg, ctx,
@@ -131,27 +134,10 @@ def decode_rgb_range(
     covering GOPs (codec.decoder.decode_frame_range; scan-free when the
     channel carries an index member)."""
     from .decoder import decode_frame_range
-    from ..parallel.multihost import (
-        MEMBER_INDEX, container_kind, gop_positions, parse_index,
-        split_members,
-    )
+    from ..parallel.multihost import gop_positions, split_members
 
     cfg = cfg or CodecConfig()
-    members = split_members(data)
-    channels: list[tuple[int, bytes, list[int] | None]] = []
-    for frames, payload, mtype in members:
-        if mtype == MEMBER_INDEX and channels:
-            f, p, _ = channels[-1]
-            channels[-1] = (f, p, parse_index(payload))
-        elif mtype != MEMBER_INDEX:
-            channels.append((frames, payload, None))
-    if len(channels) != 3:
-        raise ValueError(f"expected 3 channel members, found {len(channels)}")
-    if container_kind(members) == "unknown":
-        raise ValueError(
-            f"unexpected member type tags {[m[2] for m in members]}; "
-            "not an RGB container"
-        )
+    channels = _collect_channels(split_members(data))
     total = min(f for f, _, _ in channels)
     if stop > total:
         raise EOFError(
