@@ -40,6 +40,52 @@ from .transform import TransformContext, encode_step
 _D2H_BUCKET = 1 << 20
 
 
+class BudgetLadder:
+    """Adaptive per-group pack-budget ladder, shared by StreamingEncoder
+    and the sharded encoder (parallel/sharding.py) so the two cannot
+    drift rung-for-rung.
+
+    Rungs: the configured budget (default 4 — 13% faster than 6 on
+    typical content, PERFORMANCE.md round 3), then 6 (still the Pallas
+    level-1 kernel), then None = the worst-case buffer.  After 2
+    consecutive overflow retries the ladder climbs PERMANENTLY, skipping
+    rungs the measured stream average already rules out (near-lossless
+    content at ~8-10 bits/value jumps straight to worst-case instead of
+    burning two more double-encodes discovering that 6 overflows too).
+    Noisy content settles at a rung that fits instead of double-encoding
+    forever; bytes are identical at every rung (the budget sizes
+    buffers, not bits)."""
+
+    def __init__(self, base: int) -> None:
+        self.rungs: list[int | None] = [base] + (
+            [6] if base < 6 else []
+        ) + [None]
+        self.level = 0
+        self.streak = 0
+
+    @property
+    def budget(self) -> int | None:
+        """Current rung's bits/value budget; None = worst-case buffer."""
+        return self.rungs[self.level]
+
+    def overflow(self, avg_bits: float) -> None:
+        """Record one overflow retry; climbs permanently at 2 consecutive,
+        skipping rungs at or below the measured average bits/value."""
+        self.streak += 1
+        if self.streak < 2 or self.level >= len(self.rungs) - 1:
+            return
+        self.level += 1
+        while (self.level < len(self.rungs) - 1
+               and self.rungs[self.level] is not None
+               and self.rungs[self.level] <= avg_bits):
+            self.level += 1
+        self.streak = 0
+
+    def ok(self) -> None:
+        """A batch fit: the streak (but not the settled rung) resets."""
+        self.streak = 0
+
+
 class StreamingEncoder:
     """Push frames in, get compressed bytes out.
 
@@ -82,34 +128,11 @@ class StreamingEncoder:
         #: (docs/FORMAT.md "index member"); complete once finish() returns.
         self.gop_bit_ends: list[int] = []
         self._abs_end = 0
-        # Consecutive budget-overflow retries (written by the drainer, read
-        # by push — a benign race: at worst a couple of extra tight
-        # dispatches).  At >= 2 the driver climbs the budget LADDER
-        # permanently: the configured per-group budget (default 4 — 13%
-        # faster than 6 on typical content, PERFORMANCE.md round 3), then
-        # 6 (still the Pallas level-1 kernel), then the worst-case buffer.
-        # Noisy content settles at a rung that fits instead of
-        # double-encoding forever; bytes are identical at every rung (the
-        # budget sizes buffers, not bits).
-        self._overflow_streak = 0
-        base = self.cfg.pack_bits_per_value
-        self._ladder: list[int | None] = [base] + (
-            [6] if base < 6 else []
-        ) + [None]
-        self._level = 0
+        # Budget ladder state (written by the drainer, read by push — a
+        # benign race: at worst a couple of extra tight dispatches).
+        self._ladder = BudgetLadder(self.cfg.pack_bits_per_value)
 
     # -- internal ------------------------------------------------------------
-
-    def _climb(self, avg_bits: float) -> None:
-        """Advance the budget ladder past rungs the measured stream average
-        already rules out (near-lossless content at ~8-10 bits/value jumps
-        straight to the worst-case rung instead of burning two more
-        double-encodes discovering that 6 overflows too)."""
-        self._level += 1
-        while (self._level < len(self._ladder) - 1
-               and self._ladder[self._level] is not None
-               and self._ladder[self._level] <= avg_bits):
-            self._level += 1
 
     def _drain_gop(self, frames_dev, carry_in, gop) -> bytes:
         """Drainer thread: fetch packed bytes (bucketed slice) and deflate.
@@ -129,11 +152,7 @@ class StreamingEncoder:
         self.gop_bit_ends.append(self._abs_end)
         nbytes = total_bits // 8 + 1
         if nbytes > gop.packed.shape[0] or bool(gop.overflow):
-            self._overflow_streak += 1
-            if (self._overflow_streak >= 2
-                    and self._level < len(self._ladder) - 1):
-                self._climb(total_bits / frames_dev.size)
-                self._overflow_streak = 0
+            self._ladder.overflow(total_bits / frames_dev.size)
             gop = encode_step(
                 frames_dev,
                 self.ctx.enc_t,
@@ -144,7 +163,7 @@ class StreamingEncoder:
                 tight=False,
             )
         else:
-            self._overflow_streak = 0
+            self._ladder.ok()
         cap = min(gop.packed.shape[0], -(-nbytes // _D2H_BUCKET) * _D2H_BUCKET)
         with self.timer.stage("d2h", cap):
             packed = np.asarray(jax.device_get(gop.packed[:cap]))
@@ -195,7 +214,7 @@ class StreamingEncoder:
                 frames = delta
             with self.timer.stage("dispatch", frames.nbytes):
                 frames_dev = jnp.asarray(frames)
-                budget = self._ladder[self._level]
+                budget = self._ladder.budget
                 if budget is None:  # settled on the worst-case buffer
                     max_bytes = self.ctx.max_packed_bytes_worst_case(
                         frames.size
@@ -206,7 +225,8 @@ class StreamingEncoder:
                     # also outgrown the 2-bit/value stream average.
                     max_bytes = max(
                         self.ctx.max_packed_bytes(frames.size),
-                        budget * frames.size // 8 + 64 if self._level else 0,
+                        budget * frames.size // 8 + 64
+                        if self._ladder.level else 0,
                     )
                 gop = encode_step(
                     frames_dev,

@@ -66,6 +66,22 @@ MEMBER_TURBO = 5
 #: turbo RGB channel members (red, green, blue), one per GOP per channel
 MEMBER_TURBO_RGB = (6, 7, 8)
 
+def _warn_fallback_once(already: bool) -> bool:
+    """One note per encoder when the wire degenerates (benign race under
+    the drain pool: at worst two notes).  Shared by TurboEncoder and
+    TurboShardedEncoder; returns the new warned flag."""
+    if not already:
+        import sys
+
+        print(
+            "note: turbo wire degenerate on this content (exceptions "
+            f"above {FALLBACK_EXC_FRAC:.0%} of coefficients); affected "
+            "GOPs ship as reference-profile members (decode "
+            "auto-routes per member)", file=sys.stderr,
+        )
+    return True
+
+
 #: Per-GOP escape hatch for content the nibble wire degenerates on
 #: (near-lossless quants: most coefficients exceed [-8, 7] and flood the
 #: int32-delta + int16 exception streams, measured -9% bpp vs the
@@ -357,16 +373,7 @@ class TurboEncoder:
         self._warned_fallback = False
 
     def _warn_fallback(self) -> None:
-        if not self._warned_fallback:  # benign race: at worst two notes
-            self._warned_fallback = True
-            import sys
-
-            print(
-                "note: turbo wire degenerate on this content (exceptions "
-                f"above {FALLBACK_EXC_FRAC:.0%} of coefficients); affected "
-                "GOPs ship as reference-profile members (decode "
-                "auto-routes per member)", file=sys.stderr,
-            )
+        self._warned_fallback = _warn_fallback_once(self._warned_fallback)
 
     def _drain_gop(self, frames_dev, t, raw) -> bytes:
         plane, dc, lidx, vals, counts, overflow = encode_step_turbo(
@@ -584,16 +591,9 @@ class TurboShardedEncoder:
         return b"".join(out)
 
     def _warn_fallback(self) -> None:
-        if not getattr(self, "_warned_fallback", False):
-            self._warned_fallback = True
-            import sys
-
-            print(
-                "note: turbo wire degenerate on this content (exceptions "
-                f"above {FALLBACK_EXC_FRAC:.0%} of coefficients); affected "
-                "GOPs ship as reference-profile members (decode "
-                "auto-routes per member)", file=sys.stderr,
-            )
+        self._warned_fallback = _warn_fallback_once(
+            getattr(self, "_warned_fallback", False)
+        )
 
     def drain(self) -> bytes:
         """push() already blocks on every member future before returning,
@@ -783,10 +783,20 @@ def is_turbo_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
 
 
 def is_turbo_rgb_container(members: Iterable[tuple[int, bytes, int]]) -> bool:
+    """Like is_turbo_container, channel members may interleave per-GOP
+    RGB-channel fallback types (1/2/3).  A container where EVERY GOP of
+    every channel fell back carries only channel types — it is a plain RGB
+    container ONLY in the one-member-per-channel shape decode_rgb_video
+    reads; with several members per channel it must route here (the
+    per-channel member walk reads both types)."""
+    members = list(members)
     types = {m[2] for m in members}
-    return bool(types & set(MEMBER_TURBO_RGB)) and \
-        types <= set(MEMBER_TURBO_RGB) | {MEMBER_RED, MEMBER_GREEN,
-                                          MEMBER_BLUE}
+    channel = {MEMBER_RED, MEMBER_GREEN, MEMBER_BLUE}
+    if not types or not types <= set(MEMBER_TURBO_RGB) | channel:
+        return False
+    if types & set(MEMBER_TURBO_RGB):
+        return True
+    return sum(1 for m in members if m[2] in channel) > 3
 
 
 def encode_turbo_rgb_video(

@@ -539,6 +539,13 @@ EG_EXPORT int eg_decode_planar4_multi(const uint8_t *data,
     size_t cap_bytes = (size_t)(nbits_avail >> 3);
     EgMState st[EG_MAX_STREAMS];
     if (nstreams < 1 || nstreams > EG_MAX_STREAMS) return -3;
+    if (n == 0) {
+        /* No work: every stream is trivially done at its start position.
+         * (Without this, live would never decrement below — the loop
+         * only decrements in branches a done stream cannot reach.) */
+        for (int k = 0; k < nstreams; k++) exc_counts[k] = 0;
+        return 0;
+    }
     for (int k = 0; k < nstreams; k++) {
         st[k].pos = positions[k];
         st[k].i = 0;
@@ -546,7 +553,7 @@ EG_EXPORT int eg_decode_planar4_multi(const uint8_t *data,
         st[k].accn = 0;
         st[k].dst = planes + (size_t)k * (n >> 1);
         st[k].nexc = 0;
-        st[k].done = (n == 0);
+        st[k].done = 0;
     }
     int live = nstreams;
     while (live > 0) {

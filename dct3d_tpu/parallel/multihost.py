@@ -274,6 +274,38 @@ def encode_local_members(
     return members
 
 
+def _temporal_streams(
+    members: list[tuple[int, bytes, int]],
+) -> list[tuple[int, bytes, list[int] | None]]:
+    """Temporal stream members with their index members attached.
+
+    Rejects containers that ALSO carry other frame-bearing member types
+    (turbo, RGB channels): silently decoding just the temporal subset
+    would return a wrong, shorter video — mixed turbo containers (per-GOP
+    fallback, codec/turbo.FALLBACK_EXC_FRAC) must go through the turbo
+    route, which reads both types."""
+    foreign = {m[2] for m in members} - {MEMBER_TEMPORAL, MEMBER_INDEX}
+    if foreign:
+        raise ValueError(
+            f"container carries non-temporal member types {sorted(foreign)};"
+            " decode it through its own route (decode_turbo_container / "
+            "decode_rgb_video / decode_auto)"
+        )
+    streams: list[tuple[int, bytes, list[int] | None]] = []
+    for frames, payload, mtype in members:
+        if mtype == MEMBER_INDEX and streams:
+            f, p, _ = streams[-1]
+            streams[-1] = (f, p, parse_index(payload))
+        elif mtype == MEMBER_TEMPORAL:
+            streams.append((frames, payload, None))
+    if not streams:
+        raise ValueError(
+            f"container has no decodable stream members "
+            f"(member type tags: {[m[2] for m in members]})"
+        )
+    return streams
+
+
 def decode_container_range(
     data: bytes,
     width: int,
@@ -296,15 +328,7 @@ def decode_container_range(
     cfg = cfg or CodecConfig()
     if not (0 <= start < stop):
         raise ValueError(f"bad frame range [{start}, {stop})")
-    streams: list[tuple[int, bytes, list[int] | None]] = []
-    for frames, payload, mtype in split_members(data):
-        if mtype == MEMBER_INDEX and streams:
-            f, p, _ = streams[-1]
-            streams[-1] = (f, p, parse_index(payload))
-        elif mtype == MEMBER_TEMPORAL:
-            streams.append((frames, payload, None))
-    if not streams:
-        raise ValueError("container has no temporal stream members")
+    streams = _temporal_streams(split_members(data))
     total = sum(f for f, _, _ in streams)
     if stop > total:
         raise EOFError(
@@ -362,19 +386,7 @@ def decode_multihost_container(
         )
     # Attach each index member to the stream member it describes (the one
     # preceding it); streams without one decode via the serial-scan path.
-    streams: list[tuple[int, bytes, list[int] | None]] = []
-    for frames, payload, mtype in members:
-        if mtype == MEMBER_INDEX and streams:
-            f, p, _ = streams[-1]
-            streams[-1] = (f, p, parse_index(payload))
-        elif mtype == MEMBER_TEMPORAL:
-            streams.append((frames, payload, None))
-
-    if not streams:
-        raise ValueError(
-            f"container has no decodable stream members "
-            f"(member type tags: {[m[2] for m in members]})"
-        )
+    streams = _temporal_streams(members)
 
     def _one(m: tuple[int, bytes, list[int] | None]) -> np.ndarray:
         frames, payload, ends = m

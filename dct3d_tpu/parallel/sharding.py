@@ -157,17 +157,11 @@ class ShardedEncoder:
         #: contract as StreamingEncoder.gop_bit_ends); complete after push.
         self.gop_bit_ends: list[int] = []
         self._abs_end = 0
-        # Same adaptive budget ladder as StreamingEncoder: after 2
-        # consecutive overflow retries, climb permanently (configured
-        # budget -> 6 -> worst case) — noisy content above the budget then
-        # encodes once per step instead of twice.  Bytes are identical at
-        # every rung (the budget sizes buffers, not bits).
-        self._overflow_streak = 0
-        base = self.cfg.pack_bits_per_value
-        self._ladder: list[int | None] = [base] + (
-            [6] if base < 6 else []
-        ) + [None]
-        self._level = 0
+        # The same adaptive budget ladder as StreamingEncoder — one shared
+        # class so the drivers cannot drift rung-for-rung.
+        from ..codec.encoder import BudgetLadder
+
+        self._ladder = BudgetLadder(self.cfg.pack_bits_per_value)
 
     def _step_fn(self, max_bytes: int, tight: bool = True,
                  pack_bits: int | None = None):
@@ -197,12 +191,12 @@ class ShardedEncoder:
             # Re-checked per step (assembly can climb the ladder mid-push):
             # once settled on a wider rung, every later step dispatches
             # there directly instead of double-encoding.
-            budget = self._ladder[self._level]
+            budget = self._ladder.budget
             if budget is None:
                 return self._step_fn(4 * shard_vals + 64, tight=False)
             max_bytes = max(
                 self.cfg.stream_budget_bits_per_value * shard_vals // 8 + 64,
-                budget * shard_vals // 8 + 64 if self._level else 0,
+                budget * shard_vals // 8 + 64 if self._ladder.level else 0,
             )
             return self._step_fn(max_bytes, pack_bits=budget)
 
@@ -240,21 +234,11 @@ class ShardedEncoder:
             np.any(starts_h % 8 + bits_h > 8 * packed.shape[1] - 7)
         )
         if bool(np.asarray(ovf)) or span_over:
-            self._overflow_streak += 1
-            if (self._overflow_streak >= 2
-                    and self._level < len(self._ladder) - 1):
-                # Skip rungs the worst shard's measured average already
-                # rules out (same logic as StreamingEncoder._climb).
-                shard_vals = frames_sharded.size // int(
-                    np.prod(self._mesh_shape)
-                )
-                avg_bits = float(bits_h.max()) / shard_vals
-                self._level += 1
-                while (self._level < len(self._ladder) - 1
-                       and self._ladder[self._level] is not None
-                       and self._ladder[self._level] <= avg_bits):
-                    self._level += 1
-                self._overflow_streak = 0
+            # The worst shard's measured average drives the rung skip.
+            shard_vals = frames_sharded.size // int(
+                np.prod(self._mesh_shape)
+            )
+            self._ladder.overflow(float(bits_h.max()) / shard_vals)
             worst = self._step_fn(
                 4 * int(frames_sharded.size) // int(np.prod(self._mesh_shape))
                 + 64,
@@ -264,7 +248,7 @@ class ShardedEncoder:
                 frames_sharded, self.ctx.enc_t, carry_in
             )
         else:
-            self._overflow_streak = 0
+            self._ladder.ok()
         return self._assemble(
             np.asarray(jax.device_get(packed)),
             np.asarray(bits),

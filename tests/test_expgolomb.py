@@ -549,3 +549,30 @@ def test_scan_table_path_long_runs(rng):
             pos_s = entropy.scan_values(payload, chunk, pos_s)
             _, pos_d = entropy.decode_values(payload, chunk, pos_d)
             assert pos_s == pos_d
+
+
+def test_multi_decode_n_zero_returns_immediately():
+    """Regression: eg_decode_planar4_multi with n == 0 must return 0 with
+    zero exception counts, not spin forever (every stream started done but
+    `live` was never decremented)."""
+    import numpy as np
+
+    from dct3d_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    buf = np.zeros(64, np.uint8)
+    pos = np.zeros(2, np.uint64)
+    cnts = np.ones(2, np.uint64)  # must be overwritten to 0
+    planes = np.empty(1, np.uint8)
+    ei = np.empty(8, np.int32)
+    ev = np.empty(8, np.int32)
+    rc = lib.eg_decode_planar4_multi(
+        buf.ctypes.data, buf.size * 8, pos.ctypes.data, 2, 0,
+        planes.ctypes.data, ei.ctypes.data, ev.ctypes.data, 4,
+        cnts.ctypes.data,
+    )
+    assert rc == 0 and cnts.tolist() == [0, 0]

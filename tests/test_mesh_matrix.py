@@ -207,7 +207,7 @@ def test_sharded_encoder_widens_after_repeated_overflow(mesh21, rng):
     enc = ShardedEncoder(64, 64, mesh21, CodecConfig())
     chunks = [enc.push(noise[i : i + 16]) for i in range(0, 48, 16)]
     chunks.append(enc.finish())
-    assert enc._level > 0  # settled on a wider rung
+    assert enc._ladder.level > 0  # settled on a wider rung
     assert b"".join(chunks) == encode_video(
         noise, CodecConfig(stream_bits_per_value=6)
     )

@@ -191,8 +191,8 @@ def test_pack_budget_ladder_skips_ruled_out_rungs():
     clip = synthetic_video(32, 64, 64, seed=9)
     enc = StreamingEncoder(64, 64, CodecConfig(quant_strength=0))
     out = enc.push(clip) + enc.finish()
-    assert enc._ladder[enc._level] is None, (
-        f"settled at rung {enc._ladder[enc._level]}, expected worst-case"
+    assert enc._ladder.budget is None, (
+        f"settled at rung {enc._ladder.budget}, expected worst-case"
     )
     assert out == encode_video(clip, CodecConfig(quant_strength=0,
                                                  stream_bits_per_value=32))
@@ -399,6 +399,6 @@ def test_noisy_stream_widens_after_repeated_retries(rng):
     noise = rng.integers(0, 256, (32, 64, 64), dtype=np.uint8)
     enc = StreamingEncoder(64, 64, CodecConfig())
     got = enc.push(noise) + enc.finish()
-    assert enc._level > 0  # the adaptive ladder climbed
-    assert enc._overflow_streak == 0  # and the settled rung fits
+    assert enc._ladder.level > 0  # the adaptive ladder climbed
+    assert enc._ladder.streak == 0  # and the settled rung fits
     assert got == encode_video(noise, CodecConfig(stream_bits_per_value=6))

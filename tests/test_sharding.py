@@ -312,7 +312,7 @@ def test_sharded_budget_ladder_climbs_on_noise():
     noise = rng.integers(0, 256, (64, 64, 64), dtype=np.uint8)
     enc = ShardedEncoder(64, 64, m, CodecConfig())
     got = enc.push(noise) + enc.finish()
-    assert enc._level > 0  # the ladder climbed mid-stream
+    assert enc._ladder.level > 0  # the ladder climbed mid-stream
     assert got == encode_video(noise, CodecConfig())
 
 

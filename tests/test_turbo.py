@@ -673,3 +673,54 @@ def test_turbo_rgb_quant0_roundtrip():
 
         want = decode_rgb_video(encode_rgb_video(rgbclip, cfg), 64, 64, cfg)
         np.testing.assert_array_equal(got, want)
+
+
+def test_all_fallback_turbo_rgb_routes_and_decodes():
+    """Regression: a turbo-RGB encode where EVERY GOP of every channel
+    degenerated (quant 0 noise) carries only channel-typed fallback
+    members; it must still route (is_turbo_rgb_container) and decode to
+    the reference profile's pixels through decode_auto and the CLI."""
+    from dct3d_tpu import decode_auto
+    from dct3d_tpu.codec.rgb_codec import encode_rgb_video
+    from dct3d_tpu.codec.rgb_codec import decode_rgb_video
+
+    cfg = CodecConfig(quant_strength=0)
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    data = turbo.encode_turbo_rgb_video(rgb, cfg)
+    members = multihost.split_members(data)
+    types = sorted({m[2] for m in members})
+    assert types == [1, 2, 3], types  # every GOP fell back
+    assert turbo.is_turbo_rgb_container(members)
+    want = decode_rgb_video(encode_rgb_video(rgb, cfg), 32, 32, cfg)
+    got = decode_auto(data, 32, 32, cfg=cfg)
+    np.testing.assert_array_equal(got, want)
+    # range decode across the same container
+    got_r = turbo.decode_turbo_rgb_range(data, 32, 32, 3, 11, cfg)
+    np.testing.assert_array_equal(got_r, want[3:11])
+
+
+def test_multihost_decode_rejects_mixed_turbo_container():
+    """Regression: decode_multihost_container silently decoded only the
+    TEMPORAL fallback members of a mixed turbo container (wrong, shorter
+    video); it must reject with ValueError directing to the turbo route."""
+    cfg = CodecConfig(quant_strength=0)
+    # Flat GOPs keep the turbo wire (only dense DC); noise GOPs flood the
+    # exception streams at quant 0 and fall back -> a genuinely MIXED
+    # container.
+    clip = np.full((24, 64, 64), 128, np.uint8)
+    clip[16:] = np.random.default_rng(77).integers(
+        0, 256, (8, 64, 64), dtype=np.uint8
+    )
+    data = turbo.encode_turbo_video(clip, cfg)
+    types = {m[2] for m in multihost.split_members(data)}
+    assert types == {turbo.MEMBER_TURBO, multihost.MEMBER_TEMPORAL}, types
+    with pytest.raises(ValueError):
+        multihost.decode_multihost_container(data, 64, 64, cfg)
+    with pytest.raises(ValueError):
+        multihost.decode_container_range(data, 64, 64, 0, 8, cfg)
+    # the sanctioned routes still read it
+    np.testing.assert_array_equal(
+        turbo.decode_turbo_container(data, 64, 64, cfg),
+        decode_video(encode_video(clip, cfg), 64, 64, 24, cfg),
+    )
