@@ -1,4 +1,9 @@
-"""Slope-bisect the device decode step (planar4 -> frames), 1080p GOP."""
+"""Slope-bisect the device decode step (planar4 -> frames), 1080p GOP.
+
+HISTORICAL (round 2): this bisects the pre-perm composition (XLA 6-axis
+relayout, unsplit matmul).  The production path moved to column-permuted
+matrices + the Pallas inverse word transpose; bisect THAT with
+tools/profile_decode_stages.py, which also covers the turbo wire branch."""
 
 import time
 
