@@ -275,8 +275,9 @@ def decode_step_planar4(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     The even/odd planes feed the split matmul directly — no interleave.
 
     wire=True: `plane` is the (cube/2, cubes) WIRE layout straight off the
-    turbo member — the device un-transposes it (ops/relayout.wire_to_plane,
-    word trick) so the host never byte-transposes on decode either."""
+    turbo member — the device consumes its word rows directly
+    (ops/relayout.wire_words + the exact pair unscramble; byte order never
+    materializes) so the host never byte-transposes on decode either."""
     return planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo,
                              cfg=cfg, height=height, width=width, wire=wire)
 

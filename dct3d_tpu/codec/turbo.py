@@ -650,9 +650,9 @@ class TurboShardedDecoder:
         local_h = height // n_tile
 
         def _shard(plane, ei, ev, dec_me, dec_mo):
-            # wire=True: each shard un-transposes its own wire slab on
-            # device (ops/relayout.wire_to_plane) — the host never
-            # byte-transposes on the sharded decode either.
+            # wire=True: each shard peels its own wire slab's words on
+            # device (ops/relayout.wire_words + pair unscramble) — the
+            # host never byte-transposes on the sharded decode either.
             return planar4_to_frames(
                 plane[0, 0], ei[0, 0], ev[0, 0], dec_me, dec_mo,
                 cfg=cfg_, height=local_h, width=width, wire=True,
