@@ -2,10 +2,14 @@
 
 Bisects the exact planar4_to_frames composition the decoder dispatches
 (codec/transform.py: nibble expand -> exception scatter -> column-permuted
-split matmul -> clamp -> Pallas inverse word-transpose relayout), plus the
-turbo wire_to_plane pre-stage, so PERFORMANCE.md's decode roofline rests on
-the same code the drivers run — unlike the older profile_decode_bisect.py,
-which predates the perm fast path.
+split matmul -> clamp -> Pallas inverse word-transpose relayout), so
+PERFORMANCE.md's decode roofline rests on the same code the drivers run —
+unlike the older profile_decode_bisect.py, which predates the perm path.
+
+The wire_* prefix stages deliberately replicate the ROUND-4-REPLACED
+byte-order wire composition (wire_to_plane + scatter) — the measured
+baseline the word-grouped rework beat (+3.2 -> +0.3 ms); `prod_full` /
+`prod_wire` time the SHIPPED planar4_to_frames both ways.
 
 Method: device-resident chained fori_loop (K iterations in ONE program),
 slope between K1 and K2 (see constants below) removes the ~26-40 ms relay
