@@ -265,21 +265,30 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
 
     # Turbo decode device step (wire member -> frames), same methodology,
     # reusing the first turbo member already parsed for the drain stages
-    # above (wire_plane / exc_i / exc_v).
+    # above.  Production splits the dense DC out of the exception list
+    # (turbo._parse_payload(split_dc=True) -> concat splice on device);
+    # derive the same split from the merged parse.
     from dct3d_tpu.codec.transform import decode_step_planar4
 
-    tplane, tidx, tval = wire_plane, exc_i, exc_v
-    tei, tev = _pad_exceptions(tplane.size * 2, np.asarray(tidx),
-                               np.asarray(tval))
-    tp, tpi, tpv = jnp.asarray(np.asarray(tplane)), jnp.asarray(tei), \
+    exc_ia = np.asarray(exc_i)
+    dc_mask = (exc_ia % dcfg.cube_size) == 0
+    tdc = np.asarray(exc_v)[dc_mask].astype(np.int32)
+    tei, tev = _pad_exceptions(
+        np.asarray(wire_plane).size * 2,
+        exc_ia[~dc_mask].astype(np.int32),
+        np.asarray(exc_v)[~dc_mask].astype(np.int32),
+    )
+    tp, tpi, tpv = jnp.asarray(np.asarray(wire_plane)), jnp.asarray(tei), \
         jnp.asarray(tev)
+    tdcj = jnp.asarray(tdc)
 
     def tdchain(steps: int) -> float:
         fd = None
         t0 = time.perf_counter()
         for _ in range(steps):
             fd = decode_step_planar4(tp, tpi, tpv, ctx.dec_me, ctx.dec_mo,
-                                     cfg=dcfg, height=h, width=w, wire=True)
+                                     cfg=dcfg, height=h, width=w, wire=True,
+                                     dc=tdcj)
         jax.device_get(fd[0, 0, 0])
         return time.perf_counter() - t0
 

@@ -76,8 +76,17 @@ def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
     """Dispatch from the packed-nibble planar format (half the upload).
 
     wire=True: the plane is the turbo member's (cube/2, cubes) wire layout
-    and the device un-transposes it (no host byte_transpose)."""
-    plane, idx, val = planar
+    and the device consumes its word rows directly (no host
+    byte_transpose).  A 4-tuple planar carries the dense DC vector
+    separately (turbo._parse_payload(split_dc=True)) — the device splices
+    it as column 0 instead of scattering `cubes` extra exception
+    elements."""
+    dc = None
+    if len(planar) == 4:
+        plane, dc, idx, val = planar
+        dc = jax.numpy.asarray(np.ascontiguousarray(dc, np.int32))
+    else:
+        plane, idx, val = planar
     plane = np.asarray(plane)
     n = plane.size * 2
     exc_idx, exc_val = _pad_exceptions(n, np.asarray(idx), np.asarray(val))
@@ -91,6 +100,7 @@ def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
         height=height,
         width=width,
         wire=wire,
+        dc=dc,
     )
 
 

@@ -267,7 +267,7 @@ def decode_step_planar(coeff8, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     jax.jit, static_argnames=("cfg", "height", "width", "wire")
 )
 def decode_step_planar4(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
-                        height, width, wire: bool = False):
+                        height, width, wire: bool = False, dc=None):
     """decode_step taking a packed-nibble plane (two coefficients per byte,
     low nibble = even index, sign-extended from 4 bits) + exceptions — half
     the upload of the int8 plane; DC coefficients ride the exception list.
@@ -279,15 +279,18 @@ def decode_step_planar4(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     (ops/relayout.wire_words + the exact pair unscramble; byte order never
     materializes) so the host never byte-transposes on decode either."""
     return planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo,
-                             cfg=cfg, height=height, width=width, wire=wire)
+                             cfg=cfg, height=height, width=width, wire=wire,
+                             dc=dc)
 
 
 def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
-                      height, width, wire: bool = False):
+                      height, width, wire: bool = False, dc=None):
     """Unjitted decode_step_planar4 body — also the per-shard body of the
     sharded turbo decode (codec/turbo.py), where `height` is the tile's
     local height.  One body so every planar4 path keeps the identical
     split-matmul summation order (the transparency invariant)."""
+    if dc is not None and not wire:
+        raise ValueError("the dc splice requires the wire layout")
     hc = cfg.cube_size // 2
     if wire:
         # The wire's byte order never materializes: un-bitcasting the word
@@ -328,6 +331,15 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
             exc_val, mode="drop", unique_indices=True).reshape(cubes, hc)
         lo_p = jnp.where(de == sent, lo_p, de)
         hi_p = jnp.where(do == sent, hi_p, do)
+        if dc is not None:
+            # Dense per-cube DC shipped as its own vector (turbo wire,
+            # _parse_payload(split_dc=True)): pair 0 is COLUMN 0 of the
+            # word-grouped layout, so a concat splice replaces scattering
+            # `cubes` extra elements — identical operand values, ~0.5
+            # ms/GOP less element-latency at 1080p.
+            lo_p = jnp.concatenate(
+                [dc.astype(jnp.int32)[:, None], lo_p[:, 1:]], axis=1
+            )
         perm, dec_me, dec_mo = _perm_decode(cfg, height, width,
                                             dec_me, dec_mo)
         unscr = jnp.asarray(relayout.pair_unscramble(cfg.cube_size),

@@ -285,7 +285,8 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     return head + b"".join(parts)
 
 
-def _parse_payload(payload: bytes, cube: int, wire: bool = False):
+def _parse_payload(payload: bytes, cube: int, wire: bool = False,
+                   split_dc: bool = False):
     """Wire payload -> (plane, exception idx, exception val) with the dense
     DC stream merged back into the exception list (decode_step_planar4's
     scatter restores it like any outlier).
@@ -294,7 +295,13 @@ def _parse_payload(payload: bytes, cube: int, wire: bool = False):
     byte_transpose — the sharded decoder's tile slicing wants it);
     wire=True returns the raw (cube/2, cubes) wire layout so the DEVICE
     un-transposes instead (decode_step_planar4(wire=True)) and the host
-    decode drain is pure decompression."""
+    decode drain is pure decompression.
+
+    split_dc=True (wire only) skips the merge and returns
+    (plane, dc int32, idx, val): DC is pair 0 = COLUMN 0 of the
+    word-grouped layout, so the device splices it with a concat instead
+    of scattering `cubes` extra elements (~0.5 ms/GOP at 1080p — the
+    scatter is element-latency-bound; PERFORMANCE.md round 4)."""
     if len(payload) < 16:
         raise EOFError("torn turbo member (truncated header)")
     a, b, c, d = struct.unpack_from("<IIII", payload, 0)
@@ -325,6 +332,10 @@ def _parse_payload(payload: bytes, cube: int, wire: bool = False):
     cpos = (i2 >> 1) % cubes
     jj = (i2 >> 1) // cubes
     idx = cpos * cube + jj * 2 + (i2 & 1)
+    if split_dc:
+        if not wire:
+            raise ValueError("split_dc needs the wire layout")
+        return plane, dc.astype(np.int32), idx, val.astype(np.int32)
     idx_all = np.concatenate(
         [idx, np.arange(cubes, dtype=np.int64) * cube]
     )
@@ -1009,7 +1020,7 @@ def _decode_members(members, pool, width, height, cfg, ctx) -> np.ndarray:
             return pool.submit(
                 decode_video, payload, width, height, t_m, cfg, ctx
             )
-        return pool.submit(_parse_payload, payload, cube, True)
+        return pool.submit(_parse_payload, payload, cube, True, True)
 
     inflight: collections.deque = collections.deque(
         _submit(m) for m in members[:lookahead]

@@ -140,3 +140,36 @@ def test_wire_decode_step_matches_flat(rng, t, h, w):
         jnp.asarray(wire), jnp.asarray(exc_idx), jnp.asarray(exc_val),
         ctx.dec_me, ctx.dec_mo, cfg=cfg, height=h, width=w, wire=True))
     np.testing.assert_array_equal(f_flat, f_wire)
+
+
+def test_wire_decode_dc_splice_matches_merged(rng):
+    """The split-DC wire path (dc as its own vector, spliced as column 0)
+    must emit frames BYTE-identical to merging DC into the exception list
+    — the production turbo decode uses the splice
+    (turbo._parse_payload(split_dc=True))."""
+    from dct3d_tpu.codec.transform import TransformContext, decode_step_planar4
+
+    cfg = CodecConfig()
+    ctx = TransformContext(cfg)
+    t, h, w = 8, 32, 64
+    n = t * h * w
+    cubes = n // cfg.cube_size
+    plane = rng.integers(0, 256, n // 2, dtype=np.uint16).astype(np.uint8)
+    wire = np.ascontiguousarray(plane.reshape(-1, cfg.cube_size // 2).T)
+    dc = rng.integers(-5771, 5771, cubes).astype(np.int32)
+    out_idx = np.sort(rng.choice(
+        np.setdiff1d(np.arange(n), np.arange(cubes) * cfg.cube_size),
+        n // 128, replace=False)).astype(np.int32)
+    out_val = rng.integers(-2000, 2000, out_idx.size).astype(np.int32)
+    # merged route: DC rides the exception list
+    mi = np.concatenate([out_idx, np.arange(cubes) * cfg.cube_size])
+    mv = np.concatenate([out_val, dc])
+    f_merged = np.asarray(decode_step_planar4(
+        jnp.asarray(wire), jnp.asarray(mi.astype(np.int32)),
+        jnp.asarray(mv.astype(np.int32)), ctx.dec_me, ctx.dec_mo,
+        cfg=cfg, height=h, width=w, wire=True))
+    f_split = np.asarray(decode_step_planar4(
+        jnp.asarray(wire), jnp.asarray(out_idx), jnp.asarray(out_val),
+        ctx.dec_me, ctx.dec_mo, cfg=cfg, height=h, width=w, wire=True,
+        dc=jnp.asarray(dc)))
+    np.testing.assert_array_equal(f_merged, f_split)
