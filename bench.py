@@ -203,21 +203,17 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     from dct3d_tpu.parallel.multihost import split_members
 
     m0 = [m for m in split_members(turbo_data) if m[2] == MEMBER_TURBO][0]
-    wire_plane, exc_i, exc_v = _parse_payload(m0[1], cfg.cube_size, True)
+    # split_dc=True is the production parse (codec/turbo._decode_members):
+    # the measured operands ARE the production ones.
+    wire_plane, dc_real, idx_real, val_real = _parse_payload(
+        m0[1], cfg.cube_size, True, True
+    )
     t0 = time.perf_counter()
     for _ in range(3):
-        _parse_payload(m0[1], cfg.cube_size, True)
+        _parse_payload(m0[1], cfg.cube_size, True, True)
     turbo_parse_fps = 3 * cfg.gop_size / (time.perf_counter() - t0)
-    # Rebuild the member from the REAL parsed streams (the parse merges
-    # the dense DC back into the exception list at stride cube_size; DC is
-    # never an in-nibble exception, so the split below is exact) so the
-    # build figure carries real compression + argsort work.
-    dc_sel = (exc_i % cfg.cube_size) == 0
-    dc_real = np.asarray(exc_v[dc_sel], np.int16)[
-        np.argsort(exc_i[dc_sel])
-    ]
-    idx_real = np.asarray(exc_i[~dc_sel], np.int64)
-    val_real = np.asarray(exc_v[~dc_sel], np.int16)
+    # Rebuild the member from the real parsed streams so the build figure
+    # carries real compression + argsort work.
     t0 = time.perf_counter()
     for _ in range(3):
         _member_payload(wire_plane, dc_real, idx_real, val_real, cfg,
@@ -264,19 +260,14 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     )
 
     # Turbo decode device step (wire member -> frames), same methodology,
-    # reusing the first turbo member already parsed for the drain stages
-    # above.  Production splits the dense DC out of the exception list
-    # (turbo._parse_payload(split_dc=True) -> concat splice on device);
-    # derive the same split from the merged parse.
+    # reusing the first turbo member's production split-DC parse above.
     from dct3d_tpu.codec.transform import decode_step_planar4
 
-    exc_ia = np.asarray(exc_i)
-    dc_mask = (exc_ia % dcfg.cube_size) == 0
-    tdc = np.asarray(exc_v)[dc_mask].astype(np.int32)
+    tdc = np.asarray(dc_real, np.int32)
     tei, tev = _pad_exceptions(
         np.asarray(wire_plane).size * 2,
-        exc_ia[~dc_mask].astype(np.int32),
-        np.asarray(exc_v)[~dc_mask].astype(np.int32),
+        np.asarray(idx_real, np.int32),
+        np.asarray(val_real, np.int32),
     )
     tp, tpi, tpv = jnp.asarray(np.asarray(wire_plane)), jnp.asarray(tei), \
         jnp.asarray(tev)

@@ -342,7 +342,12 @@ def decode_frame_range(
         raise EOFError("bitstream too short for requested frames")
     while pending:
         drain_one()
-    return out[start - g0 * fpg : stop - g0 * fpg]
+    lo, hi = start - g0 * fpg, stop - g0 * fpg
+    if lo == 0 and hi == out.shape[0]:
+        return out
+    # Copy the trimmed slice: a view would pin up to gop_size-1 hidden
+    # frames per end alive and alias them under caller writes.
+    return np.ascontiguousarray(out[lo:hi])
 
 
 def decode_stream(

@@ -137,6 +137,8 @@ def decode_rgb_range(
     from ..parallel.multihost import gop_positions, split_members
 
     cfg = cfg or CodecConfig()
+    if not (0 <= start < stop):
+        raise ValueError(f"bad frame range [{start}, {stop})")
     channels = _collect_channels(split_members(data))
     total = min(f for f, _, _ in channels)
     if stop > total:
