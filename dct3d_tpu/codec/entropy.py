@@ -265,6 +265,309 @@ def speculative_positions(payload, values_per_chunk: int, n_chunks: int,
     return positions
 
 
+#: Interleaved streams per speculative-decode task (the table walk is
+#: load-chain-bound; independent chains overlap in the out-of-order core —
+#: same trick as the indexed pair decoder).  Measured on the bench host:
+#: 1 stream 0.70 ns/val, 2 -> 0.55, 4 -> 0.535, 6 -> 0.57.
+_SPEC_INTERLEAVE = 4
+#: Segments per worker (with _SPEC_INTERLEAVE=4 this is one task wave of
+#: 4-stream groups; equal-byte segments balance well, and fewer tasks
+#: means less per-task overhead — higher factors measured no better under
+#: this host's noise).
+_SPEC_SEG_FACTOR = 4
+
+
+def speculative_planar4_chunks(payload, values_per_chunk: int, n_chunks: int,
+                               workers: int | None = None):
+    """Fused speculative scan+DECODE of a headerless planar4 stream.
+
+    speculative_positions discovers chunk boundaries with a parallel scan
+    and the chunks are then decoded in a second full pass — two table
+    walks per codeword, which put the plain-stream path at ~half the
+    indexed path's throughput (PERFORMANCE.md round 4).  Here the segment
+    walk IS the decode: every worker speculatively DECODES its byte-
+    aligned segment (local nibble plane + exceptions), the stitch
+    validates each segment by the exact position handshake (a failed
+    handshake falls back to a serial catch-up decode of that segment, so
+    adversarial content costs the old serial behavior, never
+    correctness), and chunk planes are assembled from the validated
+    segment spans with nibble-granular copies (native nibble_copy; a
+    memcpy-class pass).  One table walk total.
+
+    Returns a generator of (plane, exc_idx, exc_val, end_bit) per chunk —
+    exactly decode_values_planar4's result tuples, byte-identical, in
+    stream order — or None when the native library is missing, the
+    payload is too small to be worth it, a segment is too large for the
+    local 32-bit indices, or the stream ends prematurely (callers then
+    use the serial path, which owns the reference EOF semantics).
+
+    Memory: the segment planes transiently hold ~4 bytes per payload byte
+    (a nibble per POSSIBLE 1-bit codeword); callers decoding streams too
+    large for that should pass an index (docs/FORMAT.md) instead.
+    """
+    import bisect
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    if values_per_chunk % 2:
+        return None  # planar4 needs even chunks
+    lib = native.load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(
+        payload, (bytes, bytearray)) else payload
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    workers = workers or (_os.cpu_count() or 2)
+    n_seg = max(1, min(workers * _SPEC_SEG_FACTOR,
+                       buf.size // _SPEC_MIN_SEG))
+    if n_seg < 2 or n_chunks < 1:
+        return None  # too small to beat the serial scan
+    if buf.size // n_seg >= (1 << 27):
+        return None  # local int32 indices would overflow
+    nbits = buf.size * 8
+    bounds = [buf.size * s // n_seg for s in range(n_seg)] + [buf.size]
+    groups = [list(range(g, min(g + _SPEC_INTERLEAVE, n_seg)))
+              for g in range(0, n_seg, _SPEC_INTERLEAVE)]
+
+    def run_group(group):
+        ns = len(group)
+        seg_bits = max(
+            (bounds[s + 1] - bounds[s]) * 8 for s in group
+        )
+        val_cap = seg_bits + 128
+        stride = val_cap // 2 + 24
+        pos = np.array([bounds[s] * 8 for s in group], np.uint64)
+        ends = np.array([bounds[s + 1] * 8 for s in group], np.uint64)
+        planes = np.empty(ns * stride, np.uint8)
+        recs = np.empty(ns * _SPEC_REC_CAP, np.uint64)
+        ckpt_cap = (val_cap >> _SPEC_CKPT_SHIFT) + 2
+        ckpt_cnt = np.zeros(ns * ckpt_cap, np.uint64)
+        ckpt_pos = np.zeros(ns * ckpt_cap, np.uint64)
+        cap = max(4096, val_cap // 64)
+        while True:
+            p = pos.copy()
+            exc_idx = np.empty(ns * cap, np.int32)
+            exc_val = np.empty(ns * cap, np.int32)
+            nexc = np.zeros(ns, np.uint64)
+            cnts = np.zeros(ns, np.uint64)
+            rc = lib.eg_decode_planar4_seg_multi(
+                buf.ctypes.data, nbits, ns,
+                p.ctypes.data, ends.ctypes.data,
+                recs.ctypes.data, _SPEC_REC_CAP,
+                ckpt_cnt.ctypes.data, ckpt_pos.ctypes.data, ckpt_cap,
+                _SPEC_CKPT_SHIFT,
+                planes.ctypes.data, stride, val_cap,
+                exc_idx.ctypes.data, exc_val.ctypes.data, cap,
+                nexc.ctypes.data, cnts.ctypes.data,
+            )
+            if rc == -2:  # exception capacity; pathological content
+                cap *= 4
+                continue
+            if rc != 0:
+                return None
+            out = []
+            for t, s in enumerate(group):
+                k = int(nexc[t])
+                out.append({
+                    "plane": planes[t * stride : (t + 1) * stride],
+                    "rec": recs[t * _SPEC_REC_CAP : (t + 1) * _SPEC_REC_CAP],
+                    "ckpt_cnt": ckpt_cnt[t * ckpt_cap : (t + 1) * ckpt_cap],
+                    "ckpt_pos": ckpt_pos[t * ckpt_cap : (t + 1) * ckpt_cap],
+                    "exc_idx": exc_idx[t * cap : t * cap + k].copy(),
+                    "exc_val": exc_val[t * cap : t * cap + k].copy(),
+                    "cnt": int(cnts[t]),
+                    "exit_pos": int(p[t]),
+                    "start_bit": bounds[s] * 8,
+                })
+            return out
+
+    with _TPE(min(workers, len(groups))) as pool:
+        results = list(pool.map(run_group, groups))
+    if any(r is None for r in results):
+        return None
+    segs = [seg for group in results for seg in group]
+
+    # Stitch: walk the true entry position through the segments.  Per
+    # segment: A[s] = cumulative true count at entry, and (steps, j,
+    # cvals) = the serial catch-up decode (length `steps`, values cvals)
+    # plus the speculative index at convergence (segment 0 is exact:
+    # steps=0, j=0).  j=None means the whole segment was walked serially.
+    A = [0]
+    A_pos = []  # TRUE entry position of each segment
+    meta = []  # (steps, j, cvals)
+    entry = 0
+    for s in range(n_seg):
+        A_pos.append(entry)
+        seg = segs[s]
+        end_bit = bounds[s + 1] * 8
+        if s + 1 < n_seg and seg["exit_pos"] < end_bit:
+            return None  # stream ended inside an interior segment
+        if s == 0:
+            steps, j, cvals = 0, 0, None
+        else:
+            rlen = min(seg["cnt"], _SPEC_REC_CAP)
+            j = int(np.searchsorted(seg["rec"][:rlen], np.uint64(entry)))
+            if j < rlen and int(seg["rec"][j]) == entry:
+                steps, cvals = 0, None
+            else:
+                # handshake miss: serial catch-up DECODE of this segment
+                vcap = 1 << 16
+                while True:
+                    vals = np.empty(vcap, np.int32)
+                    match = ctypes.c_int64(-1)
+                    pos_out = ctypes.c_uint64(0)
+                    steps_out = ctypes.c_uint64(0)
+                    rc = lib.eg_decode_catchup(
+                        buf.ctypes.data, nbits, entry, end_bit,
+                        seg["rec"].ctypes.data, rlen,
+                        vals.ctypes.data, vcap,
+                        ctypes.byref(match), ctypes.byref(pos_out),
+                        ctypes.byref(steps_out),
+                    )
+                    if rc == -2:
+                        vcap *= 4
+                        continue
+                    if rc != 0:
+                        return None
+                    break
+                steps = int(steps_out.value)
+                cvals = vals[:steps].copy()
+                if match.value >= 0:
+                    j = int(match.value)
+                else:
+                    if s + 1 < n_seg and int(pos_out.value) < end_bit:
+                        return None  # data ran out mid-stream: serial EOF
+                    # walked the whole segment serially: exact by itself
+                    A.append(A[-1] + steps)
+                    meta.append((steps, None, cvals))
+                    entry = int(pos_out.value)
+                    continue
+        A.append(A[-1] + steps + (seg["cnt"] - j))
+        meta.append((steps, j, cvals))
+        entry = seg["exit_pos"]
+    total = A[-1]
+    if n_chunks * values_per_chunk > total:
+        return None  # stream too short: serial path owns EOF semantics
+
+    def position_of(g: int) -> int:
+        """Exact bit position of true codeword `g` (checkpoint + a short
+        rescan of < 2**_SPEC_CKPT_SHIFT codewords)."""
+        s = bisect.bisect_right(A, g) - 1
+        s = min(s, n_seg - 1)
+        m = g - A[s]
+        steps, j, _cvals = meta[s]
+        seg = segs[s]
+        if m < steps or j is None:
+            return scan_values(buf, m, A_pos[s])
+        msp = j + (m - steps)
+        t = msp >> _SPEC_CKPT_SHIFT
+        if t == 0:
+            c0, q0 = 0, seg["start_bit"]
+        else:
+            c0, q0 = int(seg["ckpt_cnt"][t]), int(seg["ckpt_pos"][t])
+        return scan_values(buf, msp - c0, q0)
+
+    try:
+        ends = [position_of((k + 1) * values_per_chunk)
+                for k in range(n_chunks)]
+    except EOFError:
+        return None
+
+    V = values_per_chunk
+
+    def build_chunk(k: int):
+        """Chunk k's (plane, exc_idx, exc_val, end_bit) from the validated
+        spans.  Exceptions rebase per chunk IN the pool (a serial global
+        rebase measured ~10 ms/16 GOPs at 1080p).  A chunk fully inside
+        one byte-aligned span is a zero-copy VIEW of the segment plane
+        (the common case once streams are much longer than the segment
+        count)."""
+        g0 = k * V
+        s = bisect.bisect_right(A, g0) - 1
+        plane = None
+        parts_i: list[np.ndarray] = []
+        parts_v: list[np.ndarray] = []
+        g = g0
+        while g < g0 + V:
+            a, b = max(g, A[s]), min(g0 + V, A[s + 1])
+            if b <= a:
+                s += 1
+                continue
+            steps, j, cvals = meta[s]
+            if a < A[s] + steps:  # catch-up splice
+                c1 = min(b, A[s] + steps)
+                cv = cvals[a - A[s] : c1 - A[s]]
+                if plane is None:
+                    plane = np.empty(V // 2, np.uint8)
+                _pack_vals_into(plane, a - g0, cv)
+                li = np.flatnonzero((cv < -8) | (cv > 7))
+                parts_i.append(((a - g0) + li).astype(np.int32))
+                parts_v.append(cv[li])
+                a = c1
+            if a < b:  # validated speculative span
+                local = j + (a - A[s] - steps)
+                if plane is None and a == g0 and b == g0 + V \
+                        and local % 2 == 0:
+                    plane = segs[s]["plane"][local // 2
+                                             : local // 2 + V // 2]
+                else:
+                    if plane is None:
+                        plane = np.empty(V // 2, np.uint8)
+                    lib.nibble_copy(plane.ctypes.data, a - g0,
+                                    segs[s]["plane"].ctypes.data, local,
+                                    b - a)
+                ei, ev = segs[s]["exc_idx"], segs[s]["exc_val"]
+                lo = int(np.searchsorted(ei, local))
+                hi = int(np.searchsorted(ei, local + (b - a)))
+                parts_i.append(ei[lo:hi] - np.int32(local - (a - g0)))
+                parts_v.append(ev[lo:hi])
+            g = b
+            s += 1
+        ci = (np.concatenate(parts_i) if parts_i
+              else np.empty(0, np.int32))
+        cv_ = (np.concatenate(parts_v) if parts_v
+               else np.empty(0, np.int32))
+        return plane, ci, cv_, ends[k]
+
+    def gen():
+        with _TPE(workers) as pool:
+            futs: dict = {}
+            ahead = workers + 2
+            for c in range(n_chunks):
+                for k in range(c, min(c + ahead, n_chunks)):
+                    if k not in futs:
+                        futs[k] = pool.submit(build_chunk, k)
+                yield futs.pop(c).result()
+
+    return gen()
+
+
+def _pack_vals_into(plane: np.ndarray, d0: int, vals: np.ndarray) -> None:
+    """Write int32 values as nibbles at nibble offset d0 (read-modify-write
+    at the boundary bytes).  Catch-up splice path only — usually tiny, but
+    a never-converging stream (all-wide codewords) routes whole segments
+    through here, so the body is vectorized."""
+    vals = np.asarray(vals, np.int32)
+    n = vals.size
+    if n == 0:
+        return
+    nib = (vals & 0xF).astype(np.uint8)
+    o = 0
+    if d0 & 1:
+        b = d0 >> 1
+        plane[b] = (plane[b] & 0x0F) | (int(nib[0]) << 4)
+        o = 1
+    m = (n - o) & ~1
+    if m:
+        b0 = (d0 + o) >> 1
+        plane[b0 : b0 + m // 2] = nib[o : o + m : 2] | (
+            nib[o + 1 : o + m : 2] << 4
+        )
+    if o + m < n:
+        i = d0 + o + m
+        plane[i >> 1] = (plane[i >> 1] & 0xF0) | int(nib[-1])
+
+
 def decode_values_planar4_pair(data, n: int, bitpos0: int, bitpos1: int):
     """Decode TWO independent n-value chunks in one interleaved native call.
 
@@ -329,10 +632,20 @@ def parallel_chunks(payload, values_per_chunk: int, n_chunks: int,
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
     if positions is None:
-        # Headerless stream: try the speculative parallel scan first — all
-        # cores discover the GOP boundaries together, then all cores
-        # decode.  None (tiny payload / truncation / no native lib) falls
-        # back to the serial scan-ahead below.
+        if decode_fn is decode_values_planar4:
+            # Headerless planar4 stream: the fused speculative DECODE —
+            # one table walk total instead of scan + decode, so the plain
+            # path runs at ~the indexed path's speed.  None (tiny payload
+            # / truncation / no native lib) falls through.
+            fused = speculative_planar4_chunks(
+                payload, values_per_chunk, n_chunks, workers
+            )
+            if fused is not None:
+                yield from fused
+                return
+        # Speculative parallel scan: all cores discover the GOP
+        # boundaries together, then all cores decode.  None falls back
+        # to the serial scan-ahead below.
         positions = speculative_positions(
             payload, values_per_chunk, n_chunks, workers
         )

@@ -100,6 +100,50 @@ def load():
             ctypes.c_size_t,  # exc_cap
             ctypes.c_void_p,  # exc_counts (uint64[nstreams])
         ]
+        lib.eg_decode_planar4_seg_multi.restype = ctypes.c_int
+        lib.eg_decode_planar4_seg_multi.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_uint64,  # nbits_avail
+            ctypes.c_int,     # nstreams
+            ctypes.c_void_p,  # bitpos (uint64[nstreams], in/out)
+            ctypes.c_void_p,  # end_bits (uint64[nstreams])
+            ctypes.c_void_p,  # recs (uint64[nstreams * rec_cap])
+            ctypes.c_size_t,  # rec_cap
+            ctypes.c_void_p,  # ckpt_cnts (uint64[nstreams * ckpt_cap])
+            ctypes.c_void_p,  # ckpt_poss
+            ctypes.c_size_t,  # ckpt_cap
+            ctypes.c_int,     # ckpt_shift
+            ctypes.c_void_p,  # planes (nstreams * plane_stride bytes)
+            ctypes.c_size_t,  # plane_stride
+            ctypes.c_size_t,  # val_cap
+            ctypes.c_void_p,  # exc_idx (nstreams * exc_cap)
+            ctypes.c_void_p,  # exc_val
+            ctypes.c_size_t,  # exc_cap
+            ctypes.c_void_p,  # exc_counts (uint64[nstreams])
+            ctypes.c_void_p,  # counts (uint64[nstreams])
+        ]
+        lib.eg_decode_catchup.restype = ctypes.c_int
+        lib.eg_decode_catchup.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_uint64,  # nbits_avail
+            ctypes.c_uint64,  # bitpos
+            ctypes.c_uint64,  # limit_bit
+            ctypes.c_void_p,  # rec (sorted uint64[rec_len])
+            ctypes.c_size_t,  # rec_len
+            ctypes.c_void_p,  # vals (int32[val_cap])
+            ctypes.c_size_t,  # val_cap
+            ctypes.POINTER(ctypes.c_int64),   # match index or -1
+            ctypes.POINTER(ctypes.c_uint64),  # pos_out
+            ctypes.POINTER(ctypes.c_uint64),  # steps_out
+        ]
+        lib.nibble_copy.restype = None
+        lib.nibble_copy.argtypes = [
+            ctypes.c_void_p,  # dst
+            ctypes.c_size_t,  # d0 (nibble index)
+            ctypes.c_void_p,  # src
+            ctypes.c_size_t,  # s0 (nibble index)
+            ctypes.c_size_t,  # count (nibbles)
+        ]
         lib.eg_scan.restype = ctypes.c_uint64
         lib.eg_scan.argtypes = [
             ctypes.c_void_p,

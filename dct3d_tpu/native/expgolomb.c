@@ -638,6 +638,316 @@ EG_EXPORT int eg_decode_planar4_multi(const uint8_t *data,
     return 0;
 }
 
+/* ------------------------------------------------------------------ */
+/* Fused speculative segment DECODE (the plain-stream fast path).      */
+/*                                                                     */
+/* speculative boundary discovery (eg_scan_segment) + a second decode  */
+/* pass costs two table walks per codeword; here the segment walk IS   */
+/* the planar4 decode.  Each of the nstreams segments walks codewords  */
+/* from bitpos[k] — ASSUMED to be a codeword start; workers guess byte */
+/* boundaries and the Python stitch validates by the rec[] position    */
+/* handshake, discarding each segment's pre-convergence prefix — and   */
+/* decodes every value into the segment's LOCAL nibble plane.  The     */
+/* streams interleave round-robin at window granularity so their       */
+/* serial table-walk chains overlap in the out-of-order core (same     */
+/* trick as eg_decode_planar4_multi, ~1.26x/core).                     */
+/*                                                                     */
+/* Stream k:                                                           */
+/*   plane   at planes + k*plane_stride (>= (val_cap+1)/2 + 16 bytes   */
+/*           — eg_win4 stores 8 bytes unconditionally),                */
+/*   rec     at recs + k*rec_cap: the first rec_cap visited start      */
+/*           positions (handshake targets),                            */
+/*   ckpt    at ckpt_cnts/ckpt_poss + k*ckpt_cap: (count, position)    */
+/*           checkpoints whenever the count crosses a multiple of      */
+/*           1 << ckpt_shift (>= 6: one step visits < 64 codewords),   */
+/*           entry 0 = (0, bitpos[k]) — boundary lookups later rescan  */
+/*           at most one checkpoint interval,                          */
+/*   exceptions at exc_idx/exc_val + k*exc_cap with LOCAL value        */
+/*           indices; counts in exc_counts[k].                         */
+/* On return bitpos[k] = exit position (first start >= end_bits[k], or */
+/* the last reachable start if the data ran out first — the Python     */
+/* side treats a short interior segment as a truncated stream) and     */
+/* counts[k] = values decoded in [entry, exit).                        */
+/* Returns 0 ok, -2 exc_cap overflow, -3 bad nstreams / val_cap hit    */
+/* (callers retry with bigger buffers; outputs are then undefined).    */
+/* ------------------------------------------------------------------ */
+#define EG_SEG_MAX 8
+
+typedef struct {
+    uint64_t pos;
+    uint64_t end_bit;
+    size_t i;
+    uint64_t acc;
+    int accn;
+    uint8_t *plane;
+    uint8_t *dst;
+    uint64_t *ckpt_cnt;
+    uint64_t *ckpt_pos;
+    uint64_t next_ckpt; /* first count that needs a new checkpoint */
+    size_t nexc;
+    int done;
+} EgSegState;
+
+/* Record a checkpoint when the count crossed s->next_ckpt.  The hot
+ * windows pre-check `cnt1 >= s->next_ckpt` (one predictable compare)
+ * before calling, so the shift math here is off the fast path. */
+static void eg_seg_ckpt(EgSegState *s, size_t ckpt_cap, int ckpt_shift,
+                        uint64_t cnt0, uint64_t pos0, uint64_t cnt1) {
+    if ((cnt0 >> ckpt_shift) != (cnt1 >> ckpt_shift)) {
+        uint64_t t = (cnt0 >> ckpt_shift) + 1;
+        if (t < ckpt_cap) {
+            s->ckpt_cnt[t] = cnt0;
+            s->ckpt_pos[t] = pos0;
+        }
+    }
+    s->next_ckpt = ((cnt1 >> ckpt_shift) + 1) << ckpt_shift;
+}
+
+EG_EXPORT int eg_decode_planar4_seg_multi(
+    const uint8_t *data, uint64_t nbits_avail, int nstreams,
+    uint64_t *bitpos, const uint64_t *end_bits,
+    uint64_t *recs, size_t rec_cap,
+    uint64_t *ckpt_cnts, uint64_t *ckpt_poss, size_t ckpt_cap,
+    int ckpt_shift,
+    uint8_t *planes, size_t plane_stride, size_t val_cap,
+    int32_t *exc_idx, int32_t *exc_val, size_t exc_cap,
+    uint64_t *exc_counts, uint64_t *counts) {
+    size_t cap_bytes = (size_t)(nbits_avail >> 3);
+    EgSegState st[EG_SEG_MAX];
+    if (nstreams < 1 || nstreams > EG_SEG_MAX || ckpt_shift < 6) return -3;
+    for (int k = 0; k < nstreams; k++) {
+        EgSegState *s = &st[k];
+        s->pos = bitpos[k];
+        s->end_bit = end_bits[k];
+        s->i = 0;
+        s->acc = 0;
+        s->accn = 0;
+        s->plane = planes + (size_t)k * plane_stride;
+        s->dst = s->plane;
+        s->ckpt_cnt = ckpt_cnts + (size_t)k * ckpt_cap;
+        s->ckpt_pos = ckpt_poss + (size_t)k * ckpt_cap;
+        s->next_ckpt = 1ull << ckpt_shift;
+        s->nexc = 0;
+        s->done = 0;
+        if (ckpt_cap > 0) {
+            s->ckpt_cnt[0] = 0;
+            s->ckpt_pos[0] = s->pos;
+        }
+    }
+    /* phase 1: per-stream scalar walk recording the handshake targets */
+    for (int k = 0; k < nstreams; k++) {
+        EgSegState *s = &st[k];
+        uint64_t *rec = recs + (size_t)k * rec_cap;
+        while (s->i < rec_cap && s->pos < s->end_bit) {
+            if (s->i >= val_cap) return -3;
+            rec[s->i] = s->pos;
+            int32_t one;
+            uint64_t p2 = s->pos;
+            if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
+                s->done = 1; /* ran out: exit = last reachable start */
+                break;
+            }
+            if (s->i + 1 >= s->next_ckpt)
+                eg_seg_ckpt(s, ckpt_cap, ckpt_shift, s->i, s->pos,
+                            s->i + 1);
+            s->pos = p2;
+            uint8_t nib = (uint8_t)(one & 0xF);
+            if (s->i & 1)
+                *s->dst++ |= (uint8_t)(nib << 4);
+            else
+                *s->dst = nib;
+            if (one < -8 || one > 7) {
+                if (s->nexc >= exc_cap) return -2;
+                exc_idx[(size_t)k * exc_cap + s->nexc] = (int32_t)s->i;
+                exc_val[(size_t)k * exc_cap + s->nexc] = one;
+                s->nexc++;
+            }
+            s->i++;
+        }
+        if (!s->done && s->pos >= s->end_bit) s->done = 1;
+    }
+    /* phase 2: round-robin interleaved fast walk */
+    int live = 0;
+    for (int k = 0; k < nstreams; k++)
+        if (!st[k].done) live++;
+    while (live > 0) {
+        for (int k = 0; k < nstreams; k++) {
+            EgSegState *s = &st[k];
+            if (s->done) continue;
+#if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+            if (!((s->i ^ (size_t)s->accn) & 1) &&
+                s->i + 4 * EG_WIN + 16 <= val_cap &&
+                (s->pos >> 3) + 8 <= cap_bytes &&
+                s->pos + 4 * EG_WIN <= s->end_bit) {
+                uint64_t cnt0 = s->i, pos0 = s->pos;
+                int used = eg_win4(data, s->pos, &s->acc, &s->accn, &s->i,
+                                   &s->dst);
+                if (s->i >= s->next_ckpt)
+                    eg_seg_ckpt(s, ckpt_cap, ckpt_shift, cnt0, pos0, s->i);
+                if (used > 0) {
+                    s->pos += (uint64_t)used;
+                    continue; /* stay on the fast path */
+                }
+                s->pos += (uint64_t)(-used);
+                if (s->pos < s->end_bit) {
+                    int64_t v;
+                    cnt0 = s->i;
+                    pos0 = s->pos;
+                    if (eg_slow_one(data, cap_bytes, nbits_avail, &s->pos,
+                                    &s->acc, &s->accn, &s->i, &s->dst, &v)) {
+                        if (s->i >= s->next_ckpt)
+                            eg_seg_ckpt(s, ckpt_cap, ckpt_shift, cnt0, pos0,
+                                        s->i);
+                        if (v < -8 || v > 7) {
+                            if (s->nexc >= exc_cap) return -2;
+                            exc_idx[(size_t)k * exc_cap + s->nexc] =
+                                (int32_t)(s->i - 1);
+                            exc_val[(size_t)k * exc_cap + s->nexc] =
+                                (int32_t)v;
+                            s->nexc++;
+                        }
+                        continue;
+                    }
+                }
+                /* stalled at/past end_bit, long zero run, or data end:
+                 * fall through to the flush + scalar/terminal handling */
+            }
+#endif
+            /* flush pending nibbles before any scalar/terminal handling */
+            if (s->accn > 0) {
+                uint64_t lo = (uint64_t)s->acc;
+                for (int b = (s->accn + 1) >> 1; b > 0; b--) {
+                    *s->dst++ = (uint8_t)lo;
+                    lo >>= 8;
+                }
+                if (s->accn & 1) s->dst--;
+                s->acc = 0;
+                s->accn = 0;
+            }
+            if (s->pos >= s->end_bit) {
+                s->done = 1;
+                live--;
+                continue;
+            }
+            if (s->i >= val_cap) return -3;
+            /* scalar: one codeword (window tail, long zero run, or the
+             * approach to end_bit) */
+            int32_t one;
+            uint64_t p2 = s->pos;
+            if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0) {
+                s->done = 1; /* ran out: exit = last reachable start */
+                live--;
+                continue;
+            }
+            if (s->i + 1 >= s->next_ckpt)
+                eg_seg_ckpt(s, ckpt_cap, ckpt_shift, s->i, s->pos,
+                            s->i + 1);
+            s->pos = p2;
+            uint8_t nib = (uint8_t)(one & 0xF);
+            if (s->i & 1)
+                *s->dst++ |= (uint8_t)(nib << 4);
+            else
+                *s->dst = nib;
+            if (one < -8 || one > 7) {
+                if (s->nexc >= exc_cap) return -2;
+                exc_idx[(size_t)k * exc_cap + s->nexc] = (int32_t)s->i;
+                exc_val[(size_t)k * exc_cap + s->nexc] = (int32_t)one;
+                s->nexc++;
+            }
+            s->i++;
+        }
+    }
+    for (int k = 0; k < nstreams; k++) {
+        bitpos[k] = st[k].pos;
+        counts[k] = st[k].i;
+        exc_counts[k] = st[k].nexc;
+    }
+    return 0;
+}
+
+/* Catch-up for a failed handshake that DECODES: walk from `bitpos` one
+ * codeword at a time, appending values to vals[], until the position
+ * equals an entry of the sorted rec[] array (*match = its index), or
+ * >= limit_bit, or the data runs out (both: *match = -1; the caller
+ * distinguishes stream end by *pos_out < limit_bit, which is only legal
+ * in the FINAL segment).  *steps_out values were written; the caller
+ * splices them ahead of the segment's post-convergence span.  Returns 0,
+ * or -2 if val_cap would overflow. */
+EG_EXPORT int eg_decode_catchup(const uint8_t *data, uint64_t nbits_avail,
+                                uint64_t bitpos, uint64_t limit_bit,
+                                const uint64_t *rec, size_t rec_len,
+                                int32_t *vals, size_t val_cap,
+                                int64_t *match, uint64_t *pos_out,
+                                uint64_t *steps_out) {
+    uint64_t pos = bitpos;
+    uint64_t steps = 0;
+    size_t r = 0;
+    while (pos < limit_bit) {
+        while (r < rec_len && rec[r] < pos) r++;
+        if (r < rec_len && rec[r] == pos) {
+            *match = (int64_t)r;
+            *pos_out = pos;
+            *steps_out = steps;
+            return 0;
+        }
+        if (steps >= val_cap) return -2;
+        int32_t one;
+        uint64_t p2 = pos;
+        if (eg_decode(data, nbits_avail, &p2, &one, 1) != 0)
+            break; /* data ran out: pos is the last reachable start */
+        pos = p2;
+        vals[steps++] = one;
+    }
+    *match = -1;
+    *pos_out = pos;
+    *steps_out = steps;
+    return 0;
+}
+
+/* Copy `count` 4-bit values between packed nibble planes at arbitrary
+ * nibble offsets (value i lives in byte i >> 1, low nibble when i is
+ * even) — the speculative decode's chunk assembly primitive.  Byte-
+ * boundary nibbles merge read-modify-write, so adjacent spans may share
+ * a byte regardless of write order.  Never reads or writes outside the
+ * nibbles' own bytes.  The misaligned case runs a SWAR shift at ~8
+ * bytes/iteration. */
+EG_EXPORT void nibble_copy(uint8_t *dst, size_t d0,
+                           const uint8_t *src, size_t s0, size_t count) {
+    if (!count) return;
+    if (d0 & 1) { /* head: align dst to a byte boundary */
+        uint8_t v = (uint8_t)((src[s0 >> 1] >> ((s0 & 1) * 4)) & 0xF);
+        dst[d0 >> 1] = (uint8_t)((dst[d0 >> 1] & 0x0F) | (v << 4));
+        d0++;
+        s0++;
+        if (!--count) return;
+    }
+    uint8_t *d = dst + (d0 >> 1);
+    const uint8_t *p = src + (s0 >> 1);
+    size_t nb = count >> 1; /* full destination bytes */
+    if (!(s0 & 1)) { /* aligned: whole bytes + optional tail nibble */
+        memcpy(d, p, nb);
+        if (count & 1)
+            d[nb] = (uint8_t)((d[nb] & 0xF0) | (p[nb] & 0xF));
+        return;
+    }
+    /* misaligned: dst byte j = (p[j] >> 4) | (p[j+1] << 4) */
+    size_t j = 0;
+#if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+    const uint64_t M = 0x0F0F0F0F0F0F0F0Full;
+    for (; j + 8 <= nb; j += 8) {
+        uint64_t x, y, o;
+        memcpy(&x, p + j, 8);
+        memcpy(&y, p + j + 1, 8);
+        o = ((x >> 4) & M) | ((y & M) << 4);
+        memcpy(d + j, &o, 8);
+    }
+#endif
+    for (; j < nb; j++)
+        d[j] = (uint8_t)((p[j] >> 4) | (uint8_t)(p[j + 1] << 4));
+    if (count & 1)
+        d[nb] = (uint8_t)((d[nb] & 0xF0) | (p[nb] >> 4));
+}
+
 /* Scan without materializing values: returns the bit position after
  * skipping n codewords, or UINT64_MAX if the stream ran out.  Used by the
  * parallel decoder to find GOP bit boundaries cheaply (codec/decoder.py).
