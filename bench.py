@@ -237,20 +237,26 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     from dct3d_tpu.codec import entropy
     from dct3d_tpu.codec.transform import decode_step_planar4
 
-    from dct3d_tpu.codec.decoder import _pad_exceptions
+    from dct3d_tpu.codec.decoder import _pad_exceptions, _split_dc_flat
 
     cpg = w * h * dcfg.gop_size
     payload = zlib.decompress(data)
     plane, ei, ev, _ = entropy.decode_values_planar4(payload, cpg)
-    exc_idx, exc_val = _pad_exceptions(plane.size * 2, ei, ev)
+    # Production flat dispatch splits the DC column out of the exception
+    # list and splices it on device (_dispatch_planar4) — measure exactly
+    # those operands.
+    fdc, fei, fev = _split_dc_flat(plane, ei.astype(np.int64), ev,
+                                   dcfg.cube_size)
+    exc_idx, exc_val = _pad_exceptions(plane.size * 2, fei, fev)
     pd, pi, pv = jnp.asarray(plane), jnp.asarray(exc_idx), jnp.asarray(exc_val)
+    pdc = jnp.asarray(fdc)
 
     def dchain(steps: int) -> float:
         fd = None
         t0 = time.perf_counter()
         for _ in range(steps):
             fd = decode_step_planar4(pd, pi, pv, ctx.dec_me, ctx.dec_mo,
-                                     cfg=dcfg, height=h, width=w)
+                                     cfg=dcfg, height=h, width=w, dc=pdc)
         jax.device_get(fd[0, 0, 0])
         return time.perf_counter() - t0
 

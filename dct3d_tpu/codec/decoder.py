@@ -71,6 +71,28 @@ def _dispatch_planar(planar, ctx: TransformContext, cfg: CodecConfig,
     )
 
 
+def _split_dc_flat(plane: np.ndarray, idx: np.ndarray, val: np.ndarray,
+                   cube: int):
+    """Derive the dense per-cube DC vector of a FLAT nibble plane and drop
+    the DC entries from the exception list.
+
+    dc[c] is the true value at flat index c*cube: the sign-extended low
+    nibble of the cube's first plane byte, overwritten by its exception
+    when one exists — exact by construction for ANY stream (unlike the
+    turbo wire, the flat format keeps small DCs in the nibble; the
+    reference-profile dequant is DC-heavy, decoder.c:48-59).  The device
+    then splices dc as column 0 (planar4_to_frames) and the exception
+    scatter shrinks to the true outliers (~40K -> ~8K at 1080p).
+    Returns (dc int32, idx', val')."""
+    dc = (((plane[:: cube // 2].astype(np.int32)) & 0xF) ^ 8) - 8
+    is_dc = (idx % cube) == 0
+    if is_dc.any():
+        dc[idx[is_dc] // cube] = val[is_dc]
+        idx = idx[~is_dc]
+        val = val[~is_dc]
+    return dc, idx, val
+
+
 def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
                       height: int, width: int, wire: bool = False):
     """Dispatch from the packed-nibble planar format (half the upload).
@@ -78,16 +100,24 @@ def _dispatch_planar4(planar, ctx: TransformContext, cfg: CodecConfig,
     wire=True: the plane is the turbo member's (cube/2, cubes) wire layout
     and the device consumes its word rows directly (no host
     byte_transpose).  A 4-tuple planar carries the dense DC vector
-    separately (turbo._parse_payload(split_dc=True)) — the device splices
-    it as column 0 instead of scattering `cubes` extra exception
+    separately (turbo._parse_payload(split_dc=True)); a flat 3-tuple gets
+    the same split derived host-side (_split_dc_flat) — both splice DC as
+    column 0 on device instead of scattering `cubes` extra exception
     elements."""
     dc = None
     if len(planar) == 4:
         plane, dc, idx, val = planar
         dc = jax.numpy.asarray(np.ascontiguousarray(dc, np.int32))
+        plane = np.asarray(plane)
     else:
         plane, idx, val = planar
-    plane = np.asarray(plane)
+        plane = np.asarray(plane)
+        if not wire and plane.size:
+            dc_np, idx, val = _split_dc_flat(
+                plane.reshape(-1), np.asarray(idx), np.asarray(val),
+                cfg.cube_size,
+            )
+            dc = jax.numpy.asarray(dc_np)
     n = plane.size * 2
     exc_idx, exc_val = _pad_exceptions(n, np.asarray(idx), np.asarray(val))
     return decode_step_planar4(

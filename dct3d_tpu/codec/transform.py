@@ -288,9 +288,17 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     """Unjitted decode_step_planar4 body — also the per-shard body of the
     sharded turbo decode (codec/turbo.py), where `height` is the tile's
     local height.  One body so every planar4 path keeps the identical
-    split-matmul summation order (the transparency invariant)."""
-    if dc is not None and not wire:
-        raise ValueError("the dc splice requires the wire layout")
+    split-matmul summation order (the transparency invariant).
+
+    `dc`: optional dense per-cube DC vector spliced as the even plane's
+    column 0 instead of riding the exception scatter.  On the wire it
+    comes from the member's own dense DC stream
+    (turbo._parse_payload(split_dc=True)); on the FLAT path the host
+    derives it exactly from nibble column 0 + the DC exceptions
+    (decoder._split_dc_flat) — either way the matmul operands are
+    bit-identical to the scatter route's, and the scatter shrinks from
+    ~40K to the ~8K true outliers (element scatters are latency-bound;
+    PERFORMANCE.md round 4/5)."""
     hc = cfg.cube_size // 2
     if wire:
         # The wire's byte order never materializes: un-bitcasting the word
@@ -359,9 +367,16 @@ def planar4_to_frames(plane, exc_idx, exc_val, dec_me, dec_mo, *, cfg,
     lo = lo.at[e_even].set(exc_val, mode="drop", unique_indices=True)
     hi = hi.at[e_odd].set(exc_val, mode="drop", unique_indices=True)
     perm, dec_me, dec_mo = _perm_decode(cfg, height, width, dec_me, dec_mo)
-    pixels = _dequant_matmul(
-        lo.reshape(-1, hc), hi.reshape(-1, hc), dec_me, dec_mo
-    )
+    lo2 = lo.reshape(-1, hc)
+    if dc is not None:
+        # DC is coefficient 0 = the even plane's column 0: an elementwise
+        # select that fuses into the matmul operand read, vs scattering
+        # `cubes` extra exception elements.
+        lo2 = jnp.where(
+            jnp.arange(hc, dtype=jnp.int32)[None, :] == 0,
+            dc.astype(jnp.int32)[:, None], lo2,
+        )
+    pixels = _dequant_matmul(lo2, hi.reshape(-1, hc), dec_me, dec_mo)
     return _finish_frames(pixels, cfg, height, width, perm=perm)
 
 

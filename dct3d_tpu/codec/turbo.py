@@ -267,19 +267,31 @@ def _member_payload(plane: np.ndarray, dc: np.ndarray, idx: np.ndarray,
     else:
         cubes = plane.size * 2 // cube
         wire_plane = native.byte_transpose(plane.reshape(cubes, cube // 2))
-    j = (idx % cube).astype(np.int64)
-    c = idx // cube
-    i2 = ((j >> 1) * cubes + c) * 2 + (j & 1)
-    order = np.argsort(i2, kind="stable")
-    i2 = i2[order]
+    idx = np.asarray(idx, np.int64)
+    if cube & (cube - 1) == 0:  # power-of-two cubes: shift/mask, no divmod
+        j = idx & (cube - 1)
+        c = idx >> (cube.bit_length() - 1)
+    else:  # pragma: no cover - block dims are powers of two in practice
+        j = idx % cube
+        c = idx // cube
+    # Coefficient-pair-major order = stable sort by the pair key alone:
+    # the incoming idx is cube-major ascending, so within one pair the
+    # (cube, parity) order is already right.  A narrow key makes numpy's
+    # stable sort a 1-2 pass radix (~5x the int64 argsort this replaces).
+    pair = j >> 1
+    key_dtype = np.uint8 if cube <= 512 else np.uint16
+    order = np.argsort(pair.astype(key_dtype), kind="stable")
+    i2 = ((pair * cubes + c) * 2 + (j & 1))[order]
     didx = np.diff(i2, prepend=np.int64(0)).astype(np.int32)
     dc = np.asarray(dc, np.int16)
     ddc = np.diff(dc, prepend=np.int16(0)).astype(np.int16)  # |dc| <= 5771
+    # _compress takes any buffer: no 8.3 MB tobytes copy of the plane.
     parts = [
-        _compress(wire_plane.tobytes(), cfg),
-        _compress(ddc.tobytes(), cfg),
-        _compress(didx.tobytes(), cfg),
-        _compress(np.asarray(val)[order].astype(np.int16).tobytes(), cfg),
+        _compress(wire_plane.reshape(-1), cfg),
+        _compress(ddc, cfg),
+        _compress(didx, cfg),
+        _compress(np.ascontiguousarray(np.asarray(val)[order], np.int16),
+                  cfg),
     ]
     head = struct.pack("<IIII", *(len(p) for p in parts))
     return head + b"".join(parts)
@@ -619,14 +631,18 @@ class TurboShardedEncoder:
 
 class TurboShardedDecoder:
     """Turbo decode over a (gop, tile) device mesh; pixels byte-identical
-    to the single-device turbo decode (same planar4 body, same split
-    matmul summation order — codec/transform.py planar4_to_frames).
+    to the single-device turbo decode — the SAME production composition:
+    split-DC parse (_parse_payload(split_dc=True)) + wire word peel +
+    DC-as-column splice + the planar4 split-matmul body
+    (codec/transform.py planar4_to_frames), so mesh and single-chip
+    paths cannot diverge.
 
     Host work per mesh step is just n_gop parallel payload parses (pure
     decompression) + a contiguous tile reshape: the cube-major plane
-    slices per tile without any relayout transpose, and exceptions split
-    by flat-index range.  Member counts that don't fill a whole mesh step
-    fall back to the single-device path for the tail.
+    slices per tile without any relayout transpose, exceptions split by
+    flat-index range, and the dense DC vector by cube range.  Member
+    counts that don't fill a whole mesh step fall back to the
+    single-device path for the tail.
     """
 
     def __init__(self, width, height, mesh, cfg=None, ctx=None,
@@ -660,13 +676,18 @@ class TurboShardedDecoder:
         cfg_ = self.cfg
         local_h = height // n_tile
 
-        def _shard(plane, ei, ev, dec_me, dec_mo):
+        def _shard(plane, dc, ei, ev, dec_me, dec_mo):
             # wire=True: each shard peels its own wire slab's words on
             # device (ops/relayout.wire_words + pair unscramble) — the
             # host never byte-transposes on the sharded decode either.
+            # dc: the member's dense DC stream, sliced per tile (tiles own
+            # contiguous cube ranges) and spliced as column 0 — the SAME
+            # split-DC composition as the single-chip production decode
+            # (_decode_members), so the two cannot diverge.
             return planar4_to_frames(
                 plane[0, 0], ei[0, 0], ev[0, 0], dec_me, dec_mo,
                 cfg=cfg_, height=local_h, width=width, wire=True,
+                dc=dc[0, 0],
             )
 
         fn = shard_map(
@@ -674,42 +695,47 @@ class TurboShardedDecoder:
             mesh=mesh,
             in_specs=(P(GOP_AXIS, TILE_AXIS, None, None),
                       P(GOP_AXIS, TILE_AXIS, None),
+                      P(GOP_AXIS, TILE_AXIS, None),
                       P(GOP_AXIS, TILE_AXIS, None), P(), P()),
             out_specs=P(GOP_AXIS, TILE_AXIS, None),
         )
         self._step = jax.jit(
-            lambda p, ei, ev: fn(p, ei, ev, self.ctx.dec_me, self.ctx.dec_mo)
+            lambda p, dc, ei, ev: fn(p, dc, ei, ev,
+                                     self.ctx.dec_me, self.ctx.dec_mo)
         )
 
     def _stage(self, parsed) -> tuple:
-        """n_gop parsed WIRE payloads -> sharded (plane, exc_idx, exc_val).
+        """n_gop parsed split-DC WIRE payloads -> sharded
+        (plane, dc, exc_idx, exc_val).
 
         Tiles own contiguous cube ranges, so tile t's wire slab is columns
         [t*local_c, (t+1)*local_c) of the (cube/2, cubes) wire plane — a
-        cheap row-chunk copy, never a byte transpose."""
+        cheap row-chunk copy, never a byte transpose — and its DC span is
+        the same contiguous slice of the dense DC vector."""
         n_gop, n_tile = self._mesh_shape
         npg = self.width * self.height * self.cfg.gop_size
         local_n = npg // n_tile
         hc = self.cfg.cube_size // 2
         plane = np.stack([
             np.swapaxes(p.reshape(hc, n_tile, -1), 0, 1)
-            for p, _, _ in parsed
+            for p, _, _, _ in parsed
         ])  # (n_gop, n_tile, hc, local_cubes)
+        dc = np.stack([d.reshape(n_tile, -1) for _, d, _, _ in parsed])
         counts = [
             int(((idx >= t * local_n) & (idx < (t + 1) * local_n)).sum())
-            for _, idx, _ in parsed for t in range(n_tile)
+            for _, _, idx, _ in parsed for t in range(n_tile)
         ]
         cap = max(1024, 1 << int(np.ceil(np.log2(max(1, max(counts))))))
         ei = np.full((n_gop, n_tile, cap), local_n, np.int32)
         ev = np.zeros((n_gop, n_tile, cap), np.int32)
-        for g, (_, idx, val) in enumerate(parsed):
+        for g, (_, _, idx, val) in enumerate(parsed):
             tile = idx // local_n
             for t in range(n_tile):
                 sel = tile == t
                 k = int(sel.sum())
                 ei[g, t, :k] = idx[sel] - t * local_n
                 ev[g, t, :k] = val[sel]
-        return plane, ei, ev
+        return plane, dc, ei, ev
 
     def decode(self, data: bytes,
                member_type: int = MEMBER_TURBO) -> np.ndarray:
@@ -747,7 +773,7 @@ class TurboShardedDecoder:
         with ThreadPoolExecutor(self._workers) as pool:
             lookahead = max(n_gop, 2 * self._workers)
             inflight: collections.deque = collections.deque(
-                pool.submit(_parse_payload, m[1], cube, True)
+                pool.submit(_parse_payload, m[1], cube, True, True)
                 for m in members[: min(n_steps * n_gop, lookahead)]
             )
             nxt = len(inflight)
@@ -758,12 +784,13 @@ class TurboShardedDecoder:
                     if nxt < n_steps * n_gop:
                         inflight.append(pool.submit(
                             _parse_payload, members[nxt][1], cube,
-                            True,
+                            True, True,
                         ))
                         nxt += 1
-                plane, ei, ev = self._stage(parsed)
+                plane, dc, ei, ev = self._stage(parsed)
                 fd = self._step(
                     jax.device_put(plane, self._sharding),
+                    jax.device_put(dc, self._sharding),
                     jax.device_put(ei, self._sharding),
                     jax.device_put(ev, self._sharding),
                 )

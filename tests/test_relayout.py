@@ -173,3 +173,43 @@ def test_wire_decode_dc_splice_matches_merged(rng):
         ctx.dec_me, ctx.dec_mo, cfg=cfg, height=h, width=w, wire=True,
         dc=jnp.asarray(dc)))
     np.testing.assert_array_equal(f_merged, f_split)
+
+
+def test_flat_decode_dc_splice_matches_scatter(rng):
+    """The flat-path DC splice (decoder._split_dc_flat -> dc spliced as the
+    even plane's column 0) must emit frames BYTE-identical to scattering
+    every DC through the exception list — the production flat decode uses
+    the splice (decoder._dispatch_planar4)."""
+    from dct3d_tpu.codec.decoder import _split_dc_flat
+    from dct3d_tpu.codec.transform import TransformContext, decode_step_planar4
+
+    cfg = CodecConfig()
+    ctx = TransformContext(cfg)
+    t, h, w = 8, 32, 64
+    n = t * h * w
+    cubes = n // cfg.cube_size
+    plane = rng.integers(0, 256, n // 2, dtype=np.uint16).astype(np.uint8)
+    # Exceptions: every large DC + some AC outliers; SMALL DCs stay in the
+    # nibble plane (the planar4 emitter's behavior the split must honor).
+    dc_exc_cubes = np.sort(rng.choice(cubes, cubes * 3 // 4, replace=False))
+    ac_idx = np.sort(rng.choice(
+        np.setdiff1d(np.arange(n), np.arange(cubes) * cfg.cube_size),
+        n // 128, replace=False)).astype(np.int64)
+    idx = np.sort(np.concatenate(
+        [ac_idx, dc_exc_cubes.astype(np.int64) * cfg.cube_size]))
+    val = np.where(idx % cfg.cube_size == 0,
+                   rng.integers(-5771, 5771, idx.size),
+                   rng.integers(-2000, 2000, idx.size)).astype(np.int32)
+    # scatter route: everything through the exception list
+    f_scatter = np.asarray(decode_step_planar4(
+        jnp.asarray(plane), jnp.asarray(idx.astype(np.int32)),
+        jnp.asarray(val), ctx.dec_me, ctx.dec_mo,
+        cfg=cfg, height=h, width=w))
+    # splice route: the production host split
+    dc, idx2, val2 = _split_dc_flat(plane, idx, val, cfg.cube_size)
+    assert idx2.size == ac_idx.size  # every DC left the exception list
+    f_split = np.asarray(decode_step_planar4(
+        jnp.asarray(plane), jnp.asarray(idx2.astype(np.int32)),
+        jnp.asarray(val2), ctx.dec_me, ctx.dec_mo,
+        cfg=cfg, height=h, width=w, dc=jnp.asarray(dc)))
+    np.testing.assert_array_equal(f_scatter, f_split)

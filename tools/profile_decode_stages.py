@@ -62,13 +62,26 @@ def main():
     print(f"backend pallas={use_pallas}  n={n}  cubes={n // cfg.cube_size}")
 
     # Realistic reference-profile planar4 inputs: packed nibble plane plus
-    # one DC exception per cube (the decoder always routes DC through the
-    # exception list) and a sprinkle of AC outliers.
+    # one DC exception per cube (typical content's DCs exceed the nibble)
+    # and a sprinkle of AC outliers.
     plane = rng.integers(0, 256, n // 2, dtype=np.uint16).astype(np.uint8)
-    n_exc = n // cfg.cube_size + 8192
-    exc_idx = np.sort(rng.choice(n, n_exc, replace=False)).astype(np.int32)
+    cubes = n // cfg.cube_size
+    ac_idx = np.sort(rng.choice(
+        np.setdiff1d(np.arange(n), np.arange(cubes) * cfg.cube_size),
+        8192, replace=False))
+    exc_idx = np.sort(np.concatenate(
+        [ac_idx, np.arange(cubes) * cfg.cube_size])).astype(np.int32)
+    n_exc = exc_idx.size
     exc_val = rng.integers(-2000, 2000, n_exc).astype(np.int32)
     pd, pi, pv = jnp.asarray(plane), jnp.asarray(exc_idx), jnp.asarray(exc_val)
+    # Round-5 production flat route: dense DC split host-side and spliced
+    # on device; the exception scatter keeps only the AC outliers.
+    from dct3d_tpu.codec.decoder import _split_dc_flat
+
+    fdc, fi, fv = _split_dc_flat(plane, exc_idx.astype(np.int64), exc_val,
+                                 cfg.cube_size)
+    sdc, spi, spv = (jnp.asarray(fdc), jnp.asarray(fi.astype(np.int32)),
+                     jnp.asarray(fv))
     # Turbo wire layout: (cube/2, cubes) plane as it arrives off the member.
     wire = jnp.asarray(
         plane.reshape(-1, cfg.cube_size // 2).T.copy()
@@ -82,6 +95,13 @@ def main():
     def prefix(stage):
         def fn(plane, ei, ev, salt):
             plane = plane ^ (salt & 1).astype(jnp.uint8)
+            if stage == "prod_split":
+                # The SHIPPED flat route (decoder._dispatch_planar4):
+                # AC-only scatter + DC column splice.
+                return planar4_to_frames(
+                    plane, spi, spv, ctx.dec_me, ctx.dec_mo, cfg=cfg,
+                    height=H, width=W, dc=sdc,
+                )
             if stage.startswith("prod"):
                 # The shipped composition itself (codec/transform.py), so
                 # the roofline cannot drift from production code.
@@ -126,7 +146,7 @@ def main():
 
     stages = ("expand", "scatter", "matmul", "relayout", "full",
               "wire", "wire_expand", "wire_scatter", "wire_matmul",
-              "wire_full", "prod_full", "prod_wire")
+              "wire_full", "prod_full", "prod_split", "prod_wire")
     results = {}
     for stage in stages:
         body_fn = prefix(stage)
