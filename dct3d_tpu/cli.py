@@ -155,11 +155,20 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
         "archival; any level decodes any wire)",
     )
     p.add_argument(
-        "--index", action="store_true",
+        "--index", action="store_true", default=None,
         help="encode: wrap the stream in a D3MH container with a seekable "
         "per-GOP bit index member — decode then needs no frame count and "
         "its host entropy stage scales with cores (no serial stream scan); "
-        "the stream member itself stays byte-identical",
+        "the stream member itself stays byte-identical.  DEFAULT for file "
+        "outputs; combined with --parity the reference-byte-exact stream "
+        "stays raw and the index goes to a <output>.idx sidecar (decode "
+        "auto-loads it)",
+    )
+    p.add_argument(
+        "--no-index", dest="index", action="store_false",
+        help="encode: emit the raw headerless stream with no container "
+        "framing and no sidecar (the reference's own output shape; decode "
+        "then needs an explicit frame count)",
     )
     p.add_argument(
         "--checkpoint-every", type=int, default=0, metavar="GOPS",
@@ -419,7 +428,10 @@ def cmd_encode(args) -> int:
 
             data = encode_turbo_rgb_video(video, cfg, mesh=mesh)
         else:
-            data = encode_rgb_video(video, cfg, index=args.index, mesh=mesh)
+            # Channel index members by default (seekable container either
+            # way); --no-index opts out.
+            data = encode_rgb_video(video, cfg, index=args.index is not False,
+                                    mesh=mesh)
         dt = time.perf_counter() - t0
         with _open_out(args.output) as f:
             f.write(data)
@@ -520,7 +532,9 @@ def cmd_encode(args) -> int:
         t0 = time.perf_counter()
         with profile_to(args.profile_dir), CheckpointingEncoder(
             args.output, width, height, cfg,
-            checkpoint_gops=args.checkpoint_every, index=args.index,
+            # Explicit --index only: resume must find the member layout the
+            # original run wrote, so the checkpoint default stays put.
+            checkpoint_gops=args.checkpoint_every, index=bool(args.index),
             mesh=mesh,
         ) as cenc:
             skip = cenc.frames_done
@@ -546,10 +560,20 @@ def cmd_encode(args) -> int:
         enc = ShardedEncoder(width, height, mesh, cfg)
     else:
         enc = StreamingEncoder(width, height, cfg)
+    # Seekability is the DEFAULT for file outputs (VERDICT r4 #3): wrap
+    # the stream in an indexed container so decode needs no frame count
+    # and the host entropy stage jumps straight to every GOP.  --parity
+    # keeps the raw reference-byte-exact layout (explicit --index then
+    # writes the index to a <output>.idx sidecar; the stream file stays
+    # byte-identical); --no-index restores the raw headerless stream;
+    # stdout cannot seek to patch the header, so it stays raw.
+    write_container = (not args.parity and args.index is not False
+                       and args.output != "-")
+    write_sidecar = bool(args.index) and args.parity
     t0 = time.perf_counter()
     written = 0
     with profile_to(args.profile_dir), _open_out(args.output) as out:
-        if args.index:
+        if write_container:
             # Container framing: placeholder member header now; BOTH the
             # frame count and the payload length are patched after
             # streaming (so a pipe, whose length is unknowable up front,
@@ -562,23 +586,36 @@ def cmd_encode(args) -> int:
             )
 
             if frames is not None and frames > _MAX_MEMBER_FRAMES:
-                print(f"--index: {frames} frames exceed one member's "
-                      f"2^24-1 limit; use --checkpoint-every instead",
+                if args.index:
+                    print(f"--index: {frames} frames exceed one member's "
+                          f"2^24-1 limit; use --checkpoint-every instead",
+                          file=sys.stderr)
+                    return 2
+                print(f"note: {frames} frames exceed one indexed member's "
+                      "2^24-1 limit; writing a raw headerless stream",
                       file=sys.stderr)
-                return 2
+                write_container = False
+        if write_container:
             if frames is None:  # pipe: bound by the member header field
                 frames = _MAX_MEMBER_FRAMES - _MAX_MEMBER_FRAMES % align
             out.write(MEMBER_MAGIC + struct.pack("<IQ", 0, 0))
         for batch in _frame_batches(args, video, width, height, align, frames):
             written += out.write(enc.push(batch))
         written += out.write(enc.finish())
-        if args.index:
+        if write_container:
             out.write(make_index_member(enc.gop_bit_ends))
             out.seek(4)
             out.write(struct.pack(
                 "<IQ", (MEMBER_TEMPORAL << 24) | enc.frames_encoded, written
             ))
             written = out.seek(0, os.SEEK_END)
+    if write_sidecar:
+        from .parallel.multihost import make_index_member
+
+        with open(args.output + ".idx", "wb") as sf:
+            sf.write(make_index_member(enc.gop_bit_ends))
+        say(f"index sidecar -> {args.output}.idx (stream file stays "
+            "reference-byte-exact)")
     dt = time.perf_counter() - t0
     frames = enc.frames_encoded
     if frames == 0:
@@ -688,16 +725,44 @@ def cmd_decode(args) -> int:
             print("note: --range decodes single-device; ignoring --mesh",
                   file=sys.stderr)
             args.mesh = None
+    # Raw stream with an .idx sidecar (encode --parity --index): the
+    # stream file is reference-byte-exact, the sidecar supplies the frame
+    # count and the per-GOP positions for the indexed entropy path.
+    sidecar_positions = None
+    sidecar_frames = None
+    if head != b"D3MH" and args.input != "-":
+        idx_path = args.input + ".idx"
+        if os.path.exists(idx_path):
+            from .parallel.multihost import (
+                MEMBER_INDEX, gop_positions, parse_index, split_members,
+            )
+
+            try:
+                with open(idx_path, "rb") as f:
+                    idx_members = split_members(f.read())
+            except ValueError:
+                idx_members = []
+            ends = next(
+                (parse_index(p) for _, p, t in idx_members
+                 if t == MEMBER_INDEX), None,
+            )
+            if ends:
+                sidecar_frames = len(ends) * cfg.gop_size
+                sidecar_positions = gop_positions(
+                    ends, len(ends), cfg.gop_size, sidecar_frames
+                )
     if (head != b"D3MH" and args.frames is None
-            and frame_range is None):
+            and frame_range is None and sidecar_frames is None):
         print("decode requires an explicit frame count or --range "
-              "(headerless stream, as in the reference: Decoder.java:18)",
+              "(headerless stream, as in the reference: Decoder.java:18; "
+              "default encodes write an indexed container or an .idx "
+              "sidecar that makes the count optional)",
               file=sys.stderr)
         return 2
     t0 = time.perf_counter()
     if frame_range is not None:
         video = _decode_range(args, data, head, width, height, cfg,
-                              frame_range)
+                              frame_range, positions=sidecar_positions)
         if video is None:
             return 2
         return _write_decoded(args, video, width, height, t0)
@@ -803,18 +868,28 @@ def cmd_decode(args) -> int:
         mesh = _make_cli_mesh(args.mesh)
         if mesh is None:
             return 2
+        frames = args.frames if args.frames is not None else sidecar_frames
+        positions = sidecar_positions
+        if positions is not None and frames // cfg.gop_size > len(positions):
+            positions = None  # stale/short sidecar: scan instead
         video = ShardedDecoder(width, height, mesh, cfg).decode(
-            data, args.frames
+            data, frames, positions=positions
         )
     else:
+        frames = args.frames if args.frames is not None else sidecar_frames
+        positions = sidecar_positions
+        if positions is not None and frames // cfg.gop_size > len(positions):
+            positions = None  # stale/short sidecar: scan instead
         video = decode_video(
-            data, width, height, args.frames, cfg,
+            data, width, height, frames, cfg,
             gops_per_batch=args.gops_per_batch,
+            positions=positions,
         )
     return _write_decoded(args, video, width, height, t0)
 
 
-def _decode_range(args, data, head, width, height, cfg, frame_range):
+def _decode_range(args, data, head, width, height, cfg, frame_range,
+                  positions=None):
     """--range A:B routing for cmd_decode; returns frames or None + error.
 
     One routing body lives in codec.auto.decode_auto_range; this adds only
@@ -849,7 +924,8 @@ def _decode_range(args, data, head, width, height, cfg, frame_range):
                 from .codec.rgb_codec import decode_rgb_range
 
                 return decode_rgb_range(data, width, height, a, b, cfg)
-    return decode_auto_range(data, width, height, a, b, cfg)
+    return decode_auto_range(data, width, height, a, b, cfg,
+                             positions=positions)
 
 
 def _write_decoded(args, video, width, height, t0) -> int:

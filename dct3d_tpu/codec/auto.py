@@ -71,6 +71,7 @@ def decode_auto_range(
     start: int,
     stop: int,
     cfg: CodecConfig | None = None,
+    positions: list[int] | None = None,
 ) -> np.ndarray:
     """Random-access twin of decode_auto: frames [start, stop) from any
     framework output, routed by content exactly like ``cli.py decode
@@ -92,7 +93,10 @@ def decode_auto_range(
 
     cfg = cfg or CodecConfig()
     if data[:4] != MEMBER_MAGIC:
-        return decode_frame_range(data, width, height, start, stop, cfg)
+        # `positions` (e.g. an .idx sidecar next to a raw parity stream)
+        # makes the prefix skip scan-free; containers carry their own.
+        return decode_frame_range(data, width, height, start, stop, cfg,
+                                  positions=positions)
     members = split_members(data)
     if is_turbo_container(members):
         return decode_turbo_range(data, width, height, start, stop, cfg)

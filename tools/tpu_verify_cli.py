@@ -45,14 +45,30 @@ def run() -> None:
     main(["decode", f"{W}/enc_p.bin", f"{W}/dec_p.raw", "320", "240", "32"])
     assert rd(f"{W}/dec_p.raw") == rd(f"{W}/dec.raw")
 
-    # seekable index container: no frame count needed, identical pixels
+    # seekable index container: no frame count needed, identical pixels.
+    # Round 5: this is the DEFAULT for file outputs — the plain encode
+    # above already wrote one, byte-identical to explicit --index.
     main(["encode", f"{W}/src.raw", f"{W}/enc_i.d3v", "320", "240",
           "--index"])
     ii = info(f"{W}/enc_i.d3v")
     assert [m["type"] for m in ii["members"]] == ["temporal", "index"], ii
     assert ii["members"][1]["gops"] == 4
+    assert rd(f"{W}/enc_i.d3v") == rd(f"{W}/enc.bin")
     main(["decode", f"{W}/enc_i.d3v", f"{W}/dec_i.raw", "320", "240"])
     assert rd(f"{W}/dec_i.raw") == rd(f"{W}/dec.raw")
+    # --no-index restores the raw headerless stream (needs a count);
+    # --parity --index keeps the reference-byte-exact stream and writes
+    # the index to an .idx sidecar decode auto-loads (count optional,
+    # scan-free entropy).
+    main(["encode", f"{W}/src.raw", f"{W}/enc_raw.bin", "320", "240",
+          "--no-index"])
+    assert rd(f"{W}/enc_raw.bin")[:4] != b"D3MH"
+    main(["encode", f"{W}/src.raw", f"{W}/enc_ps.bin", "320", "240",
+          "--parity", "--index"])
+    assert rd(f"{W}/enc_ps.bin") == rd(f"{W}/enc_p.bin")
+    assert rd(f"{W}/enc_ps.bin.idx")[:4] == b"D3MH"
+    main(["decode", f"{W}/enc_ps.bin", f"{W}/dec_ps.raw", "320", "240"])
+    assert rd(f"{W}/dec_ps.raw") == rd(f"{W}/dec.raw")
 
     # random-access decode: raw stream, indexed container, turbo — the
     # ranges must equal the full decode's slice byte-for-byte
