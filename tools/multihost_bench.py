@@ -26,6 +26,17 @@ Phases, all barrier-aligned and warmed up before timing:
   checkpoint    per-process CheckpointingEncoder: half the span, close
                 (simulated interruption), resume, finish, gather files
 
+Round 5 (VERDICT r4 #6): each phase is DECOMPOSED so the N=4 efficiency
+drop is a measurement, not an attribution: per phase the tool reports
+  local   max over processes of the pure local compute wall,
+  skew    max wait at the pre-gather barrier (span imbalance
+          + scheduling jitter: the fast processes idle this long),
+  gather  the ordered all-gather alone (the only cross-host stage),
+  cpu     SUM of process CPU seconds — with total work fixed, the
+          inflation of this sum vs N=1 IS the oversubscription cost
+          (service threads + cache contention), separated from any
+          serial cross-host cost.
+
 Usage: python tools/multihost_bench.py [T H W]     # default 128 96 96
        python tools/multihost_bench.py worker I N PORT OUT T H W
 """
@@ -80,24 +91,41 @@ def worker(idx: int, nproc: int, port: int, out: str,
             multihost_utils.sync_global_devices(tag)
 
     walls: dict[str, float] = {}
+    stats: dict[str, float] = {}
     container = None
+
+    def cpu_now() -> float:
+        c = os.times()
+        return c.user + c.system
+
+    def encode_phase(name: str, turbo: bool):
+        """Barrier-aligned encode with the local/skew/gather split."""
+        barrier(name)
+        c0 = cpu_now()
+        t0 = time.perf_counter()
+        local = multihost.encode_local_members(span, w, h, mesh, cfg,
+                                               turbo=turbo)
+        t1 = time.perf_counter()
+        barrier(name + "skew")  # fast processes wait for the slowest here
+        t2 = time.perf_counter()
+        gathered = multihost.gather_ordered_bytes(local)
+        t3 = time.perf_counter()
+        barrier(name + "done")
+        walls[name] = time.perf_counter() - t0
+        stats[name + "_cpu"] = cpu_now() - c0
+        stats[name + "_local"] = t1 - t0
+        stats[name + "_skew"] = t2 - t1
+        stats[name + "_gather"] = t3 - t2
+        return gathered
 
     # --- phase 1: reference-profile encode -------------------------------
     warm = span[: 2 * cfg.gop_size]
     multihost.encode_local_members(warm, w, h, mesh, cfg)  # compile warmup
-    barrier("p1")
-    t0 = time.perf_counter()
-    container = multihost.encode_multihost(span, w, h, t, mesh, cfg)
-    barrier("p1done")
-    walls["ref_encode"] = time.perf_counter() - t0
+    container = encode_phase("ref_encode", turbo=False)
 
     # --- phase 2: turbo encode -------------------------------------------
     multihost.encode_local_members(warm, w, h, mesh, cfg, turbo=True)
-    barrier("p2")
-    t0 = time.perf_counter()
-    multihost.encode_multihost(span, w, h, t, mesh, cfg, turbo=True)
-    barrier("p2done")
-    walls["turbo_encode"] = time.perf_counter() - t0
+    encode_phase("turbo_encode", turbo=True)
 
     # --- phase 3: per-process container decode ---------------------------
     cpath = out + ".container"
@@ -113,10 +141,16 @@ def worker(idx: int, nproc: int, port: int, out: str,
     frames_i, payload_i, _ = members[idx]
     decode_video(payload_i, w, h, min(frames_i, 2 * cfg.gop_size), cfg)
     barrier("p3")
+    c0 = cpu_now()
     t0 = time.perf_counter()
     video_i = decode_video(payload_i, w, h, frames_i, cfg)
+    t1 = time.perf_counter()
     barrier("p3done")
     walls["decode"] = time.perf_counter() - t0
+    stats["decode_cpu"] = cpu_now() - c0
+    stats["decode_local"] = t1 - t0
+    stats["decode_skew"] = walls["decode"] - (t1 - t0)
+    stats["decode_gather"] = 0.0
     # pixel-exactness of the distributed decode vs the span source
     assert video_i.shape[0] == hi - lo
     p = psnr(span, video_i)
@@ -129,6 +163,7 @@ def worker(idx: int, nproc: int, port: int, out: str,
             os.remove(stale)
     half = (span.shape[0] // (2 * cfg.gop_size)) * cfg.gop_size
     barrier("p4")
+    c0 = cpu_now()
     t0 = time.perf_counter()
     with CheckpointingEncoder(ck, w, h, cfg, checkpoint_gops=1) as enc:
         enc.push(span[:half])
@@ -137,16 +172,24 @@ def worker(idx: int, nproc: int, port: int, out: str,
         assert enc.frames_done == half, (enc.frames_done, half)
         enc.push(span[half:])
     fragment = open(ck, "rb").read()
+    t1 = time.perf_counter()
+    barrier("p4skew")
+    t2 = time.perf_counter()
     assembled = multihost.gather_ordered_bytes(fragment)
+    t3 = time.perf_counter()
     barrier("p4done")
     walls["checkpoint"] = time.perf_counter() - t0
+    stats["checkpoint_cpu"] = cpu_now() - c0
+    stats["checkpoint_local"] = t1 - t0
+    stats["checkpoint_skew"] = t2 - t1
+    stats["checkpoint_gather"] = t3 - t2
     if idx == 0:
         video = multihost.decode_multihost_container(assembled, w, h, cfg)
         ref = multihost.decode_multihost_container(container, w, h, cfg)
         assert np.array_equal(video, ref), "checkpointed decode diverged"
 
     with open(f"{out}.r{idx}.json", "w") as f:
-        json.dump(walls, f)
+        json.dump({"walls": walls, "stats": stats}, f)
 
 
 def run_n(nproc: int, t: int, h: int, w: int) -> dict[str, float]:
@@ -165,10 +208,18 @@ def run_n(nproc: int, t: int, h: int, w: int) -> dict[str, float]:
     rc = [p.wait(timeout=1800) for p in procs]
     assert rc == [0] * nproc, rc
     walls: dict[str, float] = {}
+    stats: dict[str, float] = {}
     for i in range(nproc):
         with open(f"{out}.r{i}.json") as f:
-            for k, v in json.load(f).items():
-                walls[k] = max(walls.get(k, 0.0), v)
+            rec = json.load(f)
+        for k, v in rec["walls"].items():
+            walls[k] = max(walls.get(k, 0.0), v)
+        for k, v in rec["stats"].items():
+            if k.endswith("_cpu"):
+                stats[k] = stats.get(k, 0.0) + v  # SUM of process CPU
+            else:
+                stats[k] = max(stats.get(k, 0.0), v)
+    walls["_stats"] = stats
     return walls
 
 
@@ -181,8 +232,10 @@ def main() -> int:
     t, h, w = (int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 else (
         128, 96, 96)
     results = {}
+    allstats = {}
     for n in (1, 2, 4):
         results[n] = run_n(n, t, h, w)
+        allstats[n] = results[n].pop("_stats")
         print(f"N={n}: " + "  ".join(
             f"{k} {t / v:7.1f} fps" for k, v in results[n].items()
         ), flush=True)
@@ -197,6 +250,27 @@ def main() -> int:
             fn = t / results[n][k]
             row += f"  {fn:9.1f} {100 * fn / f1:5.1f}%"
         print(row)
+    print("\ndecomposition (per phase & N): wall = slowest process; "
+          "local = slowest pure local compute; skew = worst pre-gather "
+          "wait; gather = the ordered all-gather alone (the ONLY "
+          "cross-host stage); cpu = SUM of process CPU seconds — its "
+          "inflation vs N=1 is the oversubscription cost, since total "
+          "work is fixed")
+    print(f"{'phase':14s} {'N':>2s} {'wall':>7s} {'local':>7s} "
+          f"{'skew':>7s} {'gather':>7s} {'gath%':>6s} {'cpu':>7s} "
+          f"{'cpu-infl':>8s}")
+    for k in results[1]:
+        cpu1 = allstats[1].get(k + "_cpu", 0.0)
+        for n in (1, 2, 4):
+            st = allstats[n]
+            wall = results[n][k]
+            g = st.get(k + "_gather", 0.0)
+            print(f"{k:14s} {n:2d} {wall:7.2f} "
+                  f"{st.get(k + '_local', 0.0):7.2f} "
+                  f"{st.get(k + '_skew', 0.0):7.2f} {g:7.3f} "
+                  f"{100 * g / wall:6.2f} "
+                  f"{st.get(k + '_cpu', 0.0):7.2f} "
+                  f"{st.get(k + '_cpu', 0.0) / cpu1 if cpu1 else 0:8.2f}")
     return 0
 
 
