@@ -230,6 +230,17 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     video = decode_video(data, w, h, t, dcfg, ctx)
     dec_fps = t / (time.perf_counter() - t0)
 
+    # Turbo-container e2e decode: same wire, but the host stage is pure
+    # decompression (no Exp-Golomb walk), so this shows what e2e decode
+    # does when the entropy stage is off the critical path.
+    from dct3d_tpu.codec.turbo import decode_turbo_container
+
+    tv = decode_turbo_container(turbo_data, w, h, cfg, ctx)  # warmup
+    t0 = time.perf_counter()
+    tv = decode_turbo_container(turbo_data, w, h, cfg, ctx)
+    turbo_dec_fps = t / (time.perf_counter() - t0)
+    assert np.array_equal(tv, video), "turbo decode diverged from reference"
+
     # Decode compute (device-resident planes -> frames), slope-based like
     # compute_fps: back-to-back async dispatches, one tiny fetch.
     import zlib
@@ -324,6 +335,7 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     return {
         "encode_fps": enc_fps,
         "decode_fps": dec_fps,
+        "turbo_decode_fps": turbo_dec_fps,
         "compute_fps": compute_fps,
         "compute_device_fps": compute_device_fps,
         "decode_compute_fps": decode_compute_fps,
@@ -384,6 +396,7 @@ def main() -> int:
         "vs_baseline": round(r["encode_fps"] * base_spf, 2),
         "detail": {
             "decode_fps": round(r["decode_fps"], 2),
+            "turbo_decode_fps": round(r["turbo_decode_fps"], 2),
             "compute_fps": round(r["compute_fps"], 2),
             "compute_device_fps": round(r["compute_device_fps"], 2),
             "decode_compute_fps": round(r["decode_compute_fps"], 2),
