@@ -1,8 +1,14 @@
 """Slope-timed stage breakdown of the CURRENT encode hot path (pack_values).
 
-Times cumulative prefixes of the pipeline as separate jitted programs using
-a dispatch TRAIN (K back-to-back dispatches, one tiny fetch) so the ~26-40
-ms relay RPC latency cancels; consecutive-row differences isolate a stage:
+Two methodologies per stage (round 5):
+  train    K back-to-back dispatches, one tiny fetch — cancels the relay
+           RPC between rows, BUT independent dispatches OVERLAP on device,
+           so absolute rows underestimate serialized cost (CLAUDE.md);
+  chained  fori_loop whose body xors a carry byte into the frames — a true
+           data dependency, so each iteration serializes like production's
+           carry chain.  This is the authoritative column.
+
+Cumulative prefixes; consecutive-row differences isolate a stage:
 
   transform   frames -> cubes -> matmul -> round
   widths      + Exp-Golomb widths (int8) as pack_values computes them
@@ -137,6 +143,28 @@ def main():
                         max_bytes=mb, cfg=cfg)
         return g.packed[:1], g.total_bits
 
+    def chained(stage_fn):
+        """Serialized in-program slope (see module docstring)."""
+        @jax.jit
+        def prog(f, k):
+            def body(i, carry):
+                out = stage_fn(f ^ (carry & 1).astype(jnp.uint8))
+                leaf = jax.tree.leaves(out)[-1]
+                return jnp.asarray(leaf).reshape(-1)[0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        def run(k):
+            jax.device_get(prog(fj, k))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.device_get(prog(fj, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (run(K10) - run(K2)) / (K10 - K2)
+
     stages = [
         ("transform", stage_transform),
         ("widths", stage_widths),
@@ -145,12 +173,16 @@ def main():
         ("tail", stage_tail),
         ("full", stage_full),
     ]
+    print(f"{'stage':12s} {'train':>9s} {'chained':>9s} {'+chained':>9s}"
+          f" {'fps(chained)':>12s}", flush=True)
     prev = 0.0
     for name, fn in stages:
-        s = train(fn, fj)
-        print(f"{name:12s} {s*1e3:9.2f} ms  (+{(s-prev)*1e3:8.2f} ms)"
-              f"  {cfg.gop_size/s:8.1f} fps", flush=True)
-        prev = s
+        s_train = train(fn, fj)
+        s_chain = chained(fn)
+        print(f"{name:12s} {s_train*1e3:8.2f}m {s_chain*1e3:8.2f}m "
+              f"{(s_chain-prev)*1e3:+8.2f}m {cfg.gop_size/s_chain:11.1f}",
+              flush=True)
+        prev = s_chain
 
 
 if __name__ == "__main__":
