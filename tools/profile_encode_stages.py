@@ -82,9 +82,12 @@ def main():
     w_words = min(w_words, bitpack.worst_case_w_words(256, mw))
 
     def q_of(f):
-        cubes = framing.frames_to_cubes(f, cfg).astype(ctx.enc_t.dtype)
-        scaled = jnp.dot(cubes, ctx.enc_t, precision=_PRECISION)
-        return _round_half_away(scaled, cfg.quant_bias).astype(jnp.int32)
+        # The PRODUCTION transform (Pallas perm relayout + exact-DC fix),
+        # so the prefixes bisect the shipped pipeline, not the old 6-axis
+        # transpose formulation.
+        from dct3d_tpu.codec.transform import _frames_to_q
+
+        return _frames_to_q(f, ctx.enc_t, cfg)
 
     @jax.jit
     def stage_transform(f):
@@ -141,7 +144,14 @@ def main():
     def stage_full(f):
         g = encode_step(f, ctx.enc_t, jnp.uint32(0), jnp.int32(3),
                         max_bytes=mb, cfg=cfg)
-        return g.packed[:1], g.total_bits
+        # Fold a data-dependent element of `packed` into the scalar so the
+        # chained wrapper cannot dead-code the pack pipeline (the first
+        # chained probe of this stage read 0.97 ms for exactly that
+        # reason — same trap bench.py's in-program slope guards against).
+        live = g.packed[
+            (g.total_bits % jnp.int32(g.packed.shape[0]))
+        ].astype(jnp.uint32)
+        return live + g.total_bits.astype(jnp.uint32)
 
     def chained(stage_fn):
         """Serialized in-program slope (see module docstring)."""
