@@ -175,3 +175,32 @@ def test_nibble_copy_all_offsets():
         np.testing.assert_array_equal(
             got, want, err_msg=f"d0={d0} s0={s0} count={count}"
         )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fused_randomized_stress(seed):
+    """Randomized content mixes / chunk geometries, seeded: value spread,
+    wide-value fraction, zero-run bursts and chunk counts all drawn per
+    seed — every case must match the serial decoder byte-for-byte."""
+    rng = np.random.default_rng(1000 + seed)
+    n_chunks = int(rng.integers(2, 9))
+    V = int(rng.integers(10000, 60000)) * 2
+    n = n_chunks * V
+    spread = int(rng.integers(1, 9))
+    v = rng.integers(-spread, spread + 1, n).astype(np.int32)
+    wide_frac = float(rng.choice([0.0, 0.001, 0.01, 0.2]))
+    if wide_frac:
+        p = rng.choice(n, max(1, int(n * wide_frac)), replace=False)
+        v[p] = rng.integers(-50000, 50000, p.size)
+    if rng.random() < 0.5:  # zero-run bursts
+        for s in range(0, n, max(1, n // int(rng.integers(3, 9)))):
+            v[s : s + int(rng.integers(8, 80))] = int(
+                rng.integers(2**16, 2**25)
+            )
+    buf = _stream(v)
+    fused = entropy.speculative_planar4_chunks(
+        buf, V, n_chunks, workers=int(rng.integers(2, 5))
+    )
+    if fused is None:
+        pytest.skip("payload below the (patched) segment minimum")
+    _assert_matches(fused, _serial(buf, n_chunks, V))
