@@ -267,13 +267,15 @@ def speculative_positions(payload, values_per_chunk: int, n_chunks: int,
 
 #: Interleaved streams per speculative-decode task (the table walk is
 #: load-chain-bound; independent chains overlap in the out-of-order core —
-#: same trick as the indexed pair decoder).  Measured on the bench host:
-#: 1 stream 0.70 ns/val, 2 -> 0.55, 4 -> 0.535, 6 -> 0.57.
-_SPEC_INTERLEAVE = 4
-#: Segments per worker (with _SPEC_INTERLEAVE=4 this is one task wave of
-#: 4-stream groups; equal-byte segments balance well, and fewer tasks
-#: means less per-task overhead — higher factors measured no better under
-#: this host's noise).
+#: same trick as the indexed pair decoder).  Measured single-thread
+#: ns/value on the bench host: low-exception oracle content 1 stream
+#: 0.70, 2 -> 0.553, 4 -> 0.535; exception-dense bench content (113K
+#: exceptions/GOP) 1 -> 0.69, 2 -> 0.561, 4 -> 0.628 — deeper interleave
+#: LOSES when stalls are frequent (more live state per stall), so 2 is
+#: the robust default.
+_SPEC_INTERLEAVE = 2
+#: Segments per worker: _SPEC_SEG_FACTOR / _SPEC_INTERLEAVE task waves
+#: (two with the defaults — stragglers idle at most half a wave).
 _SPEC_SEG_FACTOR = 4
 
 
