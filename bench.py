@@ -276,6 +276,39 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         8 * dcfg.gop_size / (dchain(10) - dchain(2)) for _ in range(3)
     )
 
+    # Serialized in-program decode step (fori_loop with a data-dependent
+    # carry xor): independent dispatches overlap on device, so the train
+    # above mixes pipelining with stage cost — this one cannot (the decode
+    # analogue of compute_device_fps; CLAUDE.md round-5 note).
+    def make_dec_inprog(k: int):
+        @jax.jit
+        def f(p):
+            def body(i, carry):
+                fd = decode_step_planar4(
+                    p ^ (carry & 1).astype(jnp.uint8), pi, pv,
+                    ctx.dec_me, ctx.dec_mo, cfg=dcfg, height=h, width=w,
+                    dc=pdc,
+                )
+                return fd[0, 0, 0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return f
+
+    def run_dec_prog(f) -> float:
+        jax.device_get(f(pd))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(f(pd))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    d2, d10 = make_dec_inprog(2), make_dec_inprog(10)
+    decode_compute_device_fps = 8 * dcfg.gop_size / (
+        run_dec_prog(d10) - run_dec_prog(d2)
+    )
+
     # Turbo decode device step (wire member -> frames), same methodology,
     # reusing the first turbo member's production split-DC parse above.
     from dct3d_tpu.codec.transform import decode_step_planar4
@@ -339,6 +372,7 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         "compute_fps": compute_fps,
         "compute_device_fps": compute_device_fps,
         "decode_compute_fps": decode_compute_fps,
+        "decode_compute_device_fps": decode_compute_device_fps,
         "decode_entropy_fps": entropy_fps,
         "decode_entropy_indexed_fps": entropy_indexed_fps,
         "turbo_compute_fps": turbo_compute_fps,
@@ -400,6 +434,9 @@ def main() -> int:
             "compute_fps": round(r["compute_fps"], 2),
             "compute_device_fps": round(r["compute_device_fps"], 2),
             "decode_compute_fps": round(r["decode_compute_fps"], 2),
+            "decode_compute_device_fps": round(
+                r["decode_compute_device_fps"], 2
+            ),
             "decode_entropy_fps": round(r["decode_entropy_fps"], 2),
             "decode_entropy_indexed_fps": round(
                 r["decode_entropy_indexed_fps"], 2

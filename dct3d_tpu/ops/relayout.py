@@ -80,6 +80,19 @@ def _wire_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...].T  # (blk, w32) i32 -> (w32, blk)
 
 
+def _wire_peel_kernel(x_ref, o_ref):
+    """Word transpose + in-kernel byte peel: (blk, w32) i32 -> (4*w32, blk)
+    uint8 with wire row 4k+b = byte b of word row k.  Fusing the peel into
+    the kernel removes the 16.6 MB row-interleave stack XLA otherwise runs
+    as a layout copy (round 5: the stack, not the transpose, was the
+    plane_to_wire cost)."""
+    xt = x_ref[...].T  # (w32, blk)
+    parts = [((xt >> (8 * b)) & 0xFF).astype(jnp.uint8) for b in range(4)]
+    o_ref[...] = jnp.stack(parts, axis=1).reshape(
+        4 * xt.shape[0], xt.shape[1]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
 def plane_to_wire(plane, use_pallas: bool = True, interpret: bool = False):
     """(cubes, hc) uint8 transport nibble plane -> (hc, cubes) uint8 wire
@@ -105,23 +118,26 @@ def plane_to_wire(plane, use_pallas: bool = True, interpret: bool = False):
         # Mosaic wants the transposed block's lane dim %128 (and the input
         # block's sublane dim %8): pad the cube axis to 128 alignment, tile
         # in 512-cube blocks, slice the pad back off after the byte peel.
+        # The peel runs IN the kernel (_wire_peel_kernel): emitting the
+        # byte-interleaved uint8 rows directly skips the 16.6 MB/GOP
+        # row-interleave stack XLA executes as a layout copy.
         cp = -(-cubes // 128) * 128
         if cp != cubes:
             words = jnp.pad(words, ((0, cp - cubes), (0, 0)))
         blk = 512 if cp % 512 == 0 else 128
         vma = jax.typeof(plane).vma
-        wt = pl.pallas_call(
-            _wire_kernel,
+        wire = pl.pallas_call(
+            _wire_peel_kernel,
             grid=(cp // blk,),
             in_specs=[pl.BlockSpec((blk, w32), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((w32, blk), lambda i: (0, i),
+            out_specs=pl.BlockSpec((hc, blk), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((w32, cp), jnp.int32, vma=vma),
+            out_shape=jax.ShapeDtypeStruct((hc, cp), jnp.uint8, vma=vma),
             interpret=interpret,
         )(words)
-    else:
-        wt = words.T  # (w32, cubes)
+        return wire[:, :cubes]
+    wt = words.T  # (w32, cubes)
     parts = [((wt >> (8 * b)) & 0xFF).astype(jnp.uint8) for b in range(4)]
     return jnp.stack(parts, axis=1).reshape(hc, -1)[:, :cubes]
 
