@@ -725,7 +725,11 @@ class TurboShardedDecoder:
             int(((idx >= t * local_n) & (idx < (t + 1) * local_n)).sum())
             for _, _, idx, _ in parsed for t in range(n_tile)
         ]
-        cap = max(1024, 1 << int(np.ceil(np.log2(max(1, max(counts))))))
+        # Same {2^k, 1.5*2^k} bucket ladder as decoder._pad_exceptions:
+        # dropped pad slots still cost scatter latency per slot.
+        need = max(1, max(counts))
+        p2 = max(1024, 1 << int(np.ceil(np.log2(need))))
+        cap = p2 * 3 // 4 if need <= p2 * 3 // 4 else p2
         ei = np.full((n_gop, n_tile, cap), local_n, np.int32)
         ev = np.zeros((n_gop, n_tile, cap), np.int32)
         for g, (_, _, idx, val) in enumerate(parsed):

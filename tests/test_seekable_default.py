@@ -155,3 +155,18 @@ def test_turbo_default_unaffected(tmp_path, clip_file):
     with open(enc, "rb") as f:
         members = split_members(f.read())
     assert all(m[2] != MEMBER_INDEX for m in members)
+
+
+def test_sidecar_feeds_sharded_decode(tmp_path, clip_file):
+    # Raw parity stream + .idx sidecar, decoded on a CPU test mesh with no
+    # frame count: positions and count come from the sidecar, pixels match
+    # the single-device decode byte-for-byte.
+    src, _ = clip_file
+    p1 = str(tmp_path / "p1.bin")
+    assert cli.main(["encode", src, p1, "48", "32", "--parity",
+                     "--index"]) == 0
+    a = str(tmp_path / "mesh.raw")
+    b = str(tmp_path / "single.raw")
+    assert cli.main(["decode", p1, a, "48", "32", "--mesh", "1x2"]) == 0
+    assert cli.main(["decode", p1, b, "48", "32"]) == 0
+    np.testing.assert_array_equal(_read(a), _read(b))
