@@ -603,7 +603,10 @@ def cmd_encode(args) -> int:
             written += out.write(enc.push(batch))
         written += out.write(enc.finish())
         if write_container:
-            out.write(make_index_member(enc.gop_bit_ends))
+            out.write(make_index_member(
+                enc.gop_bit_ends,
+                sync_offsets=getattr(enc, "gop_sync_offsets", None),
+            ))
             out.seek(4)
             out.write(struct.pack(
                 "<IQ", (MEMBER_TEMPORAL << 24) | enc.frames_encoded, written
@@ -730,11 +733,13 @@ def cmd_decode(args) -> int:
     # count and the per-GOP positions for the indexed entropy path.
     sidecar_positions = None
     sidecar_frames = None
+    sidecar_syncs = None
     if head != b"D3MH" and args.input != "-":
         idx_path = args.input + ".idx"
         if os.path.exists(idx_path):
             from .parallel.multihost import (
-                MEMBER_INDEX, gop_positions, parse_index, split_members,
+                MEMBER_INDEX, gop_positions, parse_index,
+                parse_index_syncs, split_members,
             )
 
             try:
@@ -742,15 +747,16 @@ def cmd_decode(args) -> int:
                     idx_members = split_members(f.read())
             except ValueError:
                 idx_members = []
-            ends = next(
-                (parse_index(p) for _, p, t in idx_members
-                 if t == MEMBER_INDEX), None,
+            ipay = next(
+                (p for _, p, t in idx_members if t == MEMBER_INDEX), None,
             )
+            ends = parse_index(ipay) if ipay is not None else None
             if ends:
                 sidecar_frames = len(ends) * cfg.gop_size
                 sidecar_positions = gop_positions(
                     ends, len(ends), cfg.gop_size, sidecar_frames
                 )
+                sidecar_syncs = parse_index_syncs(ipay)
     if (head != b"D3MH" and args.frames is None
             and frame_range is None and sidecar_frames is None):
         print("decode requires an explicit frame count or --range "
@@ -883,7 +889,7 @@ def cmd_decode(args) -> int:
         video = decode_video(
             data, width, height, frames, cfg,
             gops_per_batch=args.gops_per_batch,
-            positions=positions,
+            positions=positions, sync_offsets=sidecar_syncs,
         )
     return _write_decoded(args, video, width, height, t0)
 

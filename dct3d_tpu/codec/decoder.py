@@ -207,6 +207,7 @@ def decode_video(
     gops_per_batch: int = 4,
     entropy_workers: int | None = None,
     positions: list[int] | None = None,
+    sync_offsets: list[int] | None = None,
 ) -> np.ndarray:
     """One-call decode of a complete bitstream -> (T, H, W) uint8.
 
@@ -237,6 +238,7 @@ def decode_video(
         return decode_frame_range(
             data, width, height, 0, t, cfg, ctx, positions=positions,
             entropy_workers=entropy_workers, gops_per_batch=gops_per_batch,
+            sync_offsets=sync_offsets,
         )
     out = np.empty((t, height, width), dtype=np.uint8)
     window = max(2, gops_per_batch)
@@ -275,6 +277,7 @@ def decode_frame_range(
     positions: list[int] | None = None,
     entropy_workers: int | None = None,
     gops_per_batch: int = 4,
+    sync_offsets: list[int] | None = None,
 ) -> np.ndarray:
     """Random-access decode of the half-open frame range [start, stop).
 
@@ -311,9 +314,18 @@ def decode_frame_range(
         video = decode_video(data, width, height, g1 * fpg, cfg, ctx)
         return video[start : stop]
     cpg = width * height * fpg
-    z = zlib.decompressobj()
     try:
-        payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
+        if sync_offsets is not None:
+            # Index v2 sync points: the last serial host stage — the whole-
+            # stream inflate — runs GOP-parallel (entropy.parallel_inflate;
+            # falls back to serial itself on any inconsistency).
+            payload = np.frombuffer(
+                entropy.parallel_inflate(data, sync_offsets,
+                                         entropy_workers), np.uint8,
+            )
+        else:
+            z = zlib.decompressobj()
+            payload = np.frombuffer(z.decompress(data) + z.flush(), np.uint8)
     except zlib.error as e:
         raise ValueError(f"corrupt bitstream: {e}") from e
     if positions is not None:

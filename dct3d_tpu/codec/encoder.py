@@ -168,6 +168,10 @@ class StreamingEncoder:
         with self.timer.stage("d2h", cap):
             packed = np.asarray(jax.device_get(gop.packed[:cap]))
         with self.timer.stage("deflate", nbytes):
+            # Per-GOP sync boundary: the parallel sink resets its window
+            # here so decode can inflate GOPs independently (the serial
+            # parity sink no-ops — one z_stream spans the file there).
+            self.sink.gop_boundary()
             return self.sink.push_packed(packed, total_bits)
 
     def _collect(self, block: bool = False) -> bytes:
@@ -269,6 +273,14 @@ class StreamingEncoder:
         self._drainer.shutdown(wait=True)
         self.sink.close()
         return out
+
+    @property
+    def gop_sync_offsets(self) -> list[int] | None:
+        """Per-GOP compressed byte sync offsets for parallel inflate
+        (entropy.parallel_inflate) — available after finish() with the
+        parallel sink; None for the serial reference-parity layout.
+        Rides the index member alongside gop_bit_ends (docs/FORMAT.md)."""
+        return self.sink.sync_offsets()
 
 
 def encode_video(

@@ -837,6 +837,14 @@ class DeflateSink:
         self.carry_bits = 0
         return out + self._z.flush(zlib.Z_FINISH)
 
+    def gop_boundary(self) -> None:
+        """No-op: one z_stream spans the whole file (reference layout), so
+        back-references inherently cross GOPs and no sync point exists."""
+
+    def sync_offsets(self) -> list[int] | None:
+        """No parallel-inflate sync points in the serial reference layout."""
+        return None
+
     def close(self) -> None:
         """No worker threads to release; symmetry with ParallelDeflateSink."""
 
@@ -874,6 +882,11 @@ class ParallelDeflateSink:
         self._tail = b""  # up to 32 KiB of raw history for window priming
         self.carry_code = 0
         self.carry_bits = 0
+        # Parallel-inflate sync bookkeeping (gop_boundary/sync_offsets):
+        # block count at each boundary + resolved compressed block lengths.
+        self._n_blocks = 0
+        self._marks: list[int] = []
+        self._block_lens: list[int] = []
 
     def _compress_block(self, data: bytes, zdict: bytes) -> bytes:
         if zdict:
@@ -890,6 +903,7 @@ class ParallelDeflateSink:
         for i in range(0, len(data), self._block_size):
             blk = data[i : i + self._block_size]
             self._futs.append(self._pool.submit(self._compress_block, blk, self._tail))
+            self._n_blocks += 1
             self._tail = blk[-32768:] if len(blk) >= 32768 else (self._tail + blk)[-32768:]
 
     def _ready(self, block: bool = False) -> bytes:
@@ -898,8 +912,32 @@ class ParallelDeflateSink:
             out.append(self._HEADER)
             self._header_sent = True
         while self._futs and (block or self._futs[0].done()):
-            out.append(self._futs.popleft().result())
+            blk = self._futs.popleft().result()
+            self._block_lens.append(len(blk))
+            out.append(blk)
         return b"".join(out)
+
+    def gop_boundary(self) -> None:
+        """Mark a GOP boundary: the next block compresses with NO window
+        priming from earlier data, so no back-reference crosses the
+        boundary and a raw inflater can start at it independently (the
+        stream still inflates end-to-end as ONE valid zlib stream — the
+        boundary is just a Z_FULL_FLUSH sync whose window happens to be
+        empty; docs/FORMAT.md index member v2).  Ratio cost: only the
+        first ~32 KiB of each GOP loses its dictionary (<1%)."""
+        self._tail = b""
+        self._marks.append(self._n_blocks)
+
+    def sync_offsets(self) -> list[int] | None:
+        """Absolute compressed byte offset of each marked boundary — valid
+        once finish() has drained every block.  None when no boundaries
+        were marked (non-GOP callers)."""
+        if not self._marks:
+            return None
+        prefix = [len(self._HEADER)]
+        for ln in self._block_lens:
+            prefix.append(prefix[-1] + ln)
+        return [prefix[m] for m in self._marks]
 
     def push_packed(self, packed: np.ndarray, total_bits: int) -> bytes:
         chunk, self.carry_code, self.carry_bits = _split_carry(
@@ -945,6 +983,78 @@ def make_sink(cfg) -> "DeflateSink | ParallelDeflateSink":
         return DeflateSink(cfg.zlib_level)
     workers = None if cfg.deflate_workers < 0 else cfg.deflate_workers
     return ParallelDeflateSink(cfg.zlib_level, workers)
+
+
+def parallel_inflate(data: bytes, syncs: list[int],
+                     workers: int | None = None) -> bytes:
+    """Inflate a parallel-sink zlib stream GOP-parallel via its sync points.
+
+    ``syncs`` are absolute compressed byte offsets of per-GOP boundaries
+    written by ParallelDeflateSink.gop_boundary (index member v2,
+    docs/FORMAT.md): the sink compresses each GOP's first block with no
+    window priming, so a raw inflater can start at any sync.  The serial
+    inflate of the WHOLE stream is the last serial stage of the host
+    decode path (~2.8 ms/GOP single-core at 1080p/0.3 bpp) — this spreads
+    it across cores.  Returns bytes identical to zlib.decompress(data);
+    any inconsistency (stale syncs, foreign stream) falls back to the
+    serial inflate, so correctness never rests on the index.
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    if not syncs or syncs[0] != 2 or data[:2] != b"\x78\xda" or any(
+        a >= b for a, b in zip(syncs, syncs[1:])
+    ) or syncs[-1] >= len(data):
+        return zlib.decompress(data)
+    bounds = list(syncs) + [len(data)]
+
+    def one(k: int):
+        z = zlib.decompressobj(-zlib.MAX_WBITS)
+        out = z.decompress(data[bounds[k] : bounds[k + 1]]) + z.flush()
+        # per-span adler in the worker; the serial combine below is O(1)
+        # per span, so the integrity gate never re-reads the 10s-of-MB
+        # payload on one core.
+        return out, zlib.adler32(out), len(out)
+
+    try:
+        with _TPE(workers or (_os.cpu_count() or 2)) as pool:
+            parts = list(pool.map(one, range(len(syncs))))
+        joined = b"".join(p[0] for p in parts)
+    except zlib.error:
+        return zlib.decompress(data)
+    # Integrity gate: the stream's own adler32 (its last 4 bytes) must
+    # match the payload — a stale/foreign index can then never produce
+    # silent garbage.  Per-span checksums combine with zlib's
+    # adler32_combine arithmetic.
+    import struct as _struct
+
+    got = 1
+    for _, ad, ln in parts:
+        got = _adler32_combine(got, ad, ln)
+    (want,) = _struct.unpack(">I", data[-4:])
+    if got != want:
+        return zlib.decompress(data)
+    return joined
+
+
+def _adler32_combine(ad1: int, ad2: int, len2: int) -> int:
+    """zlib's adler32_combine: checksum of a concatenation from the two
+    parts' checksums (O(1); the C symbol isn't exposed in Python)."""
+    MOD = 65521
+    rem = len2 % MOD
+    sum1 = ad1 & 0xFFFF
+    sum2 = (rem * sum1) % MOD
+    sum1 += (ad2 & 0xFFFF) + MOD - 1
+    sum2 += ((ad1 >> 16) & 0xFFFF) + ((ad2 >> 16) & 0xFFFF) + MOD - rem
+    if sum1 >= MOD:
+        sum1 -= MOD
+    if sum1 >= MOD:
+        sum1 -= MOD
+    if sum2 >= 2 * MOD:
+        sum2 -= 2 * MOD
+    if sum2 >= MOD:
+        sum2 -= MOD
+    return sum1 | (sum2 << 16)
 
 
 class InflateWindow:

@@ -25,6 +25,8 @@ functions of (process_index, process_count) and is unit-tested with fakes).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 from ..config import CodecConfig
@@ -110,16 +112,24 @@ def split_members(data: bytes) -> list[tuple[int, bytes, int]]:
     return out
 
 
-def make_index_member(gop_bit_ends: list[int]) -> bytes:
+def make_index_member(gop_bit_ends: list[int],
+                      sync_offsets: list[int] | None = None) -> bytes:
     """Frame an index member (see MEMBER_INDEX): uint32 LE GOP count, then
-    one uint64 LE absolute bit end position per GOP."""
+    one uint64 LE absolute bit end position per GOP.
+
+    sync_offsets (v2 extension, len == GOP count): per-GOP compressed byte
+    sync points from the parallel sink's window resets
+    (entropy.ParallelDeflateSink.gop_boundary), appended as a second
+    uint64 array — decode then inflates GOPs in parallel
+    (entropy.parallel_inflate).  Old readers ignore the extra bytes
+    (parse_index reads only the first array)."""
     import struct
 
-    return _member(
-        struct.pack("<I", len(gop_bit_ends))
-        + struct.pack(f"<{len(gop_bit_ends)}Q", *gop_bit_ends),
-        0, MEMBER_INDEX,
-    )
+    n = len(gop_bit_ends)
+    payload = struct.pack("<I", n) + struct.pack(f"<{n}Q", *gop_bit_ends)
+    if sync_offsets is not None and len(sync_offsets) == n:
+        payload += struct.pack(f"<{n}Q", *sync_offsets)
+    return _member(payload, 0, MEMBER_INDEX)
 
 
 def parse_index(payload: bytes) -> list[int] | None:
@@ -134,6 +144,27 @@ def parse_index(payload: bytes) -> list[int] | None:
     if len(payload) < 4 + 8 * n:
         return None
     return list(struct.unpack_from(f"<{n}Q", payload, 4))
+
+
+def parse_index_syncs(payload: bytes) -> list[int] | None:
+    """The v2 sync-offset array of an index member, or None when the
+    member predates v2 (or is torn) — callers then inflate serially."""
+    import struct
+
+    if len(payload) < 4:
+        return None
+    (n,) = struct.unpack_from("<I", payload, 0)
+    if n == 0 or len(payload) < 4 + 16 * n:
+        return None
+    return list(struct.unpack_from(f"<{n}Q", payload, 4 + 8 * n))
+
+
+class IndexInfo(NamedTuple):
+    """Parsed index member: per-GOP bit ends (v1) + per-GOP compressed
+    sync offsets for parallel inflate (v2, may be None)."""
+
+    ends: list[int] | None
+    syncs: list[int] | None
 
 
 def gop_positions(index_ends: list[int], n_gops: int,
@@ -276,8 +307,9 @@ def encode_local_members(
 
 def _temporal_streams(
     members: list[tuple[int, bytes, int]],
-) -> list[tuple[int, bytes, list[int] | None]]:
-    """Temporal stream members with their index members attached.
+) -> list[tuple[int, bytes, "IndexInfo"]]:
+    """Temporal stream members with their index members attached
+    (IndexInfo: bit ends + v2 parallel-inflate sync offsets, either None).
 
     Rejects containers that ALSO carry other frame-bearing member types
     (turbo, RGB channels): silently decoding just the temporal subset
@@ -291,13 +323,15 @@ def _temporal_streams(
             " decode it through its own route (decode_turbo_container / "
             "decode_rgb_video / decode_auto)"
         )
-    streams: list[tuple[int, bytes, list[int] | None]] = []
+    streams: list[tuple[int, bytes, IndexInfo]] = []
     for frames, payload, mtype in members:
         if mtype == MEMBER_INDEX and streams:
             f, p, _ = streams[-1]
-            streams[-1] = (f, p, parse_index(payload))
+            streams[-1] = (f, p, IndexInfo(
+                parse_index(payload), parse_index_syncs(payload)
+            ))
         elif mtype == MEMBER_TEMPORAL:
-            streams.append((frames, payload, None))
+            streams.append((frames, payload, IndexInfo(None, None)))
     if not streams:
         raise ValueError(
             f"container has no decodable stream members "
@@ -338,17 +372,17 @@ def decode_container_range(
     ctx = TransformContext(cfg)
     parts: list[np.ndarray] = []
     a0 = 0
-    for frames, payload, ends in streams:
+    for frames, payload, idx in streams:
         lo, hi = max(start, a0), min(stop, a0 + frames)
         if lo < hi:
             positions = None
-            if ends is not None:
+            if idx.ends is not None:
                 positions = gop_positions(
-                    ends, frames // cfg.gop_size, cfg.gop_size, frames
+                    idx.ends, frames // cfg.gop_size, cfg.gop_size, frames
                 )
             parts.append(decode_frame_range(
                 payload, width, height, lo - a0, hi - a0, cfg, ctx,
-                positions=positions,
+                positions=positions, sync_offsets=idx.syncs,
             ))
         a0 += frames
         if a0 >= stop:
@@ -388,15 +422,15 @@ def decode_multihost_container(
     # preceding it); streams without one decode via the serial-scan path.
     streams = _temporal_streams(members)
 
-    def _one(m: tuple[int, bytes, list[int] | None]) -> np.ndarray:
-        frames, payload, ends = m
+    def _one(m: tuple[int, bytes, "IndexInfo"]) -> np.ndarray:
+        frames, payload, idx = m
         positions = None
-        if ends is not None:
+        if idx.ends is not None:
             positions = gop_positions(
-                ends, frames // cfg.gop_size, cfg.gop_size, frames
+                idx.ends, frames // cfg.gop_size, cfg.gop_size, frames
             )
         return decode_video(payload, width, height, frames, cfg, ctx,
-                            positions=positions)
+                            positions=positions, sync_offsets=idx.syncs)
 
     ctx = TransformContext(cfg)  # shared constant matrices
     if len(streams) == 1:
