@@ -78,6 +78,7 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     ctx = TransformContext(cfg)
 
     gop_bit_ends: list[int] = []
+    gop_syncs: list = [None]
 
     def run_encode() -> bytes:
         enc = StreamingEncoder(w, h, cfg, ctx)
@@ -86,6 +87,7 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
             chunks.append(enc.push(frames[i : i + cfg.gop_size]))
         chunks.append(enc.finish())
         gop_bit_ends[:] = enc.gop_bit_ends
+        gop_syncs[0] = enc.gop_sync_offsets
         return b"".join(chunks)
 
     data = run_encode()  # warmup (compile)
@@ -365,6 +367,24 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
     positions = gop_positions(gop_bit_ends, n_gops, cfg.gop_size, t)
     entropy_indexed_fps = max(entropy_pass(positions) for _ in range(3))
 
+    # Host inflate stage, serial vs index-v2 parallel (round 5: the
+    # whole-stream inflate was the last serial host decode stage).
+    def time_best(f):
+        f()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f()
+            best = min(best, time.perf_counter() - t0)
+        return t / best
+
+    inflate_fps = time_best(lambda: zlib.decompress(data))
+    syncs = gop_syncs[0]
+    inflate_parallel_fps = (
+        time_best(lambda: entropy.parallel_inflate(data, syncs))
+        if syncs else inflate_fps
+    )
+
     return {
         "encode_fps": enc_fps,
         "decode_fps": dec_fps,
@@ -375,6 +395,8 @@ def bench_encode(frames: np.ndarray, reps: int = 4) -> dict:
         "decode_compute_device_fps": decode_compute_device_fps,
         "decode_entropy_fps": entropy_fps,
         "decode_entropy_indexed_fps": entropy_indexed_fps,
+        "decode_inflate_fps": inflate_fps,
+        "decode_inflate_parallel_fps": inflate_parallel_fps,
         "turbo_compute_fps": turbo_compute_fps,
         "turbo_decode_compute_fps": turbo_decode_compute_fps,
         "turbo_parse_fps": turbo_parse_fps,
@@ -440,6 +462,10 @@ def main() -> int:
             "decode_entropy_fps": round(r["decode_entropy_fps"], 2),
             "decode_entropy_indexed_fps": round(
                 r["decode_entropy_indexed_fps"], 2
+            ),
+            "decode_inflate_fps": round(r["decode_inflate_fps"], 2),
+            "decode_inflate_parallel_fps": round(
+                r["decode_inflate_parallel_fps"], 2
             ),
             "turbo_compute_fps": round(r["turbo_compute_fps"], 2),
             "turbo_decode_compute_fps": round(
