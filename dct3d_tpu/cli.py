@@ -978,7 +978,8 @@ def cmd_info(args) -> int:
     out: dict = {"bytes": len(data)}
     if data[:4] == b"D3MH":
         from .parallel.multihost import (
-            MEMBER_INDEX, container_kind, parse_index, split_members,
+            MEMBER_INDEX, container_kind, parse_index,
+            parse_index_syncs, split_members,
         )
 
         from .codec.turbo import is_turbo_container, is_turbo_rgb_container
@@ -990,7 +991,12 @@ def cmd_info(args) -> int:
 
         def _index_info(payload):
             ends = parse_index(payload)
-            return {"gops": len(ends)} if ends is not None else {"torn": True}
+            if ends is None:
+                return {"torn": True}
+            info = {"gops": len(ends)}
+            if parse_index_syncs(payload) is not None:
+                info["parallel_inflate"] = True  # v2 sync offsets present
+            return info
 
         out["format"] = "d3mh-container"
         out["kind"] = (
