@@ -1002,8 +1002,10 @@ def parallel_inflate(data: bytes, syncs: list[int],
     import os as _os
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
+    # Equal ADJACENT syncs are legal (step-granularity writers give every
+    # GOP of a device step the step's sync; the duplicate spans are empty).
     if not syncs or syncs[0] != 2 or data[:2] != b"\x78\xda" or any(
-        a >= b for a, b in zip(syncs, syncs[1:])
+        a > b for a, b in zip(syncs, syncs[1:])
     ) or syncs[-1] >= len(data):
         return zlib.decompress(data)
     bounds = list(syncs) + [len(data)]

@@ -302,11 +302,29 @@ class ShardedEncoder:
             if end - byte0 > 1:
                 stream[byte0 + 1 : end] = chunk[1 : end - byte0]
         # push_packed expects the carry phase zeros at the front (bit 0).
+        # Step-granularity parallel-inflate sync: the parallel sink resets
+        # its priming window here (serial parity sink no-ops).
+        self.sink.gop_boundary()
         return self.sink.push_packed(stream, total_bits)
 
     def finish(self) -> bytes:
         out = self.sink.finish()
         self.sink.close()
+        return out
+
+    @property
+    def gop_sync_offsets(self) -> list[int] | None:
+        """Per-GOP compressed sync offsets at STEP granularity: every GOP
+        of a device step shares the step's sync (entropy.parallel_inflate
+        treats equal adjacent syncs as empty spans), so mesh encodes are
+        parallel-inflatable too.  None for the serial parity sink."""
+        syncs = self.sink.sync_offsets()
+        if syncs is None:
+            return None
+        n_gop = self._mesh_shape[0]
+        out: list[int] = []
+        for s in syncs:
+            out.extend([s] * n_gop)
         return out
 
 

@@ -141,3 +141,40 @@ def test_cli_default_container_carries_syncs(tmp_path):
     np.testing.assert_array_equal(
         rawvideo.read_video(dec, 48, 32), rawvideo.read_video(dec2, 48, 32)
     )
+
+
+def test_equal_adjacent_syncs_are_empty_spans():
+    rng = np.random.default_rng(7)
+    chunks = [rng.integers(0, 40, 50000, dtype=np.uint8).tobytes()
+              for _ in range(3)]
+    sink = entropy.ParallelDeflateSink(workers=2, block_size=1 << 14)
+    out = []
+    for c in chunks:
+        sink.gop_boundary()
+        sink.gop_boundary()  # duplicate boundary: empty span
+        out.append(sink.push_packed(np.frombuffer(c, np.uint8), len(c) * 8))
+    out.append(sink.finish())
+    syncs = sink.sync_offsets()
+    sink.close()
+    data = b"".join(out)
+    assert len(syncs) == 6
+    assert entropy.parallel_inflate(data, syncs) == zlib.decompress(data)
+
+
+def test_sharded_encoder_emits_step_syncs():
+    import jax
+
+    from dct3d_tpu.parallel.mesh import make_mesh
+    from dct3d_tpu.parallel.sharding import ShardedEncoder
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    mesh = make_mesh(gop=2, tile=1, devices=jax.devices()[:2])
+    cfg = CodecConfig(deflate_workers=2)
+    video = synthetic_video(32, 64, 64, seed=9)
+    enc = ShardedEncoder(64, 64, mesh, cfg)
+    data = enc.push(video) + enc.finish()
+    syncs = enc.gop_sync_offsets
+    assert syncs is not None and len(syncs) == 4  # 2 steps x 2 GOPs
+    assert syncs[0] == syncs[1] == 2 and syncs[2] == syncs[3] > 2
+    assert entropy.parallel_inflate(data, syncs) == zlib.decompress(data)
