@@ -67,22 +67,30 @@ def encode_rgb_video(
         data = enc.push(plane) + enc.finish()
         out.append(_member(data, t, mtype))
         if index:
-            out.append(make_index_member(enc.gop_bit_ends))
+            out.append(make_index_member(
+                enc.gop_bit_ends,
+                sync_offsets=getattr(enc, "gop_sync_offsets", None),
+            ))
     return b"".join(out)
 
 
 def _collect_channels(members):
     """Channel members with their index members attached (type 4 describes
     the member preceding it); validates the 3-channel shape and tags."""
-    from ..parallel.multihost import MEMBER_INDEX, container_kind, parse_index
+    from ..parallel.multihost import (
+        IndexInfo, MEMBER_INDEX, container_kind, parse_index,
+        parse_index_syncs,
+    )
 
-    channels: list[tuple[int, bytes, list[int] | None]] = []
+    channels: list[tuple[int, bytes, "IndexInfo"]] = []
     for frames, payload, mtype in members:
         if mtype == MEMBER_INDEX and channels:
             f, p, _ = channels[-1]
-            channels[-1] = (f, p, parse_index(payload))
+            channels[-1] = (f, p, IndexInfo(
+                parse_index(payload), parse_index_syncs(payload)
+            ))
         elif mtype != MEMBER_INDEX:
-            channels.append((frames, payload, None))
+            channels.append((frames, payload, IndexInfo(None, None)))
     if len(channels) != 3:
         raise ValueError(f"expected 3 channel members, found {len(channels)}")
     # kind == 'temporal' (all-zero tags): legacy (round-1) RGB container
@@ -111,11 +119,12 @@ def decode_rgb_video(
     planes = [
         decode_video(
             payload, width, height, frames, cfg, ctx,
-            positions=None if ends is None else gop_positions(
-                ends, frames // cfg.gop_size, cfg.gop_size, frames
+            positions=None if idx.ends is None else gop_positions(
+                idx.ends, frames // cfg.gop_size, cfg.gop_size, frames
             ),
+            sync_offsets=idx.syncs,
         )
-        for frames, payload, ends in channels
+        for frames, payload, idx in channels
     ]
     return np.stack(planes, axis=-1)
 
@@ -149,10 +158,11 @@ def decode_rgb_range(
     planes = [
         decode_frame_range(
             payload, width, height, start, stop, cfg, ctx,
-            positions=None if ends is None else gop_positions(
-                ends, frames // cfg.gop_size, cfg.gop_size, frames
+            positions=None if idx.ends is None else gop_positions(
+                idx.ends, frames // cfg.gop_size, cfg.gop_size, frames
             ),
+            sync_offsets=idx.syncs,
         )
-        for frames, payload, ends in channels
+        for frames, payload, idx in channels
     ]
     return np.stack(planes, axis=-1)

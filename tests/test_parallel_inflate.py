@@ -178,3 +178,23 @@ def test_sharded_encoder_emits_step_syncs():
     assert syncs is not None and len(syncs) == 4  # 2 steps x 2 GOPs
     assert syncs[0] == syncs[1] == 2 and syncs[2] == syncs[3] > 2
     assert entropy.parallel_inflate(data, syncs) == zlib.decompress(data)
+
+
+def test_rgb_index_container_carries_syncs():
+    from dct3d_tpu.codec.rgb_codec import decode_rgb_video, encode_rgb_video
+
+    rng = np.random.default_rng(13)
+    video = rng.integers(0, 256, (16, 32, 48, 3), dtype=np.uint16).astype(
+        np.uint8
+    )
+    cfg = CodecConfig(deflate_workers=2)
+    data = encode_rgb_video(video, cfg, index=True)
+    members = multihost.split_members(data)
+    idx_payloads = [p for _, p, t in members if t == multihost.MEMBER_INDEX]
+    assert len(idx_payloads) == 3
+    assert all(multihost.parse_index_syncs(p) is not None
+               for p in idx_payloads)
+    a = decode_rgb_video(data, 48, 32, cfg)
+    b = decode_rgb_video(encode_rgb_video(video, cfg, index=False),
+                         48, 32, cfg)
+    np.testing.assert_array_equal(a, b)
